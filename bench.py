@@ -1,0 +1,68 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized via the `noop` sink (all partitions
+computed, nothing collected to the driver, no sink I/O skew), so timings
+measure the execution plan, not the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+from end_to_end_sales_etl_de_project_spark.session import get_spark_session
+
+HEADLINE = [
+    "q01_customer_monthly_spend",
+    "q01g_customer_monthly_spend_grouped",
+    "q02_sales_team_incentive",
+    "q12_pricing_summary",
+    "q10_rank_top1",
+    "q14_sales_team_mart",
+    "q17_join_left_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark_session(app_name="engine-bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # warm the JVM + parquet footers once so per-query times measure the
+    # plan, not first-touch costs
+    QUERIES[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

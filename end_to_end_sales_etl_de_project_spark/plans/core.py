@@ -1,0 +1,625 @@
+"""Core relational query plans — SURVEY §2's operator inventory expressed
+over the driver's TPC-H-ish testdata, each with a DuckDB oracle.
+
+Role mapping (FIXTURES.md §B): sales fact → ``lineitem``(+``orders``),
+customer dim → ``customer``, store dim → ``nation``, sales_team dim →
+``supplier``, product dim → ``part``.
+
+Cross-engine determinism rules used throughout (SURVEY §7 watchlist):
+
+- Money is summed as DECIMAL(18,2) and emitted as DOUBLE — exact, so the
+  result is identical regardless of engine, partitioning, or shuffle
+  order.
+- ``round`` is only ever applied to DECIMAL values (Spark HALF_UP ==
+  DuckDB half-away-from-zero for non-negative money).
+- Averages are emitted as exact-decimal-sum / count — one IEEE division,
+  identical in both engines.
+- Month keys use the reference's substring-of-string-date form
+  (``src/transform/transform.py:126,142``).
+
+Every aggregate/computed column is aliased identically in the Spark plan
+and the oracle SQL (driver hash-compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from end_to_end_sales_etl_de_project_spark.functions.scalar import money, money_sum, month_key
+from end_to_end_sales_etl_de_project_spark.operators.metrics import (
+    top_performer_incentive,
+    windowed_partition_sum,
+)
+from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+
+CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+CORE_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        CORE_QUERIES[name] = fn
+        if oracle is not None:
+            CORE_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship: customer monthly spend (reference A1/W1,
+# src/transform/transform.py:123-136). Window-sum + distinct form.
+# ---------------------------------------------------------------------------
+
+_Q01_ORACLE = """
+SELECT o_custkey AS customer_id,
+       c_name    AS customer_name,
+       substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS sales_month,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2, 3
+"""
+
+
+@_register("q01_customer_monthly_spend", _Q01_ORACLE)
+def q01_customer_monthly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly spend per customer — the reference's flagship query.
+
+    Reference shape: ``sum(total_cost) OVER (PARTITION BY customer_id,
+    month)`` → project → ``distinct()`` (`src/transform/transform.py:123-136`).
+    The equivalent groupBy form is benchmarked as q01g; this one pins the
+    reference's exact plan shape. The dimension join is broadcast —
+    ``customer`` is bounded, the fact is not.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    fact = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .withColumn("sales_month", month_key("o_orderdate"))
+        .withColumnRenamed("o_custkey", "customer_id")
+        .withColumnRenamed("c_name", "customer_name")
+    )
+    return windowed_partition_sum(
+        fact,
+        partition_keys=["customer_id", "sales_month"],
+        measure="o_totalprice",
+        out_col="total_sales",
+        carry_cols=["customer_name"],
+    ).select("customer_id", "customer_name", "sales_month", "total_sales")
+
+
+@_register("q01g_customer_monthly_spend_grouped", _Q01_ORACLE)
+def q01g_customer_monthly_spend_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idiomatic groupBy form of q01 — one exchange with map-side combine
+    instead of window-shuffle + distinct-shuffle. Same oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            month_key("o_orderdate").alias("sales_month"),
+        )
+        .agg(money_sum("o_totalprice").alias("total_sales"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incentive: top supplier per (nation, month) earns 1% (reference
+# A2/W2/W3, src/transform/transform.py:139-158).
+# ---------------------------------------------------------------------------
+
+_Q02_ORACLE = """
+WITH monthly AS (
+  SELECT n_name    AS nation_name,
+         s_suppkey AS supplier_id,
+         s_name    AS supplier_name,
+         substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS sales_month,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey  = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY 1, 2, 3, 4
+)
+SELECT nation_name, supplier_id, supplier_name, sales_month, total_sales,
+       CASE WHEN rnk = 1
+            THEN CAST(ROUND(CAST(total_sales AS DECIMAL(18,2))
+                            * CAST(0.01 AS DECIMAL(9,6)), 2) AS DOUBLE)
+            ELSE 0.0 END AS incentive
+FROM (
+  SELECT m.*, RANK() OVER (PARTITION BY nation_name, sales_month
+                           ORDER BY total_sales DESC) AS rnk
+  FROM monthly m
+)
+"""
+
+
+@_register("q02_sales_team_incentive", _Q02_ORACLE)
+def q02_sales_team_incentive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-performer incentive — rank suppliers per (nation, month) by
+    revenue; rank-1 (ties included, ``rank()`` semantics per
+    `src/transform/transform.py:150-153`) earns round(1%, 2).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    enriched = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey, "inner")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "inner")
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.col("s_suppkey").alias("supplier_id"),
+            F.col("s_name").alias("supplier_name"),
+            month_key("o_orderdate").alias("sales_month"),
+            "l_extendedprice",
+        )
+    )
+    monthly = (
+        enriched.groupBy("nation_name", "supplier_id", "supplier_name", "sales_month")
+        .agg(money_sum("l_extendedprice").alias("total_sales"))
+    )
+    return top_performer_incentive(
+        monthly,
+        rank_partition=["nation_name", "sales_month"],
+        total_col="total_sales",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter (P1, P6) — predicate + projection pushed to the scan.
+# ---------------------------------------------------------------------------
+
+_Q03_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_quantity > 45
+"""
+
+
+@_register("q03_projection_filter", _Q03_ORACLE)
+def q03_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + conjunctive predicate; both reach the parquet scan
+    (PushedFilters / ReadSchema — verified in tests)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") < "1997-01-01") & (F.col("l_quantity") > 45))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+_Q04_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal > 100.0
+"""
+
+
+@_register("q04_filter_isin", _Q04_ORACLE)
+def q04_filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list + range predicate (the staging-ledger filter shape,
+    SURVEY §2.2 P6)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY") & (F.col("c_acctbal") > 100.0))
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J3 shapes + the variants the reference lacks but Spark gives
+# free: left/semi/anti).
+# ---------------------------------------------------------------------------
+
+_Q05_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@_register("q05_join_inner_broadcast", _Q05_ORACLE)
+def q05_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact ⋈ broadcast dim inner equi-join
+    (`src/transform/transform.py:93-97`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+_Q06_ORACLE = """
+SELECT c_custkey, c_name, n_name AS nation_name, r_name AS region_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+@_register("q06_join_chain", _Q06_ORACLE)
+def q06_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1→J2→J3 linear dim chain (`src/transform/transform.py:88-117`):
+    two broadcast hash joins, zero shuffles."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+_Q15_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@_register("q15_join_semi", _Q15_ORACLE)
+def q15_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS) — beyond the reference's inner-only
+    surface (SURVEY §2.3 'not present'), free from Catalyst."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_Q16_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@_register("q16_join_anti", _Q16_ORACLE)
+def q16_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_Q17_ORACLE = """
+SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+@_register("q17_join_left_agg", _Q17_ORACLE)
+def q17_join_left_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + aggregate, keeping order-less customers with
+    count 0 / spend 0."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(money("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops (U1), distinct (A4).
+# ---------------------------------------------------------------------------
+
+_Q07_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_quantity < 5
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_quantity > 45
+"""
+
+
+@_register("q07_union_all", _Q07_ORACLE)
+def q07_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: positional UNION ALL fold (`src/transform/transform.py:75-79`).
+    Columns are pre-normalized by selects, as the reference guarantees
+    via its mandatory-column select."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    low = li.filter(F.col("l_quantity") < 5).select(*cols)
+    high = li.filter(F.col("l_quantity") > 45).select(*cols)
+    return low.union(high)
+
+
+_Q08_ORACLE = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+@_register("q08_distinct", _Q08_ORACLE)
+def q08_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: distinct over a projection."""
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Window functions (W1, W2) and top-k (SURVEY §2.6).
+# ---------------------------------------------------------------------------
+
+_Q09_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey) AS DOUBLE) AS customer_total
+FROM orders
+"""
+
+
+@_register("q09_window_sum", _Q09_ORACLE)
+def q09_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: whole-partition window sum (no orderBy ⇒ unbounded frame),
+    kept on every row (`src/transform/transform.py:124-128`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("customer_total"),
+    )
+
+
+_Q10_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         RANK() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+WHERE rnk = 1
+"""
+
+
+@_register("q10_rank_top1", _Q10_ORACLE)
+def q10_rank_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 + top-k: rank-then-filter top-1 per group
+    (`src/transform/transform.py:150-152`), with a deterministic
+    tiebreaker on the key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+_Q19_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@_register("q19_orderby_limit", _Q19_ORACLE)
+def q19_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    top-k then a k-row driver merge; no full sort at any scale."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (F1-F7).
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+SELECT c_custkey,
+       concat(c_name, ' ', c_mktsegment) AS labeled,
+       concat_ws(', ', c_name, c_mktsegment) AS joined,
+       substr(c_name, 1, 10) AS name_prefix,
+       CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(0.01 AS DECIMAL(9,6)), 2) AS DOUBLE)
+         AS one_pct,
+       CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS balance_flag,
+       'engine' AS tag
+FROM customer
+"""
+
+
+@_register("q11_scalar_funcs", _Q11_ORACLE)
+def q11_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F7 in one projection: concat, concat_ws, substring,
+    decimal-round, when/otherwise, lit, arithmetic
+    (`src/transform/transform.py:54,126-154`)."""
+    rate = F.lit(0.01).cast("decimal(9,6)")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit(" "), F.col("c_mktsegment")).alias("labeled"),
+        F.concat_ws(", ", F.col("c_name"), F.col("c_mktsegment")).alias("joined"),
+        F.substring("c_name", 1, 10).alias("name_prefix"),
+        F.round(money("c_acctbal") * rate, 2).cast("double").alias("one_pct"),
+        F.when(F.col("c_acctbal") < 0, "neg").otherwise("pos").alias("balance_flag"),
+        F.lit("engine").alias("tag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation surface beyond the reference (TPC-H Q1 shape, rollup,
+# pivot) — SURVEY §2.4 'not present' list, provided as first-class ops.
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+@_register("q12_pricing_summary", _Q12_ORACLE)
+def q12_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: multi-aggregate groupBy with
+    map-side partial aggregation — the canonical 100 TB-safe agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    one = F.lit(1).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum("l_quantity").alias("sum_qty"),
+        money_sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(money("l_extendedprice") * (one - money("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        (F.sum(money("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+_Q18_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@_register("q18_rollup", _Q18_ORACLE)
+def q18_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (grouping-sets family; 'not present' in
+    the reference, SURVEY §2.4)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), money_sum("l_quantity").alias("sum_qty"))
+    )
+
+
+_Q20_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_filled
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@_register("q20_pivot", _Q20_ORACLE)
+def q20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on an explicit value list (explicit list avoids the extra
+    distinct-values job — required practice at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(money("l_quantity")).cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Marts (SURVEY §1.1 derived marts, P1/P2/P5 projections).
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_custkey AS customer_id, c_name AS customer_name,
+       c_mktsegment AS segment, n_name AS nation_name,
+       o_orderkey AS order_id, o_orderdate AS sales_date,
+       o_totalprice AS total_cost
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+"""
+
+
+@_register("q13_customer_mart", _Q13_ORACLE)
+def q13_customer_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer data mart (reference 8-col select,
+    `src/main_1.py:423-432`): enriched fact detail, one row per order."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation_name"),
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderdate").alias("sales_date"),
+            F.col("o_totalprice").alias("total_cost"),
+        )
+    )
+
+
+_Q14_ORACLE = """
+SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+       s_suppkey AS sales_person_id, s_name AS sales_person_name,
+       n_name AS store_name,
+       SUBSTRING(CAST(o_orderdate AS VARCHAR), 1, 7) AS sales_month,
+       l_extendedprice AS total_cost
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+"""
+
+
+@_register("q14_sales_team_mart", _Q14_ORACLE)
+def q14_sales_team_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sales-team mart (reference 12-col select + SQL-expr month,
+    `src/main_1.py:486-499`); written partitioned by
+    (sales_month, store) in the pipeline (S6)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey, "inner")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "inner")
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_linenumber").alias("line_no"),
+            F.col("s_suppkey").alias("sales_person_id"),
+            F.col("s_name").alias("sales_person_name"),
+            F.col("n_name").alias("store_name"),
+            F.expr("SUBSTRING(CAST(o_orderdate AS STRING), 1, 7)").alias("sales_month"),
+            F.col("l_extendedprice").alias("total_cost"),
+        )
+    )

@@ -1,0 +1,52 @@
+"""Parquet table catalog for the driver-provided TPC-H-ish testdata.
+
+Reference parity: the reference reads its fact from CSV (S1,
+``src/transform/transform.py:31-34``) and dims over JDBC (S2,
+``src/utils/utility.py:51-60``). The engine's canonical storage is
+parquet — columnar, splittable, predicate-pushdown-friendly — which is
+what you'd run against 100 TB. CSV and JDBC remain available as sources
+(`csv_source.py`, `jdbc.py`); this module is the parquet path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any realistic scale factor
+# (region/nation are fixed-size; customer/supplier/part grow with SF but
+# stay orders of magnitude under the fact — broadcast decision is left to
+# AQE for those, forced only for the fixed-size ones).
+FIXED_SIZE_DIMS = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table. Plain `spark.read.parquet` — filters and
+    projections applied by callers are pushed into the scan by Catalyst,
+    so no eager work happens here.
+
+    Pins the session timezone to UTC: timestamp→string rendering (the
+    reference's month-key semantics) must not depend on whoever built
+    the session.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}

@@ -1,0 +1,102 @@
+"""Oracle-differential comparison harness (SURVEY §5 strategy #1).
+
+Mirrors the driver's check: run the Spark plan and the DuckDB oracle SQL
+on the same parquet, then compare row count + schema + order-insensitive
+values. Values are canonicalized (columns sorted by name, rows sorted by
+canonical repr) so physical ordering never matters; floats are compared
+exactly — the engine's decimal-sum discipline makes aggregates
+bit-identical across engines, so any inexactness is a bug, not noise.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from dataclasses import dataclass, field
+
+import duckdb
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from end_to_end_sales_etl_de_project_spark.sources.tables import TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Fresh in-memory DuckDB with every catalog table registered as a
+    view over the same parquet Spark reads."""
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _canon_value(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅"
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
+        return repr(v)
+    if isinstance(v, (pd.Timestamp, _dt.datetime)):
+        if isinstance(v, pd.Timestamp) and v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    return repr(v)
+
+
+def _canon_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = [tuple(_canon_value(v) for v in row) for row in df[cols].itertuples(index=False)]
+    out.sort()
+    return out
+
+
+@dataclass
+class CompareResult:
+    name: str
+    spark_rows: int
+    oracle_rows: int
+    match: bool
+    mismatches: list[str] = field(default_factory=list)
+
+    def __bool__(self) -> bool:
+        return self.match
+
+
+def compare_spark_to_oracle(
+    name: str, spark_df: DataFrame, oracle_df: pd.DataFrame, max_report: int = 5
+) -> CompareResult:
+    sp = spark_df.toPandas()
+    problems: list[str] = []
+    if sorted(sp.columns) != sorted(oracle_df.columns):
+        problems.append(
+            f"schema mismatch: spark={sorted(sp.columns)} oracle={sorted(oracle_df.columns)}"
+        )
+    if len(sp) != len(oracle_df):
+        problems.append(f"row count: spark={len(sp)} oracle={len(oracle_df)}")
+    if not problems:
+        srows, orows = _canon_rows(sp), _canon_rows(oracle_df)
+        if srows != orows:
+            sset, oset = set(srows), set(orows)
+            only_s = list(sset - oset)[:max_report]
+            only_o = list(oset - sset)[:max_report]
+            problems.append(f"values differ: spark-only={only_s} oracle-only={only_o}")
+    return CompareResult(
+        name=name,
+        spark_rows=len(sp),
+        oracle_rows=len(oracle_df),
+        match=not problems,
+        mismatches=problems,
+    )
+
+
+def run_oracle(con: duckdb.DuckDBPyConnection, sql: str) -> pd.DataFrame:
+    return con.execute(sql).df()
