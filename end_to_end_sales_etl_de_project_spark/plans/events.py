@@ -1,0 +1,163 @@
+"""Time-window query plans over the ``events`` table.
+
+The reference has no streaming (SURVEY §2.9) — its micro-batch-by-cron
+file pipeline is the degenerate case. These plans are the engine's
+time-window surface in **batch** form (oracle-checkable against DuckDB);
+``streaming/events.py`` runs the same aggregations as Structured
+Streaming with watermarks, and tests pin batch≡streaming equivalence.
+
+Scale notes: tumbling/sliding windows are plain groupBy aggregations on
+a derived bucket key — map-side combine applies, cardinality is bounded
+by |buckets|x|types|. Session windows shuffle once on the entity key;
+Spark's native ``session_window`` handles merge logic without any
+Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_sales_etl_de_project_spark.functions.scalar import money
+from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+
+EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EVENT_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        EVENT_QUERIES[name] = fn
+        if oracle is not None:
+            EVENT_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_E01_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@_register("e01_tumbling_hourly", _E01_ORACLE)
+def e01_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event type. Spark's ``window()`` start
+    is epoch-aligned, identical to ``date_trunc('hour')``."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+# Sliding windows assign each event to window starts
+# floor30(ts) - k*30min for k in {0,1}; the oracle materializes the same
+# two assignments per row.
+_E02_ORACLE = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT))
+         - k.k * INTERVAL 30 MINUTE AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events, (SELECT unnest([0, 1]) AS k) k
+GROUP BY 1, 2
+"""
+
+
+@_register("e02_sliding_hourly_30m", _E02_ORACLE)
+def e02_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute slide, per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+# Session semantics (Spark session_window): an event extends the current
+# session iff ts < previous ts + gap; session end = last ts + gap. The
+# oracle reproduces this with lag + running sum of session-break flags.
+_E03_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@_register("e03_session_window", _E03_ORACLE)
+def e03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute inactivity gap, via
+    Spark's native ``session_window`` (no Python state)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_E04_ORACLE = """
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MIN(ts) AS first_seen,
+       MAX(ts) AS last_seen
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@_register("e04_user_activity_rollup", _E04_ORACLE)
+def e04_user_activity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user/type activity profile (hypertable-rollup shape: one
+    groupBy, bounded output)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(money("value")).cast("double").alias("total_value"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )

@@ -11,6 +11,7 @@ what you'd run against 100 TB. CSV and JDBC remain available as sources
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -45,6 +46,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
     if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+        # map to its microsecond TimestampType. Read nanos as long and
+        # truncate with integer division (exact; a double division would
+        # lose precision above 2^53 ns ≈ 1970+104 days).
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,88 @@
+"""Structured Streaming tests: batch ≡ streaming equivalence, stateful
+custom operator, and checkpoint-based exactly-once ingestion (the
+reference's staging-ledger guarantees, SURVEY §2.9)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from end_to_end_sales_etl_de_project_spark.plans.events import e01_tumbling_hourly
+from end_to_end_sales_etl_de_project_spark.streaming.events import (
+    read_events_stream,
+    run_to_memory_sink,
+    start_checkpointed_ingestion,
+    tumbling_stream,
+)
+from end_to_end_sales_etl_de_project_spark.streaming.stateful import running_user_profile
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="engine-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def events_src(sf_dir, tmpdir):
+    """File-stream sources watch a directory; stage the events parquet
+    into one (what a landing zone looks like in production)."""
+    src = f"{tmpdir}/landing"
+    import os
+
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events-000.parquet")
+    return src
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, events_src):
+    stream = read_events_stream(spark, events_src, max_files_per_trigger=1)
+    result = run_to_memory_sink(tumbling_stream(stream), "tumbling_test", "complete")
+    batch = e01_tumbling_hourly(spark, sf_dir)
+    assert _canon(result) == _canon(batch)
+
+
+def test_stateful_running_profile(spark, sf_dir, events_src):
+    stream = read_events_stream(spark, events_src)
+    result = run_to_memory_sink(running_user_profile(stream), "profile_test", "update")
+    rows = {r["user_id"]: r for r in result.collect()}
+    # final state must equal the batch rollup
+    batch = (
+        e01_tumbling_hourly(spark, sf_dir)  # reuse loader plumbing for events
+        .sparkSession.read.parquet(f"{sf_dir}/events.parquet")
+    )
+    import pyspark.sql.functions as F
+
+    expected = (
+        batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    )
+    for e in expected:
+        got = rows[e["user_id"]]
+        assert got["n_events"] == e["n"]
+        assert abs(got["total_value"] - e["v"]) < 0.02
+
+
+def test_checkpointed_ingestion_exactly_once(spark, sf_dir, tmpdir, events_src):
+    dest, ckpt = f"{tmpdir}/dest", f"{tmpdir}/ckpt"
+    src = events_src
+    n_src = spark.read.parquet(src).count()
+
+    q = start_checkpointed_ingestion(spark, src, dest, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(dest).count() == n_src
+
+    # restart over the same source: checkpoint must prevent reprocessing
+    q2 = start_checkpointed_ingestion(spark, src, dest, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(dest).count() == n_src
