@@ -1,0 +1,247 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and
+sign-LSH bucketed ANN (the scale path).
+
+The ``embeddings`` table carries ``embedding array<float>`` (dim 64).
+Cosine is computed as an explicit left-to-right sum of per-dimension
+double products — the same expression string is generated for Spark and
+DuckDB, so results are bit-identical (IEEE addition order matters;
+engine-internal kernels like ``list_cosine_similarity`` use float
+intermediates and would drift).
+
+Scale design:
+
+- Brute force is a broadcast nested-loop: the (small) query set is
+  broadcast, the corpus streams — O(|corpus| x |queries|) with no
+  shuffle of the corpus; per-query top-k via window rank. Right answer
+  up to thousands of queries; the baseline for recall measurement.
+- Sign-LSH buckets vectors by the sign pattern of the first
+  ``SIG_BITS`` dimensions (axis-aligned random-hyperplane LSH — for
+  already-whitened/random embeddings axis signs ARE random
+  hyperplanes). Candidates = same bucket → the join is an equi-join on
+  an 8-bit key; work drops by the bucket-occupancy factor (~256x here).
+  The bucketing is deterministic, so even the ANN path is
+  oracle-checked. An IVF variant would replace the signature with
+  nearest-centroid assignment; same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+SIG_BITS = 8
+
+
+def _dot_sql(a: str, b: str, dim: int, one_based: bool) -> str:
+    off = 1 if one_based else 0
+    return " + ".join(
+        f"CAST({a}[{i + off}] AS DOUBLE) * CAST({b}[{i + off}] AS DOUBLE)"
+        for i in range(dim)
+    )
+
+
+def _norm_sql(a: str, dim: int, one_based: bool) -> str:
+    off = 1 if one_based else 0
+    return (
+        "sqrt("
+        + " + ".join(
+            f"CAST({a}[{i + off}] AS DOUBLE) * CAST({a}[{i + off}] AS DOUBLE)"
+            for i in range(dim)
+        )
+        + ")"
+    )
+
+
+def _sig_sql(a: str, bits: int, one_based: bool) -> str:
+    off = 1 if one_based else 0
+    return " + ".join(
+        f"CASE WHEN {a}[{b + off}] >= 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding", dim: int = DIM) -> DataFrame:
+    """Attach the L2 norm as a column (Spark-side; generated expression
+    matches the SQL twin exactly)."""
+    return emb.withColumn("norm", F.expr(_norm_sql(vec_col, dim, one_based=False)))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = DIM,
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (excluding itself), ranked by (similarity desc, vec_id).
+
+    ``queries`` must have (vec_id, embedding); it is broadcast — the
+    corpus is never shuffled.
+    """
+    q = with_norm(queries, dim=dim).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    n = with_norm(emb, dim=dim).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+    )
+    dot = F.expr(_dot_sql("q_emb", "n_emb", dim, one_based=False))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.col("q_norm") * F.col("n_norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def brute_force_topk_sql(
+    query_pred: str, k: int = 5, dim: int = DIM, table: str = "embeddings"
+) -> str:
+    dot = _dot_sql("q.embedding", "n.embedding", dim, one_based=True)
+    qn = _norm_sql("q.embedding", dim, one_based=True)
+    nn = _norm_sql("n.embedding", dim, one_based=True)
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         ({dot}) / (({qn}) * ({nn})) AS cosine
+  FROM {table} q, {table} n
+  WHERE ({query_pred}) AND q.vec_id <> n.vec_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-LSH
+    bucket, then exact cosine rank within candidates. Equi-join on the
+    signature instead of a cross join — the 100 TB shape."""
+    sig = lambda c: F.expr(_sig_sql(c, sig_bits, one_based=False))  # noqa: E731
+    q = with_norm(queries, dim=dim).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        sig("embedding").alias("sig"),
+    )
+    n = with_norm(emb, dim=dim).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+        sig("embedding").alias("sig"),
+    )
+    dot = F.expr(_dot_sql("q_emb", "n_emb", dim, one_based=False))
+    scored = (
+        F.broadcast(q)
+        .join(n, "sig")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.col("q_norm") * F.col("n_norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_topk_sql(
+    query_pred: str,
+    k: int = 5,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+    table: str = "embeddings",
+) -> str:
+    dot = _dot_sql("q.embedding", "n.embedding", dim, one_based=True)
+    qn = _norm_sql("q.embedding", dim, one_based=True)
+    nn = _norm_sql("n.embedding", dim, one_based=True)
+    qs = _sig_sql("q.embedding", sig_bits, one_based=True)
+    ns = _sig_sql("n.embedding", sig_bits, one_based=True)
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         ({dot}) / (({qn}) * ({nn})) AS cosine
+  FROM {table} q, {table} n
+  WHERE ({query_pred}) AND q.vec_id <> n.vec_id AND ({qs}) = ({ns})
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    dim: int = DIM,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold), blocked on
+    ``block_col`` so the pair space is |block|² instead of |corpus|²."""
+    a = with_norm(emb, dim=dim).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+        F.col(block_col).alias("blk"),
+    )
+    b = with_norm(emb, dim=dim).select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+        F.col(block_col).alias("blk"),
+    )
+    dot = F.expr(_dot_sql("emb_a", "emb_b", dim, one_based=False))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot / (F.col("norm_a") * F.col("norm_b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_sql(
+    threshold: float, block_col: str = "label", dim: int = DIM, table: str = "embeddings"
+) -> str:
+    dot = _dot_sql("a.embedding", "b.embedding", dim, one_based=True)
+    an = _norm_sql("a.embedding", dim, one_based=True)
+    bn = _norm_sql("b.embedding", dim, one_based=True)
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ({dot}) / (({an}) * ({bn})) AS cosine
+FROM {table} a JOIN {table} b
+  ON a.{block_col} = b.{block_col} AND a.vec_id < b.vec_id
+WHERE ({dot}) / (({an}) * ({bn})) >= {threshold}
+"""

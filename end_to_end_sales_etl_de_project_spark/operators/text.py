@@ -1,0 +1,154 @@
+"""Text-analysis operators for training-data pipelines: tokenization
+stats, language ID, quality scoring, document fingerprinting.
+
+Not present in the reference (its only string work is concat/substring,
+SURVEY §2.8); these are the engine's first-class extensions for
+LLM-data curation at 100 TB scale. Everything here is built-in Spark
+SQL functions (codegen'd, no Python in the hot path); each has an exact
+DuckDB-SQL twin so the plans in ``plans/documents.py`` are
+oracle-checked.
+
+Design for scale: all operators are embarrassingly parallel per-row
+projections — no shuffle at all; they pipeline inside whole-stage
+codegen over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from end_to_end_sales_etl_de_project_spark.functions.hashing import h60, h60_sql
+
+# Word-token regex (BPE-ish pre-tokenization: letter runs, digit runs,
+# or single punctuation marks — the shape GPT-style pre-tokenizers use).
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+WORD_REGEX = "[A-Za-z0-9]+"
+PUNCT_REGEX = "[^A-Za-z0-9 ]"
+
+# Function-word stopword sets for the n-gram-free language-ID heuristic.
+# Ordered: ties resolve to the earlier language.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "en", "que", "los"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit"),
+    "fr": ("le", "les", "et", "des", "un", "une", "dans"),
+    "zh": ("的", "是", "在", "了", "我", "有", "和"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, lowercased, empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), " "), lambda t: t != "")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"list_filter(string_split(lower({expr}), ' '), t -> t <> '')"
+
+
+def token_count(col: Column | str) -> Column:
+    """BPE-ish token count via the pre-tokenization regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(TOKEN_REGEX))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{TOKEN_REGEX}')) AS BIGINT)"
+
+
+def word_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(WORD_REGEX))
+
+
+def word_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{WORD_REGEX}')) AS BIGINT)"
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PUNCT_REGEX))
+
+
+def punct_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{PUNCT_REGEX}')) AS BIGINT)"
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens (with multiplicity) in ``lang``'s stopword set."""
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*words)))
+
+
+def stopword_hits_sql(expr: str, lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"CAST(len(list_filter({tokens_sql(expr)}, t -> t IN ({inlist}))) AS BIGINT)"
+
+
+def predicted_lang(col: Column | str) -> Column:
+    """Argmax language by stopword hits; ties break in LANG_STOPWORDS
+    declaration order (same CASE-chain in the SQL twin)."""
+    langs = list(LANG_STOPWORDS)
+    scores = {lg: stopword_hits(col, lg) for lg in langs}
+    expr = F.lit(langs[-1])
+    # build CASE chain from the end backwards: lang_i wins if its score
+    # >= every later language's score
+    for i in range(len(langs) - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, len(langs)):
+            c = scores[langs[i]] >= scores[langs[j]]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, langs[i]).otherwise(expr)
+    return expr
+
+
+def predicted_lang_sql(expr: str) -> str:
+    langs = list(LANG_STOPWORDS)
+    score = {lg: stopword_hits_sql(expr, lg) for lg in langs}
+    clauses = []
+    for i in range(len(langs) - 1):
+        conds = " AND ".join(
+            f"{score[langs[i]]} >= {score[langs[j]]}" for j in range(i + 1, len(langs))
+        )
+        clauses.append(f"WHEN {conds} THEN '{langs[i]}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
+def word_shingles(col: Column | str, k: int) -> Column:
+    """Distinct k-word shingles (space-joined) — the unit for n-gram
+    Jaccard, minhash, and fingerprinting. Empty array for docs shorter
+    than k words (NB: Spark ``sequence(0, n)`` with n<0 counts DOWN, so
+    the short-doc case must be guarded, not clamped)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    sh = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+    return F.when(F.size(toks) >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles_sql(expr: str, k: int) -> str:
+    """DuckDB twin of :func:`word_shingles` (1-based list indexing;
+    ``range(1, n)`` with n<=1 is already empty, no guard needed)."""
+    toks = tokens_sql(expr)
+    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(k))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {k - 1}, 0) + 1), i -> {parts}))"
+    )
+
+
+def doc_fingerprint(col: Column | str, k: int = 4) -> Column:
+    """Single-permutation minhash fingerprint: min 60-bit hash over the
+    doc's k-word shingles (null for docs shorter than k words)."""
+    return F.array_min(F.transform(word_shingles(col, k), lambda s: h60(s)))
+
+
+def doc_fingerprint_sql(expr: str, k: int = 4) -> str:
+    return f"list_min(list_transform({word_shingles_sql(expr, k)}, s -> {h60_sql('s')}))"

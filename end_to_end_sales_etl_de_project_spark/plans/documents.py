@@ -1,0 +1,206 @@
+"""Training-data pipeline plans over ``documents`` / ``embeddings``:
+text analysis (t*), deduplication (d*), similarity search (a*).
+
+These are the engine's north-star extensions (SURVEY §7 step 8) —
+first-class, oracle-checked operators a 100 TB LLM-data pipeline needs.
+Every query here, including the MinHash-LSH and sign-LSH ANN paths, is
+deterministic in both engines (portable md5 hashing, explicit
+fixed-order float arithmetic), so all are fully oracle-checked — no
+rows-only escapes needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_sales_etl_de_project_spark.operators import dedup, similarity, text
+from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+
+DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+DOC_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        DOC_QUERIES[name] = fn
+        if oracle is not None:
+            DOC_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_T01_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS len_chars,
+       {text.token_count_sql('text')} AS n_tokens,
+       {text.word_count_sql('text')} AS n_words,
+       {text.punct_count_sql('text')} AS n_punct,
+       {text.punct_count_sql('text')} / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       {text.stopword_hits_sql('text', 'en')} / CAST({text.word_count_sql('text')} AS DOUBLE)
+         AS stopword_ratio
+FROM documents
+"""
+
+
+@_register("t01_text_stats", _T01_ORACLE)
+def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token/char statistics — pure projection, zero shuffle;
+    pipelines inside whole-stage codegen over the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    length = F.length("text").cast("bigint")
+    return docs.select(
+        "doc_id",
+        length.alias("len_chars"),
+        text.token_count("text").cast("bigint").alias("n_tokens"),
+        text.word_count("text").cast("bigint").alias("n_words"),
+        text.punct_count("text").cast("bigint").alias("n_punct"),
+        (text.punct_count("text") / length.cast("double")).alias("punct_ratio"),
+        (
+            text.stopword_hits("text", "en") / text.word_count("text").cast("double")
+        ).alias("stopword_ratio"),
+    )
+
+
+_T02_ORACLE = f"""
+SELECT doc_id, lang,
+       {text.predicted_lang_sql('text')} AS predicted_lang,
+       lang = {text.predicted_lang_sql('text')} AS is_match
+FROM documents
+"""
+
+
+@_register("t02_language_id", _T02_ORACLE)
+def t02_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (n-gram-free heuristic): argmax of
+    function-word hits per language, deterministic tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.predicted_lang("text")
+    return docs.select(
+        "doc_id", "lang", pred.alias("predicted_lang"), (F.col("lang") == pred).alias("is_match")
+    )
+
+
+_T03_ORACLE = f"""
+SELECT doc_id,
+       least({text.word_count_sql('text')} / 100.0, 1.0) * 0.5
+         + least({text.stopword_hits_sql('text', 'en')}
+                 / CAST({text.word_count_sql('text')} AS DOUBLE) / 0.1, 1.0) * 0.3
+         + (1.0 - least({text.punct_count_sql('text')}
+                        / CAST(length(text) AS DOUBLE) / 0.2, 1.0)) * 0.2
+         AS quality_score,
+       CASE WHEN {text.word_count_sql('text')} < 10 THEN 'too_short'
+            WHEN {text.punct_count_sql('text')} / CAST(length(text) AS DOUBLE) > 0.2
+              THEN 'too_puncty'
+            ELSE 'ok' END AS quality_bucket
+FROM documents
+"""
+
+
+@_register("t03_quality_score", _T03_ORACLE)
+def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length, stopword density, punctuation
+    density) + routing bucket — the filter stage of a data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = text.word_count("text")
+    stop_ratio = text.stopword_hits("text", "en") / words.cast("double")
+    punct_ratio = text.punct_count("text") / F.length("text").cast("double")
+    score = (
+        F.least(words / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio / F.lit(0.1), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio / F.lit(0.2), F.lit(1.0))) * 0.2
+    )
+    bucket = (
+        F.when(words < 10, "too_short")
+        .when(punct_ratio > 0.2, "too_puncty")
+        .otherwise("ok")
+    )
+    return docs.select(
+        "doc_id", score.alias("quality_score"), bucket.alias("quality_bucket")
+    )
+
+
+_T04_ORACLE = f"""
+SELECT doc_id, {text.doc_fingerprint_sql('text', 4)} AS fingerprint
+FROM documents
+"""
+
+
+@_register("t04_doc_fingerprint", _T04_ORACLE)
+def t04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-permutation minhash fingerprint over word 4-grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.doc_fingerprint("text", 4).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@_register("d01_dedup_exact", dedup.exact_dedup_groups_sql("doc_id", "text"))
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: canonical id + copy count per distinct text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs, "doc_id", "text")
+
+
+@_register("d02_ngram_jaccard", dedup.ngram_jaccard_pairs_sql("doc_id", "text", 3, 0.5))
+def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs word-3-gram Jaccard ≥ 0.5 via the shared-shingle
+    equi-join (never a cross join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", 3)
+    return dedup.jaccard_pairs(sh, 0.5)
+
+
+@_register("d03_minhash_lsh", dedup.minhash_lsh_pairs_sql("doc_id", "text"))
+def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands x 4 rows) candidates, verified at true
+    Jaccard ≥ 0.5 — the linear-time near-dedup scale path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+
+
+@_register("d04_simhash", dedup.simhash_sql("doc_id", "text"))
+def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+@_register("d05_embedding_neardup", similarity.embedding_neardup_pairs_sql(0.8))
+def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥0.8), label-blocked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, 0.8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_QUERY_PRED = "q.vec_id < 8"
+
+
+@_register("a01_ann_bruteforce", similarity.brute_force_topk_sql(_QUERY_PRED))
+def a01_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 8 query vectors — broadcast nested loop,
+    corpus never shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8))
+
+
+@_register("a02_ann_lsh", similarity.lsh_topk_sql(_QUERY_PRED))
+def a02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-5 — equi-join on the signature
+    instead of a cross join; deterministic, hence still oracle-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8))

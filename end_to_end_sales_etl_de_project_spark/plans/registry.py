@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from end_to_end_sales_etl_de_project_spark.plans.core import CORE_ORACLES, CORE_QUERIES
+from end_to_end_sales_etl_de_project_spark.plans.documents import DOC_ORACLES, DOC_QUERIES
 from end_to_end_sales_etl_de_project_spark.plans.events import EVENT_ORACLES, EVENT_QUERIES
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -21,6 +22,7 @@ ORACLES: dict[str, str] = {}
 for _queries, _oracles in (
     (CORE_QUERIES, CORE_ORACLES),
     (EVENT_QUERIES, EVENT_ORACLES),
+    (DOC_QUERIES, DOC_ORACLES),
 ):
     for _name, _fn in _queries.items():
         if _name in QUERIES:
