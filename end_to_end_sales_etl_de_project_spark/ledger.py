@@ -1,0 +1,128 @@
+"""Processing ledger: the reference's staging/audit table as DataFrame
+operations over a parquet table.
+
+Reference behavior (``/root/reference/src/staging/staging.py`` +
+``src/main_1.py:45-86``): a MySQL table
+``(file_name, file_location, created_date, status)`` with status in
+{START, COMPLETED}; three operations — crash check (any file stuck in
+START ⇒ abort), idempotency filter (COMPLETED files are skipped),
+insert START / update COMPLETED. Cursor SQL with f-string interpolation
+(an injection wart, staging.py:42) and a None-return bug on the empty
+case (main_1.py:242-247) — both fixed here by construction.
+
+Implementation: an append-only parquet event log; current state =
+latest event per file (window by event time). Append-only makes every
+transition atomic at the file level (no read-modify-write), which is
+exactly what object stores give you at scale; compaction is a normal
+maintenance job. For streaming ingestion the same guarantees come from
+Structured Streaming checkpoints (``streaming/events.py``) — this
+ledger is the batch-mode equivalent.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from end_to_end_sales_etl_de_project_spark.config import STATUS_COMPLETED, STATUS_START
+
+LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("file_name", T.StringType()),
+        T.StructField("file_location", T.StringType()),
+        T.StructField("created_date", T.TimestampType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("seq", T.LongType()),  # monotonic per append batch
+    ]
+)
+
+
+class Ledger:
+    """Parquet-backed append-only processing ledger."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- reads ---------------------------------------------------------
+
+    def events(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+        return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
+
+    def current_state(self) -> DataFrame:
+        """Latest status per file_name (window top-1 by seq)."""
+        w = Window.partitionBy("file_name").orderBy(F.col("seq").desc())
+        return (
+            self.events()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def stuck_in_start(self, file_names: list[str]) -> list[str]:
+        """Crash check (main_1.py:45-86): files whose latest status is
+        START. A non-empty result means a previous run died mid-flight."""
+        if not file_names:
+            return []
+        rows = (
+            self.current_state()
+            .filter(F.col("file_name").isin(file_names) & (F.col("status") == STATUS_START))
+            .select("file_name")
+            .collect()
+        )
+        return sorted(r["file_name"] for r in rows)
+
+    def split_processed(self, file_names: list[str]) -> tuple[list[str], list[str]]:
+        """Idempotency filter (staging.py:51-113): returns
+        (to_process, already_completed). Always returns two lists —
+        never None (the reference's empty-case bug)."""
+        if not file_names:
+            return [], []
+        completed = {
+            r["file_name"]
+            for r in self.current_state()
+            .filter(
+                F.col("file_name").isin(file_names)
+                & (F.col("status") == STATUS_COMPLETED)
+            )
+            .select("file_name")
+            .collect()
+        }
+        to_process = [f for f in file_names if f not in completed]
+        done = [f for f in file_names if f in completed]
+        return to_process, done
+
+    # -- writes --------------------------------------------------------
+
+    def _append(self, records: list[tuple[str, str, str]]) -> None:
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        seq = int(_dt.datetime.now(_dt.timezone.utc).timestamp() * 1_000_000)
+        rows = [
+            (name, loc, now, status, seq + i)
+            for i, (name, loc, status) in enumerate(records)
+        ]
+        df = self.spark.createDataFrame(rows, LEDGER_SCHEMA)
+        # one file per append batch: tiny control-plane writes must not
+        # fan out into per-partition files
+        df.coalesce(1).write.mode("append").parquet(self.path)
+
+    def mark_start(self, files: dict[str, str]) -> None:
+        """files: name → location. Reference staging.py:13-28."""
+        if files:
+            self._append([(n, loc, STATUS_START) for n, loc in files.items()])
+
+    def mark_completed(self, file_names: list[str]) -> None:
+        """Reference staging.py:31-48 (UPDATE → append here)."""
+        if file_names:
+            self._append([(n, "", STATUS_COMPLETED) for n in file_names])
+
+
+def temp_ledger_path(base_dir: str) -> str:
+    return os.path.join(base_dir, f"ledger-{uuid.uuid4().hex[:8]}")

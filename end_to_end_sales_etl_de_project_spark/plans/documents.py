@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from end_to_end_sales_etl_de_project_spark.operators import dedup, similarity, text
+from end_to_end_sales_etl_de_project_spark.operators import dedup, multimodal, similarity, text
 from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
 
 DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -204,3 +204,39 @@ def a02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a cross join; deterministic, hence still oracle-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+_M01_ORACLE = """
+SELECT doc_id AS asset_id, 'txt' AS format, source,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+@_register("m01_multimodal_assets", _M01_ORACLE)
+def m01_multimodal_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary asset table metadata (payload bytes + typed meta struct,
+    flattened for the oracle — binary columns themselves don't hash
+    across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.documents_as_assets(docs)
+    return assets.select(
+        "asset_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.source").alias("source"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@_register("m02_multimodal_features", None)  # Pandas-UDF path: rows-only check
+def m02_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (mapInPandas) over the asset
+    table — the stubbed decode seam. Not SQL-expressible (Python UDF);
+    the driver records the rows-only check, and
+    tests/test_multimodal.py pins the feature semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.documents_as_assets(docs))

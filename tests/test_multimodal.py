@@ -1,0 +1,41 @@
+"""Multimodal plumbing tests: schema contract, Arrow batch path, stub
+seam, and determinism of the byte-level features."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_sales_etl_de_project_spark.operators.multimodal import (
+    ASSET_SCHEMA,
+    documents_as_assets,
+    extract_features,
+)
+from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+
+
+def test_asset_schema_and_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    assets = documents_as_assets(docs)
+    # simpleString compares names+types, ignoring nullability flags
+    assert assets.schema.simpleString() == ASSET_SCHEMA.simpleString()
+
+    feats = extract_features(assets)
+    rows = feats.orderBy("asset_id").limit(5).collect()
+    # n_bytes from the UDF must equal the metadata n_bytes (both count
+    # utf-8 payload bytes)
+    metas = {
+        r["asset_id"]: r["meta"]["n_bytes"]
+        for r in assets.filter(F.col("asset_id") < 5).collect()
+    }
+    for r in rows:
+        assert r["n_bytes"] == metas[r["asset_id"]]
+        assert 0 < r["byte_mean"] < 256
+        assert 0 < r["byte_entropy_proxy"] <= 256
+
+
+def test_decode_stub_seam_raises(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(2)
+    feats = extract_features(documents_as_assets(docs), decode_stub=False)
+    with pytest.raises(Exception, match="NotImplementedError|stub only"):
+        feats.collect()
