@@ -22,6 +22,7 @@ from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
 from end_to_end_sales_etl_de_project_spark.session import get_spark_session
 
 HEADLINE = [
+    # relational core (reference parity)
     "q01_customer_monthly_spend",
     "q01g_customer_monthly_spend_grouped",
     "q02_sales_team_incentive",
@@ -29,6 +30,16 @@ HEADLINE = [
     "q10_rank_top1",
     "q14_sales_team_mart",
     "q17_join_left_agg",
+    # event-time windows
+    "e01_tumbling_hourly",
+    "e03_session_window",
+    # training-data ops
+    "d01_dedup_exact",
+    "d03_minhash_lsh",
+    "d04_simhash",
+    "t01_text_stats",
+    "a01_ann_bruteforce",
+    "a02_ann_lsh",
 ]
 
 

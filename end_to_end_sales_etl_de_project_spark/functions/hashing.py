@@ -40,3 +40,31 @@ def h60_sql(expr: str) -> str:
 
 def h60_seeded_sql(expr: str, seed: int) -> str:
     return h60_sql(f"({expr} || '#{seed}')")
+
+
+# Universal-hash family for minhash permutations: one md5 per value,
+# then h_i(x) = (a_i * (x mod p) + b_i) mod p with p = 2^31-1 (Mersenne).
+# Products stay under 2^62 (no 64-bit overflow in either engine, no ANSI
+# wrap), the mod breaks monotonicity so each i picks an independent min.
+# Constants are fixed (seeded offline) — runtime is fully deterministic.
+MERSENNE_P = (1 << 31) - 1
+# (a, b) pairs; a in [1, p-1], b in [0, p-1]
+PERM_PARAMS: tuple[tuple[int, int], ...] = (
+    (1203747112, 1005361664), (580039302, 1862224989), (821130565, 112940234),
+    (1573568959, 1962694034), (297744391, 422162351), (1120800168, 547672805),
+    (773115746, 646247111), (1953696076, 192118812), (1117130925, 1266476612),
+    (733755415, 915427722), (1442995860, 253925662), (497575115, 1563231413),
+    (373529042, 1087503196), (1041885765, 741809077), (661112198, 1892966551),
+    (1955999981, 675568437),
+)
+
+
+def minhash_family(h_col: Column, i: int) -> Column:
+    """i-th universal-hash value of an already-hashed 60-bit column."""
+    a, b = PERM_PARAMS[i]
+    return (F.lit(a) * (h_col % MERSENNE_P) + F.lit(b)) % MERSENNE_P
+
+
+def minhash_family_sql(h_expr: str, i: int) -> str:
+    a, b = PERM_PARAMS[i]
+    return f"(({a} * (({h_expr}) % {MERSENNE_P}) + {b}) % {MERSENNE_P})"

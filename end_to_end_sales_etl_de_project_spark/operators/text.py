@@ -122,13 +122,11 @@ def word_shingles(col: Column | str, k: int) -> Column:
     the short-doc case must be guarded, not clamped)."""
     toks = tokens(col)
     idx = F.sequence(F.lit(0), F.size(toks) - k)
+    # slice+array_join references the token array once per shingle;
+    # per-position element_at made Catalyst re-evaluate the whole
+    # split+filter chain k times per shingle (~4x slower, measured).
     sh = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-            ),
-        )
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, (i + 1).cast("int"), k), " "))
     )
     return F.when(F.size(toks) >= k, sh).otherwise(F.array().cast("array<string>"))
 
