@@ -623,3 +623,229 @@ def q14_sales_team_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").alias("total_cost"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended SQL surface (SURVEY §2 'not present' items, provided as
+# first-class engine ops): cube, set ops, analytic windows, date/string/
+# null functions, HAVING, subqueries via the SQL API.
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@_register("q21_cube", _Q21_ORACLE)
+def q21_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets in one pass)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), money_sum("l_extendedprice").alias("sum_price"))
+    )
+
+
+_Q22_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@_register("q22_except", _Q22_ORACLE)
+def q22_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference; ``subtract`` is Spark's EXCEPT DISTINCT —
+    ``exceptAll`` would keep multiplicity, which SQL EXCEPT does not)."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.subtract(filled_c)
+
+
+_Q23_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@_register("q23_intersect", _Q23_ORACLE)
+def q23_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics)."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.intersect(filled_c)
+
+
+_Q25_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk,
+       NTILE(4) OVER w AS quartile,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@_register("q25_window_analytics", _Q25_ORACLE)
+def q25_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/dense_rank/ntile + explicit-frame running sum — the
+    analytic-window family the reference lacks (SURVEY §2.5)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrank = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.dense_rank().over(wrank).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.sum(money("o_totalprice")).over(wrun).cast("double").alias("running_spend"),
+    )
+
+
+_Q26_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(day(o_orderdate) AS INT) AS order_day,
+       CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+       date_trunc('month', o_orderdate) AS month_start,
+       o_orderdate + INTERVAL 30 DAY AS due_date
+FROM orders
+"""
+
+
+@_register("q26_date_functions", _Q26_ORACLE)
+def q26_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family (the reference never parses dates —
+    SURVEY §2.8 'not present')."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+    )
+
+
+_Q27_ORACLE = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       lower(c_mktsegment) AS segment_lower,
+       trim(c_name) AS name_trim,
+       replace(c_name, '#', '-') AS name_replaced,
+       regexp_replace(c_name, '[0-9]+', 'N') AS name_masked,
+       length(c_name) AS name_len,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key
+FROM customer
+"""
+
+
+@_register("q27_string_functions", _Q27_ORACLE)
+def q27_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family: case, trim, replace, regexp, pad."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.trim("c_name").alias("name_trim"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_replaced"),
+        F.regexp_replace("c_name", "[0-9]+", "N").alias("name_masked"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+    )
+
+
+_Q28_ORACLE = """
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
+       CAST(coalesce(nullif(c_acctbal, 0.0), -1.0) AS DOUBLE) AS bal_or_neg1,
+       (c_acctbal IS NULL) AS bal_is_null,
+       if(c_acctbal > 0, 'credit', 'debit') AS bal_side
+FROM customer
+"""
+
+
+@_register("q28_null_handling", _Q28_ORACLE)
+def q28_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce/nullif/is-null/if — null-handling family."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+        F.coalesce(F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.lit(-1.0))
+        .cast("double")
+        .alias("bal_or_neg1"),
+        F.col("c_acctbal").isNull().alias("bal_is_null"),
+        F.when(F.col("c_acctbal") > 0, "credit").otherwise("debit").alias("bal_side"),
+    )
+
+
+_Q29_ORACLE = """
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+"""
+
+
+@_register("q29_having", _Q29_ORACLE)
+def q29_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING (post-aggregation predicate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+_Q30_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 100000)
+"""
+
+
+@_register("q30_sql_subqueries", _Q30_ORACLE)
+def q30_sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API entry point: scalar subquery + correlated EXISTS through
+    ``spark.sql`` over temp views — Catalyst decorrelates both; the
+    engine's SQL text surface, same planner as the DataFrame API."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM v_customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_customer)
+          AND EXISTS (SELECT 1 FROM v_orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 100000)
+        """
+    )

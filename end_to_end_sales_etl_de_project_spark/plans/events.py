@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from end_to_end_sales_etl_de_project_spark.functions.scalar import money
+from end_to_end_sales_etl_de_project_spark.operators.temporal_joins import (
+    asof_join,
+    range_join_bucketed,
+)
 from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
 
 EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -160,4 +164,54 @@ def e04_user_activity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(money("value")).cast("double").alias("total_value"),
         F.min("ts").alias("first_seen"),
         F.max("ts").alias("last_seen"),
+    )
+
+
+# As-of semantics pinned to DuckDB's ASOF LEFT JOIN: latest right row
+# with right.ts <= left.ts per key; equal timestamps match.
+_E05_ORACLE = """
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       r.ts AS ts_right, r.value AS value_right
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@_register("e05_asof_join", _E05_ORACLE)
+def e05_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest
+    prior-or-equal signup. One keyed window shuffle — no native Spark
+    as-of exists; see operators/temporal_joins.py."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    return asof_join(purchases, signups, on="ts", by="user_id", right_cols=["ts", "value"])
+
+
+_E06_ORACLE = """
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       a.ts AS ts_a, b.ts AS ts_b,
+       a.event_type AS event_type_a, b.event_type AS event_type_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(epoch(b.ts) - epoch(a.ts)) <= 600
+"""
+
+
+@_register("e06_range_join", _E06_ORACLE)
+def e06_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: same-user event pairs within 10 minutes, via
+    time-bucket banding (equi-join on (key, bucket), never a theta
+    join). The oracle is the naive theta join — same result."""
+    ev = load_table(spark, sf_dir, "events")
+    return range_join_bucketed(
+        ev,
+        by="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        max_gap_seconds=600,
+        payload_cols=["event_type"],
     )
