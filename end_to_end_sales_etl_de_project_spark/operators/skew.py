@@ -1,0 +1,51 @@
+"""Skew-handling aggregation: salted two-phase groupBy.
+
+At 100 TB a single hot key (one huge customer, one boilerplate shingle)
+turns a groupBy into one straggler task. AQE's skew-join splitting
+covers joins; for aggregations the classic fix is salting — phase 1
+aggregates on (key, salt) spreading the hot key over N partitions,
+phase 2 merges the N partials per key. Correct for any commutative
+associative aggregate; exact for decimal sums (hence still
+oracle-checkable — same result as the plain groupBy, different
+physical distribution).
+
+The salt must be deterministic-per-row but uniform — derived here from
+a hash of the whole row's monotonically unique id substitute
+(``spark_partition_id`` + a cheap counter would break determinism
+across retries; a content hash keeps retry-safety).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from end_to_end_sales_etl_de_project_spark.functions.scalar import money
+
+
+def salted_sum(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    measure: str,
+    out_col: str,
+    salt_buckets: int = 16,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Two-phase skew-safe exact sum: groupBy(key, salt) → groupBy(key).
+
+    ``salt_source`` defaults to a hash of the measure row identity
+    (xxhash64 of all group keys + measure) — retry-deterministic, no
+    RNG. Result is bit-identical to the single-phase decimal sum.
+    """
+    if salt_source is None:
+        salt_source = F.xxhash64(*[F.col(k) for k in group_keys], F.col(measure))
+    salted = df.withColumn("__salt", F.pmod(salt_source, F.lit(salt_buckets)))
+    partial = salted.groupBy(*group_keys, "__salt").agg(
+        F.sum(money(measure)).alias("__partial")
+    )
+    return (
+        partial.groupBy(*group_keys)
+        .agg(F.sum("__partial").cast("double").alias(out_col))
+    )

@@ -849,3 +849,39 @@ def q30_sql_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND o.o_totalprice > 100000)
         """
     )
+
+
+_Q31_ORACLE = """
+SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@_register("q31_salted_agg", _Q31_ORACLE)
+def q31_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted two-phase sum (operators/skew.py). The oracle
+    is the PLAIN single-phase sum — decimal exactness makes the salted
+    physical plan produce the identical result."""
+    from end_to_end_sales_etl_de_project_spark.operators.skew import salted_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_sum(li, ["l_suppkey"], "l_extendedprice", "revenue", salt_buckets=16)
+
+
+@_register("q32_approx_aggs", None)  # sketch-based: no exact oracle by design
+def q32_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HyperLogLog++ distinct, GK quantiles) —
+    the sketches the reference lacks (SURVEY §2.4 'not present').
+    Deliberately rows-only for the driver: sketch outputs are
+    engine-specific; tests/test_approx.py bounds them against exact
+    values instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.expr("percentile_approx(l_extendedprice, array(0.25, 0.75))").alias(
+            "approx_quartiles"
+        ),
+    )

@@ -1,0 +1,84 @@
+"""Property-based checks (SURVEY §5 strategy #4) with hypothesis:
+partitioning-invariance of decimal sums, salted ≡ plain aggregation,
+incentive invariants on random data."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from end_to_end_sales_etl_de_project_spark.functions.scalar import money_sum
+from end_to_end_sales_etl_de_project_spark.operators.metrics import top_performer_incentive
+from end_to_end_sales_etl_de_project_spark.operators.skew import salted_sum
+
+MONEY = st.decimals(
+    min_value=Decimal("0.01"), max_value=Decimal("99999.99"), places=2
+)
+ROWS = st.lists(
+    st.tuples(st.integers(1, 5), MONEY), min_size=1, max_size=40
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(rows=ROWS, n_parts=st.integers(1, 7))
+@settings(**_SETTINGS)
+def test_decimal_sum_partitioning_invariant(spark, rows, n_parts):
+    """sum over money decimals is identical for ANY partitioning — the
+    property that makes results cluster-layout-independent."""
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rows], "k int, v double"
+    )
+    plain = df.groupBy("k").agg(money_sum("v").alias("s"))
+    reparted = df.repartition(n_parts).groupBy("k").agg(money_sum("v").alias("s"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, reparted.collect()))
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_salted_equals_plain(spark, rows):
+    df = spark.createDataFrame([(k, float(v)) for k, v in rows], "k int, v double")
+    plain = {r["k"]: r["s"] for r in df.groupBy("k").agg(money_sum("v").alias("s")).collect()}
+    salted = {
+        r["k"]: r["s"] for r in salted_sum(df, ["k"], "v", "s", salt_buckets=4).collect()
+    }
+    assert plain == salted
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_incentive_invariants(spark, rows):
+    """Exactly the rank-1 rows (ties included) earn round(1%, 2) > 0;
+    everyone else exactly 0; at least one winner per group."""
+    df = spark.createDataFrame(
+        [(k, i, float(v)) for i, (k, v) in enumerate(rows)], "grp int, pid int, total double"
+    )
+    monthly = df.groupBy("grp", "pid").agg(money_sum("total").alias("t"))
+    out = top_performer_incentive(monthly, ["grp"], "t").collect()
+    by_grp: dict[int, list] = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    for grp, rs in by_grp.items():
+        top = max(r["t"] for r in rs)
+        for r in rs:
+            if r["t"] == top:
+                # HALF_UP to match Spark's decimal round (python default
+                # quantize is HALF_EVEN — would disagree at .xx5)
+                expected = float(
+                    (Decimal(str(r["t"])) * Decimal("0.01")).quantize(
+                        Decimal("0.01"), rounding=ROUND_HALF_UP
+                    )
+                )
+                assert r["incentive"] == expected
+            else:
+                assert r["incentive"] == 0.0
+        # NB: a group CAN have zero paid incentive when 1% of the top
+        # total rounds below a cent (e.g. 0.30 → 0.003 → 0.00) — the
+        # reference's semantics, so no "at least one winner" assertion.
