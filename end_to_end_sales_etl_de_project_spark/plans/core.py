@@ -885,3 +885,71 @@ def q32_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_quartiles"
         ),
     )
+
+
+_Q33_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+FROM orders
+"""
+
+
+@_register("q33_csv_roundtrip", _Q33_ORACLE)
+def q33_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 CSV scan under the correctness gate: project orders to a
+    CSV-safe shape (ints/strings/exact decimal), write CSV, read it
+    back with an EXPLICIT schema (single pass, no inferSchema — the
+    reference's double-scan fixed), and return the re-read frame. The
+    oracle reads the original parquet — any text-roundtrip loss would
+    hash-mismatch."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="engine-csvrt-")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        money("o_totalprice").alias("total_price"),
+    )
+    orders.write.mode("overwrite").option("header", True).csv(out)
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " total_price decimal(18,2)"
+    )
+    return (
+        spark.read.csv(out, header=True, schema=schema)
+        .withColumn("total_price", F.col("total_price").cast("double"))
+    )
+
+
+_Q34_ORACLE = """
+SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS sales_month,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+FROM orders
+WHERE substr(CAST(o_orderdate AS VARCHAR), 1, 7) >= '1997-01'
+GROUP BY 1, 2
+"""
+
+
+@_register("q34_partitioned_write_readback", _Q34_ORACLE)
+def q34_partitioned_write_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 partitioned parquet sink under the correctness gate: write
+    orders Hive-partitioned by month (the sales-mart layout,
+    main_1.py:524-529), read the partitioned dataset back and
+    aggregate with a partition-key predicate — the filter prunes
+    partitions on the re-read (directory-level pruning, the point of
+    the layout)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="engine-partrt-")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "sales_month", month_key("o_orderdate")
+    )
+    orders.write.mode("overwrite").partitionBy("sales_month").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("sales_month") >= "1997-01")
+    return back.groupBy("sales_month", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice").alias("total_sales"),
+    )

@@ -9,10 +9,16 @@ import tempfile
 
 import pytest
 
-from end_to_end_sales_etl_de_project_spark.plans.events import e01_tumbling_hourly
+from end_to_end_sales_etl_de_project_spark.plans.events import (
+    e01_tumbling_hourly,
+    e02_sliding_hourly_30m,
+    e03_session_window,
+)
 from end_to_end_sales_etl_de_project_spark.streaming.events import (
     read_events_stream,
     run_to_memory_sink,
+    session_stream,
+    sliding_stream,
     start_checkpointed_ingestion,
     tumbling_stream,
 )
@@ -47,6 +53,18 @@ def test_tumbling_stream_equals_batch(spark, sf_dir, events_src):
     result = run_to_memory_sink(tumbling_stream(stream), "tumbling_test", "complete")
     batch = e01_tumbling_hourly(spark, sf_dir)
     assert _canon(result) == _canon(batch)
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir, events_src):
+    stream = read_events_stream(spark, events_src)
+    result = run_to_memory_sink(sliding_stream(stream), "sliding_test", "complete")
+    assert _canon(result) == _canon(e02_sliding_hourly_30m(spark, sf_dir))
+
+
+def test_session_stream_equals_batch(spark, sf_dir, events_src):
+    stream = read_events_stream(spark, events_src)
+    result = run_to_memory_sink(session_stream(stream), "session_test", "complete")
+    assert _canon(result) == _canon(e03_session_window(spark, sf_dir))
 
 
 def test_stateful_running_profile(spark, sf_dir, events_src):
