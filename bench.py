@@ -30,6 +30,8 @@ HEADLINE = [
     "q10_rank_top1",
     "q14_sales_team_mart",
     "q17_join_left_agg",
+    "q35_shipping_priority",
+    "q36_local_supplier_volume",
     # event-time windows
     "e01_tumbling_hourly",
     "e03_session_window",

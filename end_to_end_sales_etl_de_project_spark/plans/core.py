@@ -145,26 +145,33 @@ def q02_sales_team_incentive(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue; rank-1 (ties included, ``rank()`` semantics per
     `src/transform/transform.py:150-153`) earns round(1%, 2).
     """
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
 
-    enriched = (
+    # aggregate-then-decorate: the fact shuffles on (suppkey, month)
+    # only — names/nation join onto the |suppliers|x|months| aggregate,
+    # not onto every fact row (measurably faster, same result; supplier
+    # ⋈ nation is an inner join on a total FK so no rows are lost).
+    monthly = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey, "inner")
+        .groupBy(
+            F.col("l_suppkey").alias("supplier_id"),
+            month_key("o_orderdate").alias("sales_month"),
+        )
+        .agg(money_sum("l_extendedprice").alias("total_sales"))
+        .join(F.broadcast(supplier), F.col("supplier_id") == supplier.s_suppkey, "inner")
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "inner")
         .select(
             F.col("n_name").alias("nation_name"),
-            F.col("s_suppkey").alias("supplier_id"),
+            "supplier_id",
             F.col("s_name").alias("supplier_name"),
-            month_key("o_orderdate").alias("sales_month"),
-            "l_extendedprice",
+            "sales_month",
+            "total_sales",
         )
-    )
-    monthly = (
-        enriched.groupBy("nation_name", "supplier_id", "supplier_name", "sales_month")
-        .agg(money_sum("l_extendedprice").alias("total_sales"))
     )
     return top_performer_incentive(
         monthly,
@@ -952,4 +959,94 @@ def q34_partitioned_write_readback(spark: SparkSession, sf_dir: str) -> DataFram
     return back.groupBy("sales_month", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         money_sum("o_totalprice").alias("total_sales"),
+    )
+
+
+_Q35_ORACLE = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+@_register("q35_shipping_priority", _Q35_ORACLE)
+def q35_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on all three tables pushed to
+    the scans, then a fact-fact join + grouped revenue. The segment
+    filter shrinks customer before its broadcast."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-06-01")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-01")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(money("l_extendedprice") * (one - money("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+_Q36_ORACLE = """
+SELECT n_name AS nation_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@_register("q36_local_supplier_volume", _Q36_ORACLE)
+def q36_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join with a same-nation constraint
+    (customer and supplier nation must match) — the deepest join chain
+    in the suite; region/nation/supplier broadcast, fact-fact joins
+    shuffle on their keys."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(money("l_extendedprice") * (one - money("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
     )
