@@ -123,6 +123,25 @@ class Ledger:
         if file_names:
             self._append([(n, "", STATUS_COMPLETED) for n in file_names])
 
+    # -- maintenance ---------------------------------------------------
+
+    def compact(self) -> int:
+        """Fold the append-only event log down to one event per file
+        (the latest). Routine maintenance for long-lived ledgers —
+        state reads stay O(live files) instead of O(all appends).
+        Returns the number of retained rows. Write-temp-then-swap keeps
+        a readable ledger at every instant."""
+        import shutil as _shutil
+
+        state = self.current_state().collect()
+        tmp = self.path + ".compact"
+        self.spark.createDataFrame(state, LEDGER_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        _shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+        return len(state)
+
 
 def temp_ledger_path(base_dir: str) -> str:
     return os.path.join(base_dir, f"ledger-{uuid.uuid4().hex[:8]}")

@@ -164,3 +164,32 @@ def quarantine(report: ValidationReport, base_dir: str) -> dict[str, str]:
         shutil.move(path, dest)
         moved[path] = dest
     return moved
+
+
+def read_sales_csv_permissive(
+    spark: SparkSession, paths: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level malformed-record routing — the scale-grade complement
+    to the reference's whole-file quarantine.
+
+    The reference rejects entire files; at 100 TB a single bad row
+    must not quarantine a 1 GB file. PERMISSIVE mode parses what it
+    can and captures the raw text of unparseable rows in
+    ``_corrupt_record``; returns (good_rows, bad_rows). One pass,
+    explicit schema.
+    """
+    read_schema = T.StructType(
+        [*SALES_SCHEMA.fields, T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = spark.read.csv(
+        paths,
+        header=True,
+        schema=read_schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()  # required: corrupt-record column is only reliable on a
+    # materialized frame (Spark rescans otherwise and the filter on the
+    # internal column can be pushed below the parse)
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad
