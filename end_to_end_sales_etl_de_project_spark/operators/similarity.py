@@ -268,3 +268,80 @@ FROM {table} a JOIN {table} b
   ON a.{block_col} = b.{block_col} AND a.vec_id < b.vec_id
 WHERE ({dot}) / (({an}) * ({bn})) >= {threshold}
 """
+
+
+def lsh_topk_multiprobe(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+) -> DataFrame:
+    """Multiprobe sign-LSH top-k: each query probes its own bucket plus
+    every Hamming-distance-1 bucket (sig XOR 2^b), widening recall
+    ~(1+bits)x at (1+bits)x candidate cost — still an equi-join, never a
+    cross join. Deterministic, hence oracle-checkable like a02."""
+    probes = F.array(
+        F.lit(0), *[F.lit(1 << b) for b in range(sig_bits)]
+    )
+    q = with_norm(queries, dim=dim).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.explode(
+            F.transform(probes, lambda m: _sig_col("embedding", sig_bits).bitwiseXOR(m))
+        ).alias("sig"),
+    )
+    n = with_norm(emb, dim=dim).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+        _sig_col("embedding", sig_bits).alias("sig"),
+    )
+    dot = _dot_col("q_emb", "n_emb")
+    scored = (
+        F.broadcast(q)
+        .join(n, "sig")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.col("q_norm") * F.col("n_norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_topk_multiprobe_sql(
+    query_pred: str,
+    k: int = 5,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+    table: str = "embeddings",
+) -> str:
+    dot = _dot_sql("q.embedding", "n.embedding", dim, one_based=True)
+    qn = _norm_sql("q.embedding", dim, one_based=True)
+    nn = _norm_sql("n.embedding", dim, one_based=True)
+    qs = _sig_sql("q.embedding", sig_bits, one_based=True)
+    ns = _sig_sql("n.embedding", sig_bits, one_based=True)
+    masks = ", ".join(str(m) for m in [0, *[1 << b for b in range(sig_bits)]])
+    return f"""
+WITH scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         ({dot}) / (({qn}) * ({nn})) AS cosine
+  FROM {table} q, (SELECT unnest([{masks}]) AS m) masks, {table} n
+  WHERE ({query_pred}) AND q.vec_id <> n.vec_id
+    AND xor(CAST(({qs}) AS BIGINT), m) = ({ns})
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""

@@ -22,7 +22,7 @@ trick; work scales with true match density, not |L|x|R|.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 

@@ -240,3 +240,12 @@ def m02_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py pins the feature semantics."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.documents_as_assets(docs))
+
+
+@_register("a03_ann_lsh_multiprobe", similarity.lsh_topk_multiprobe_sql(_QUERY_PRED))
+def a03_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe sign-LSH top-5 (own + Hamming-1 buckets) — the
+    recall/cost dial between a02's single bucket and a01's brute
+    force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk_multiprobe(emb, emb.filter(F.col("vec_id") < 8))

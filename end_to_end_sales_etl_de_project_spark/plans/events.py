@@ -215,3 +215,37 @@ def e06_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_gap_seconds=600,
         payload_cols=["event_type"],
     )
+
+
+# Lag+cumsum sessionization — the window-function formulation of e03
+# (same sessions as session_window; both forms provided because the
+# lag/cumsum shape generalizes to gap conditions session_window cannot
+# express, e.g. value-dependent gaps). Same oracle as e03.
+@_register("e07_sessionize_lag", _E03_ORACLE)
+def e07_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + running sum of session-break flags —
+    one window pass, no native session_window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.expr("INTERVAL 30 MINUTES")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull() | (F.col("ts") >= F.lag("ts").over(w) + gap),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("is_new").over(wrun))
+    return (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + gap).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .drop("session_id")
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )

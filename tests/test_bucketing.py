@@ -9,7 +9,6 @@ import contextlib
 import io
 
 import pytest
-from pyspark.sql import functions as F
 
 from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
 

@@ -8,7 +8,6 @@ from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
-from pyspark.sql import functions as F
 
 from end_to_end_sales_etl_de_project_spark.functions.scalar import money_sum
 from end_to_end_sales_etl_de_project_spark.operators.metrics import top_performer_incentive
