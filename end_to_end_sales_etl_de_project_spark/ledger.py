@@ -57,8 +57,10 @@ class Ledger:
         return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
 
     def current_state(self) -> DataFrame:
-        """Latest status per file_name (window top-1 by seq)."""
-        w = Window.partitionBy("file_name").orderBy(F.col("seq").desc())
+        """Latest status per file_name (window top-1 by seq; equal-seq
+        ties — possible only in pre-fix ledgers — resolve to COMPLETED,
+        the safe direction for idempotency)."""
+        w = Window.partitionBy("file_name").orderBy(F.col("seq").desc(), F.col("status").asc())
         return (
             self.events()
             .withColumn("rn", F.row_number().over(w))
@@ -103,7 +105,13 @@ class Ledger:
 
     def _append(self, records: list[tuple[str, str, str]]) -> None:
         now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
-        seq = int(_dt.datetime.now(_dt.timezone.utc).timestamp() * 1_000_000)
+        # seq must be strictly monotonic per ledger even across clock
+        # steps (NTP backwards jump, sub-quantum appends) — otherwise
+        # current_state's latest-event ranking could tie/flip between a
+        # START and its COMPLETED. Anchor on max(existing)+1.
+        clock_us = int(_dt.datetime.now(_dt.timezone.utc).timestamp() * 1_000_000)
+        prev = self.events().agg(F.max("seq")).collect()[0][0]
+        seq = max(clock_us, (prev or 0) + 1)
         rows = [
             (name, loc, now, status, seq + i)
             for i, (name, loc, status) in enumerate(records)
@@ -129,17 +137,23 @@ class Ledger:
         """Fold the append-only event log down to one event per file
         (the latest). Routine maintenance for long-lived ledgers —
         state reads stay O(live files) instead of O(all appends).
-        Returns the number of retained rows. Write-temp-then-swap keeps
-        a readable ledger at every instant."""
+        Returns the number of retained rows. The swap is two renames
+        (live→backup, compacted→live) — the unreadable window is a
+        single rename, not a delete+rewrite; a crash between them
+        leaves the backup for manual restore rather than an empty
+        ledger that would wave through double-processing."""
         import shutil as _shutil
 
         state = self.current_state().collect()
         tmp = self.path + ".compact"
+        bak = self.path + ".bak"
         self.spark.createDataFrame(state, LEDGER_SCHEMA).coalesce(1).write.mode(
             "overwrite"
         ).parquet(tmp)
-        _shutil.rmtree(self.path)
+        _shutil.rmtree(bak, ignore_errors=True)
+        os.rename(self.path, bak)
         os.rename(tmp, self.path)
+        _shutil.rmtree(bak)
         return len(state)
 
 

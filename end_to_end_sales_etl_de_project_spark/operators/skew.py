@@ -9,10 +9,13 @@ associative aggregate; exact for decimal sums (hence still
 oracle-checkable — same result as the plain groupBy, different
 physical distribution).
 
-The salt must be deterministic-per-row but uniform — derived here from
-a hash of the whole row's monotonically unique id substitute
-(``spark_partition_id`` + a cheap counter would break determinism
-across retries; a content hash keeps retry-safety).
+The salt must be uniform even when (key, measure) values repeat — a
+content hash would collapse a hot key with a constant measure into ONE
+salt bucket, defeating the operator. ``rand(seed)`` is the right
+source: Spark seeds it per (partition, row position), so task retries
+reproduce identical salts (retry-safe) while duplicate rows still
+spread uniformly. Exactness of the decimal sum means the salt choice
+can never change the result, only the distribution.
 """
 
 from __future__ import annotations
@@ -35,12 +38,12 @@ def salted_sum(
 ) -> DataFrame:
     """Two-phase skew-safe exact sum: groupBy(key, salt) → groupBy(key).
 
-    ``salt_source`` defaults to a hash of the measure row identity
-    (xxhash64 of all group keys + measure) — retry-deterministic, no
-    RNG. Result is bit-identical to the single-phase decimal sum.
+    ``salt_source`` defaults to seeded ``rand()`` (uniform across
+    duplicate rows, reproduced exactly on task retry). Result is
+    bit-identical to the single-phase decimal sum for ANY salt.
     """
     if salt_source is None:
-        salt_source = F.xxhash64(*[F.col(k) for k in group_keys], F.col(measure))
+        salt_source = F.floor(F.rand(seed=42) * salt_buckets).cast("long")
     salted = df.withColumn("__salt", F.pmod(salt_source, F.lit(salt_buckets)))
     partial = salted.groupBy(*group_keys, "__salt").agg(
         F.sum(money(measure)).alias("__partial")

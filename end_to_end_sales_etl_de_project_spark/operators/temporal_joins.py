@@ -44,11 +44,16 @@ def asof_join(
     l_tagged = left.withColumn("__is_left", F.lit(1)).withColumn(
         "__ts", F.col(on)
     )
+    # The right payload is carried as ONE struct: last(ignorenulls) over
+    # per-column payloads would skip a column's NULL and tear the row
+    # (mixing values from different right rows). The struct is non-null
+    # for every right row even when fields inside are null, so the
+    # matched row arrives whole — DuckDB ASOF semantics.
     r_tagged = (
         right.select(
             F.col(by),
             F.col(on).alias("__ts"),
-            *[F.col(c).alias(c + suffix) for c in right_cols],
+            F.struct(*[F.col(c).alias(c + suffix) for c in right_cols]).alias("__right"),
         )
         .withColumn("__is_left", F.lit(0))
     )
@@ -59,12 +64,13 @@ def asof_join(
         .orderBy(F.col("__ts"), F.col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [
-        F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix)
-        for c in right_cols
-    ]
+    matched = F.last(F.col("__right"), ignorenulls=True).over(w)
     return (
-        unioned.select(*lcols, "__is_left", *carried)
+        unioned.select(
+            *lcols,
+            "__is_left",
+            *[matched[c + suffix].alias(c + suffix) for c in right_cols],
+        )
         .filter(F.col("__is_left") == 1)
         .drop("__is_left")
     )

@@ -908,10 +908,12 @@ def q33_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back with an EXPLICIT schema (single pass, no inferSchema — the
     reference's double-scan fixed), and return the re-read frame. The
     oracle reads the original parquet — any text-roundtrip loss would
-    hash-mismatch."""
+    hash-mismatch. The scratch dir is keyed on sf_dir and overwritten
+    per call — repeated invocations (bench loops) don't accumulate."""
+    import hashlib
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="engine-csvrt-")
+    out = f"{tempfile.gettempdir()}/engine-csvrt-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -947,10 +949,11 @@ def q34_partitioned_write_readback(spark: SparkSession, sf_dir: str) -> DataFram
     main_1.py:524-529), read the partitioned dataset back and
     aggregate with a partition-key predicate — the filter prunes
     partitions on the re-read (directory-level pruning, the point of
-    the layout)."""
+    the layout). Scratch dir keyed on sf_dir, overwritten per call."""
+    import hashlib
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="engine-partrt-")
+    out = f"{tempfile.gettempdir()}/engine-partrt-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "sales_month", month_key("o_orderdate")
     )

@@ -49,8 +49,10 @@ class ValidationReport:
     wrong_type: list[str] = field(default_factory=list)
     bad_schema: list[str] = field(default_factory=list)
     empty: list[str] = field(default_factory=list)
-    # per-file extra (non-mandatory) columns, for the additional_column fold
-    extra_columns: dict[str, list[str]] = field(default_factory=dict)
+    # full header per valid file (single source of truth — the reader
+    # groups by these instead of re-peeking files, so validate and read
+    # cannot drift even if a file changes in between)
+    headers: dict[str, list[str]] = field(default_factory=dict)
 
     def routes(self) -> dict[str, str]:
         out: dict[str, str] = {}
@@ -96,9 +98,7 @@ def validate_files(file_paths: list[str]) -> ValidationReport:
             report.bad_schema.append(path)
             continue
         report.valid.append(path)
-        extras = [c for c in header if c not in MANDATORY_COLUMNS]
-        if extras:
-            report.extra_columns[path] = extras
+        report.headers[path] = header
     return report
 
 
@@ -115,9 +115,10 @@ def read_sales_csv(
 
     # Group files by their exact header shape so extra columns keep
     # their per-file semantics; each group is ONE multi-path read.
+    # Headers come from the validation report — no second peek.
     by_shape: dict[tuple[str, ...], list[str]] = {}
     for path in report.valid:
-        header, _ = _peek_header(path)
+        header = report.headers.get(path) or _peek_header(path)[0]
         by_shape.setdefault(tuple(header), []).append(path)
 
     frames: list[DataFrame] = []
