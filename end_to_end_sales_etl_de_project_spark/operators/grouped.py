@@ -1,0 +1,78 @@
+"""Grouped-map (applyInPandas) operators: per-group computations that
+need a whole group in memory at once.
+
+This is the engine's third Python escape hatch after ``mapInPandas``
+(multimodal) and ``applyInPandasWithState`` (streaming): use it only
+when per-group logic can't be expressed as window functions — here,
+order-statistics over irregular gaps. Groups arrive as Arrow batches;
+the UDF is a closure (pickled by value, no worker PYTHONPATH
+dependency). Scale: state is O(group), parallelism is O(groups); a
+group must fit in one worker's memory — true for per-user event
+histories, NOT for e.g. per-country groups (use window/agg forms
+there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+INTERARRIVAL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("median_gap_s", T.DoubleType()),
+        T.StructField("max_gap_s", T.DoubleType()),
+    ]
+)
+
+
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """Per-user inter-arrival gap statistics (median/max seconds).
+
+    Median over an explicit sorted diff — an order statistic, so the
+    result is exact and engine-independent (pandas' even-count median
+    averages the two middle values, the same IEEE mean DuckDB's
+    ``median`` computes). Users with <2 events yield null gaps.
+    """
+
+    def per_user(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("ts")
+        gaps = pdf["ts"].diff().dt.total_seconds().dropna()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "median_gap_s": [float(gaps.median()) if len(gaps) else None],
+                "max_gap_s": [float(gaps.max()) if len(gaps) else None],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandas(per_user, schema=INTERARRIVAL_SCHEMA)
+    )
+
+
+def interarrival_stats_sql(table: str = "events") -> str:
+    # gaps via INTEGER microsecond subtraction then one division —
+    # subtracting epoch() doubles (~1.7e9 s) would carry ~2.4e-7 s of
+    # representation noise that pandas' exact integer diff doesn't have
+    return f"""
+WITH gaps AS (
+  SELECT user_id,
+         CAST(epoch_us(ts)
+              - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS DOUBLE)
+           / 1000000.0 AS gap_s
+  FROM {table}
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       median(gap_s) AS median_gap_s,
+       MAX(gap_s) AS max_gap_s
+FROM gaps
+GROUP BY user_id
+"""

@@ -249,3 +249,18 @@ def e07_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("session_id")
         .select("user_id", "session_start", "session_end", "n_events", "total_value")
     )
+
+
+from end_to_end_sales_etl_de_project_spark.operators.grouped import (  # noqa: E402
+    interarrival_stats,
+    interarrival_stats_sql,
+)
+
+
+@_register("e08_interarrival_stats", interarrival_stats_sql())
+def e08_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap stats via applyInPandas (grouped-map
+    Arrow path) — order statistics the window API can't express
+    directly; exact median matches the DuckDB oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return interarrival_stats(ev)
