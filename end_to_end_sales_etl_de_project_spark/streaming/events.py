@@ -146,3 +146,16 @@ def start_checkpointed_ingestion(
         .outputMode("append")
         .start()
     )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup by event_id with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each id's state only until
+    the watermark passes it — the streaming twin of the batch exact
+    dedup (``operators/dedup.py``): re-delivered events (at-least-once
+    sources) are emitted once, and state does not grow with the stream.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

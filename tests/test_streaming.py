@@ -104,3 +104,16 @@ def test_checkpointed_ingestion_exactly_once(spark, sf_dir, tmpdir, events_src):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(dest).count() == n_src
+
+
+def test_dedup_stream_drops_redelivered_events(spark, sf_dir, events_src, tmpdir):
+    """Deliver the same events twice (two files) — the watermarked
+    streaming dedup must emit each event_id exactly once."""
+    shutil.copy(f"{sf_dir}/events.parquet", f"{events_src}/events-dup.parquet")
+    from end_to_end_sales_etl_de_project_spark.streaming.events import dedup_stream
+
+    stream = read_events_stream(spark, events_src, max_files_per_trigger=1)
+    result = run_to_memory_sink(dedup_stream(stream), "dedup_test", "append")
+    n_unique = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    got = result.count()
+    assert got == n_unique, f"expected {n_unique} unique events, got {got}"
