@@ -1132,3 +1132,61 @@ def q39_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey").over(wfull).alias("last_order"),
     )
+
+
+# Second-moment statistics from EXACT decimal components. Built-in
+# stddev/corr use streaming merge formulas whose float error depends on
+# partitioning — not cross-engine comparable. Exact decimal sums of
+# x, x², y, y², xy are partitioning-independent; the final double
+# arithmetic below is the SAME expression text in Spark and DuckDB, so
+# the IEEE operation sequence is identical. One caveat: DuckDB's
+# DECIMAL(38,4)->DOUBLE conversion can double-round (int128 then scale)
+# where the JVM rounds once — a 1-ulp divergence that survives into
+# corr; corr is therefore rounded to 12 decimals on both sides.
+_Q41_MOMENTS = """
+  CAST(COUNT(*) AS BIGINT) AS n,
+  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+"""
+
+_Q41_FINAL = """
+  n,
+  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)
+    AS var_qty,
+  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
+    AS stddev_qty,
+  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+    / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+           * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 12)
+    AS corr_qty_price
+"""
+
+_Q41_ORACLE = f"""
+WITH moments AS (
+  SELECT l_returnflag, {_Q41_MOMENTS}
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, {_Q41_FINAL}
+FROM moments
+"""
+
+
+@_register("q41_exact_moment_stats", _Q41_ORACLE)
+def q41_exact_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev/correlation per return flag via exact
+    decimal moments (see _Q41_MOMENTS note). One map-side-combinable
+    aggregation; the moment sums shuffle as decimals, never floats."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_moments")
+    return spark.sql(
+        f"""
+        WITH moments AS (
+          SELECT l_returnflag, {_Q41_MOMENTS}
+          FROM v_li_moments GROUP BY 1
+        )
+        SELECT l_returnflag, {_Q41_FINAL}
+        FROM moments
+        """
+    )

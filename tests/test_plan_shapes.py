@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (pushdown, broadcast joins, bounded exchanges) asserted on the
+actual plans, so a refactor that silently de-optimizes a query fails CI
+— not just the bench."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, SF).explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    plan = plan_of(spark, "q03_projection_filter")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # pruned read schema: only the 6 referenced columns, not all 11
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read_schema.count(":") - 1 <= 7, read_schema
+    assert "Exchange" not in plan  # pure scan+filter+project: no shuffle
+
+
+def _shuffle_exchanges(plan: str) -> int:
+    """Count shuffle Exchange nodes (formatted plans separate the node
+    name from its hashpartitioning arguments; BroadcastExchange is
+    distribution, not a shuffle)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange$", plan, flags=re.M))
+
+
+def test_dim_chain_join_is_all_broadcast(spark):
+    plan = plan_of(spark, "q06_join_chain")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert _shuffle_exchanges(plan) == 0, plan
+
+
+def test_grouped_flagship_has_single_shuffle(spark):
+    plan = plan_of(spark, "q01g_customer_monthly_spend_grouped")
+    assert _shuffle_exchanges(plan) == 1, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_faithful_flagship_shuffles_at_most_twice(spark):
+    """The window+distinct plan (reference shape) needs a window
+    shuffle; EnsureRequirements may satisfy the distinct from it.
+    Pin the bound so a refactor can't silently add shuffles."""
+    plan = plan_of(spark, "q01_customer_monthly_spend")
+    assert 1 <= _shuffle_exchanges(plan) <= 2, plan
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "q19_orderby_limit")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q12_pricing_summary", "e01_tumbling_hourly", "q37_product_revenue"]
+)
+def test_aggregations_have_partial_aggregation(spark, name):
+    """Map-side combine: two HashAggregate levels around one exchange."""
+    plan = plan_of(spark, name)
+    assert plan.count("HashAggregate") >= 2, plan
