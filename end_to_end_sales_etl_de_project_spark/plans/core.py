@@ -1190,3 +1190,42 @@ def q41_exact_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM moments
         """
     )
+
+
+_Q42_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+UNION
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@_register("q42_union_distinct", _Q42_ORACLE)
+def q42_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct semantics) — completes the set-op family with
+    q07 (UNION ALL), q22 (EXCEPT), q23 (INTERSECT)."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.union(filled_c).distinct()
+
+
+_Q43_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+@_register("q43_not_in_subquery", _Q43_ORACLE)
+def q43_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery (null-aware anti join — Catalyst plans the
+    three-valued-logic variant, distinct from q16's NOT EXISTS)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_ni")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_ord_ni")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM v_cust_ni
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM v_ord_ni WHERE o_totalprice > 300000)
+        """
+    )
