@@ -34,9 +34,11 @@ HEADLINE = [
     "q17_join_left_agg",
     "q35_shipping_priority",
     "q36_local_supplier_volume",
-    # event-time windows
+    # event-time windows + temporal joins
     "e01_tumbling_hourly",
     "e03_session_window",
+    "e05_asof_join",
+    "e06_range_join",
     # training-data ops
     "d01_dedup_exact",
     "d03_minhash_lsh",

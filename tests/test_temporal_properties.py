@@ -1,0 +1,90 @@
+"""Property tests for the temporal joins against independent references:
+asof_join vs pandas.merge_asof, range_join_bucketed vs a brute-force
+pair scan — on hypothesis-generated irregular timestamp data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from end_to_end_sales_etl_de_project_spark.operators.temporal_joins import (
+    asof_join,
+    range_join_bucketed,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+# events: (key, seconds offset) — duplicates and unordered input allowed
+EVENTS = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 7200)), min_size=1, max_size=25
+)
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(left=EVENTS, right=EVENTS)
+@settings(**_SETTINGS)
+def test_asof_matches_pandas_merge_asof(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(seconds=s), float(i)) for i, (k, s) in enumerate(right)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: (r["ts_right"], r["value_right"])
+        for r in asof_join(ldf, rdf, on="ts", by="user_id", right_cols=["ts", "value"]).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, BASE + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)],
+        columns=["event_id", "user_id", "ts"],
+    ).sort_values(["ts", "event_id"])
+    rp = (
+        pd.DataFrame(
+            [(k, BASE + dt.timedelta(seconds=s), float(i)) for i, (k, s) in enumerate(right)],
+            columns=["user_id", "ts", "value"],
+        )
+        # pandas merge_asof picks the LAST of equal-ts right rows within a
+        # key; our window formulation does the same (later __ts sorts later)
+        .sort_values("ts", kind="stable")
+    )
+    merged = pd.merge_asof(lp, rp, on="ts", by="user_id", direction="backward")
+    for row in merged.itertuples(index=False):
+        got_ts, got_val = got[row.event_id]
+        if pd.isna(row.value):  # right values are never null here ⇒ no match
+            assert got_ts is None and got_val is None, (row, got_ts, got_val)
+        else:
+            assert got_val == row.value, (row, got_ts, got_val)
+
+
+@given(events=EVENTS, gap=st.integers(60, 1200))
+@settings(**_SETTINGS)
+def test_range_join_matches_bruteforce(spark, events, gap):
+    rows = [
+        (i, k, BASE + dt.timedelta(seconds=s), "t")
+        for i, (k, s) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in range_join_bucketed(
+            ev, by="user_id", ts_col="ts", id_col="event_id", max_gap_seconds=gap,
+            payload_cols=["event_type"],
+        ).collect()
+    }
+    want = set()
+    for i, (ka, sa) in enumerate(events):
+        for j, (kb, sb) in enumerate(events):
+            if i < j and ka == kb and abs(sb - sa) <= gap:
+                want.add((i, j))
+    assert got == want
