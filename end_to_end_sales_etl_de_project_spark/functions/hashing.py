@@ -55,7 +55,12 @@ PERM_PARAMS: tuple[tuple[int, int], ...] = (
     (773115746, 646247111), (1953696076, 192118812), (1117130925, 1266476612),
     (733755415, 915427722), (1442995860, 253925662), (497575115, 1563231413),
     (373529042, 1087503196), (1041885765, 741809077), (661112198, 1892966551),
-    (1955999981, 675568437),
+    (1955999981, 675568437), (2128164061, 398802782), (596987483, 1147225393),
+    (1916785055, 1479347476), (972347433, 116450322), (291219901, 430979121),
+    (234034475, 1406942087), (1761180996, 1267685540), (924035317, 1172698795),
+    (2038977239, 402639405), (2143289124, 1357670270), (1355823819, 2113210625),
+    (668925749, 252657889), (1177825180, 428031840), (1696544698, 230896653),
+    (794664036, 1758809000), (1480032976, 858479239),
 )
 
 

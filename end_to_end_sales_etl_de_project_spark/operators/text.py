@@ -150,3 +150,30 @@ def doc_fingerprint(col: Column | str, k: int = 4) -> Column:
 
 def doc_fingerprint_sql(expr: str, k: int = 4) -> str:
     return f"list_min(list_transform({word_shingles_sql(expr, k)}, s -> {h60_sql('s')}))"
+
+
+def normalized_text_pandas(col: Column | str) -> Column:
+    """Scalar Pandas UDF text normalization: NFC-normalize, lowercase,
+    collapse whitespace. The ONE text op that genuinely needs Python
+    (unicodedata isn't in Spark SQL); Arrow-vectorized per batch, and
+    the UDF is a closure — pickled by value, no worker PYTHONPATH
+    dependency. Everything else in this module stays JVM-side."""
+    from pyspark.sql import functions as F2
+
+    @F2.pandas_udf("string")
+    def _normalize(s):
+        import re
+        import unicodedata
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        return pd.Series(
+            [
+                None if x is None else ws.sub(" ", unicodedata.normalize("NFC", x).lower()).strip()
+                for x in s
+            ]
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _normalize(c)

@@ -249,3 +249,15 @@ def a03_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     force."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk_multiprobe(emb, emb.filter(F.col("vec_id") < 8))
+
+
+@_register("t05_normalize_text", None)  # scalar pandas_udf: rows-only check
+def t05_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + casefold + whitespace-collapse normalization via a
+    scalar Pandas UDF (the cleanup stage before dedup/tokenization).
+    Python-only semantics (unicodedata) ⇒ no SQL oracle; the driver
+    records rows-only and tests pin the behavior."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.normalized_text_pandas("text").alias("text_normalized")
+    )

@@ -39,3 +39,20 @@ def test_decode_stub_seam_raises(spark, sf_dir):
     feats = extract_features(documents_as_assets(docs), decode_stub=False)
     with pytest.raises(Exception, match="NotImplementedError|stub only"):
         feats.collect()
+
+
+def test_scalar_pandas_udf_normalization(spark):
+    """t05's normalization semantics: NFC, lowercase, whitespace
+    collapse, null passthrough."""
+    from end_to_end_sales_etl_de_project_spark.operators.text import (
+        normalized_text_pandas,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "  Café   NAÏVE\ttext  "), (2, None), (3, "Café")],  # combining accent
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n for r in df.select("doc_id", normalized_text_pandas("text").alias("n")).collect()}
+    assert got[1] == "café naïve text"
+    assert got[2] is None
+    assert got[3] == "café"  # NFC composes e+combining-accent
