@@ -56,6 +56,7 @@ def main() -> None:
     spark = get_spark_session(app_name="engine-bench")
 
     names = [n for n in HEADLINE if n in QUERIES]
+    skipped = [n for n in HEADLINE if n not in QUERIES]
 
     def run(name: str) -> None:
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -81,6 +82,10 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    if skipped:
+        # a renamed/typo'd headline query must not silently shrink the
+        # benchmark into a fake speedup
+        out["skipped"] = skipped
     print(json.dumps(out))
     spark.stop()
 

@@ -36,16 +36,22 @@ DIM = 64
 SIG_BITS = 8
 
 
-def _dot_col(a: Column | str, b: Column | str) -> Column:
-    """Sequential-fold dot product in double (Spark side)."""
+def _dot_col(a: Column | str, b: Column | str, dim: int = DIM) -> Column:
+    """Sequential-fold dot product in double over the first ``dim``
+    elements (sliced so the Spark side computes exactly the terms the
+    unrolled SQL twin does — a dim narrower than the array must not
+    silently diverge)."""
     ac = F.col(a) if isinstance(a, str) else a
     bc = F.col(b) if isinstance(b, str) else b
-    prods = F.zip_with(ac, bc, lambda x, y: x.cast("double") * y.cast("double"))
+    prods = F.zip_with(
+        F.slice(ac, 1, dim), F.slice(bc, 1, dim),
+        lambda x, y: x.cast("double") * y.cast("double"),
+    )
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _norm_col(a: Column | str) -> Column:
-    return F.sqrt(_dot_col(a, a))
+def _norm_col(a: Column | str, dim: int = DIM) -> Column:
+    return F.sqrt(_dot_col(a, a, dim))
 
 
 def _sig_col(a: Column | str, bits: int) -> Column:
@@ -86,7 +92,7 @@ def _sig_sql(a: str, bits: int, one_based: bool) -> str:
 def with_norm(emb: DataFrame, vec_col: str = "embedding", dim: int = DIM) -> DataFrame:
     """Attach the L2 norm as a column (sequential fold — bit-equal to
     the SQL twin's unrolled sum)."""
-    return emb.withColumn("norm", _norm_col(vec_col))
+    return emb.withColumn("norm", _norm_col(vec_col, dim))
 
 
 def brute_force_topk(
@@ -111,7 +117,7 @@ def brute_force_topk(
         F.col("embedding").alias("n_emb"),
         F.col("norm").alias("n_norm"),
     )
-    dot = _dot_col("q_emb", "n_emb")
+    dot = _dot_col("q_emb", "n_emb", dim)
     scored = (
         F.broadcast(q)
         .crossJoin(n)
@@ -175,7 +181,7 @@ def lsh_topk(
         F.col("norm").alias("n_norm"),
         sig("embedding").alias("sig"),
     )
-    dot = _dot_col("q_emb", "n_emb")
+    dot = _dot_col("q_emb", "n_emb", dim)
     scored = (
         F.broadcast(q)
         .join(n, "sig")
@@ -242,7 +248,7 @@ def embedding_neardup_pairs(
         F.col("norm").alias("norm_b"),
         F.col(block_col).alias("blk"),
     )
-    dot = _dot_col("emb_a", "emb_b")
+    dot = _dot_col("emb_a", "emb_b", dim)
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -298,7 +304,7 @@ def lsh_topk_multiprobe(
         F.col("norm").alias("n_norm"),
         _sig_col("embedding", sig_bits).alias("sig"),
     )
-    dot = _dot_col("q_emb", "n_emb")
+    dot = _dot_col("q_emb", "n_emb", dim)
     scored = (
         F.broadcast(q)
         .join(n, "sig")
@@ -332,9 +338,12 @@ def lsh_topk_multiprobe_sql(
     masks = ", ".join(str(m) for m in [0, *[1 << b for b in range(sig_bits)]])
     return f"""
 WITH scored AS (
-  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          ({dot}) / (({qn}) * ({nn})) AS cosine
   FROM {table} q, (SELECT unnest([{masks}]) AS m) masks, {table} n
+  -- no DISTINCT needed: the probe masks are pairwise distinct, so a
+  -- (query, neighbor) pair matches exactly one mask (same invariant
+  -- the Spark plan relies on)
   WHERE ({query_pred}) AND q.vec_id <> n.vec_id
     AND xor(CAST(({qs}) AS BIGINT), m) = ({ns})
 )

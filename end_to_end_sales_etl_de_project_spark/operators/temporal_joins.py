@@ -37,8 +37,11 @@ def asof_join(
     """Backward as-of join: latest right row (by ``on``) per ``by`` key
     with ``right.on <= left.on``. Left rows keep all their columns;
     matched ``right_cols`` arrive suffixed; unmatched → null (left
-    semantics). Ties on ``on``: the right row sorts first, so an
-    equal-timestamp right row IS matched (DuckDB ASOF semantics).
+    semantics). Ties on ``on``: an equal-timestamp right row IS matched
+    (DuckDB ASOF semantics); among DUPLICATE (by, on) right rows the
+    max payload (struct ordering) wins — deterministic on any cluster
+    layout. Null-``on`` right rows never match; null-``on`` left rows
+    match nothing (three-valued logic).
     """
     lcols = left.columns
     l_tagged = left.withColumn("__is_left", F.lit(1)).withColumn(
@@ -55,13 +58,20 @@ def asof_join(
             F.col(on).alias("__ts"),
             F.struct(*[F.col(c).alias(c + suffix) for c in right_cols]).alias("__right"),
         )
+        # a null-ts right row can never satisfy right.ts <= left.ts
+        # (three-valued logic / DuckDB ASOF) — drop it before the union
+        # so nulls-first ordering can't smuggle it into the frame
+        .filter(F.col("__ts").isNotNull())
         .withColumn("__is_left", F.lit(0))
     )
     # positional-safe union via unionByName with missing columns allowed
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # Final __right sort key: duplicate (by, ts) right rows would
+    # otherwise make last() partition-layout-dependent. Struct ordering
+    # picks the max payload deterministically (documented tie rule).
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .orderBy(F.col("__ts"), F.col("__is_left"), F.col("__right"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = F.last(F.col("__right"), ignorenulls=True).over(w)

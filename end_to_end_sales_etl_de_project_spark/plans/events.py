@@ -25,6 +25,11 @@ from end_to_end_sales_etl_de_project_spark.operators.temporal_joins import (
     asof_join,
     range_join_bucketed,
 )
+from end_to_end_sales_etl_de_project_spark.operators.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
 from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
 
 EVENT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -55,15 +60,7 @@ GROUP BY 1, 2
 def e01_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window per event type. Spark's ``window()`` start
     is epoch-aligned, identical to ``date_trunc('hour')``."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(money("value")).cast("double").alias("total_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
-    )
+    return tumbling_agg(load_table(spark, sf_dir, "events"))
 
 
 # Sliding windows assign each event to window starts
@@ -83,15 +80,7 @@ GROUP BY 1, 2
 @_register("e02_sliding_hourly_30m", _E02_ORACLE)
 def e02_sliding_hourly_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding 1-hour window, 30-minute slide, per event type."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(money("value")).cast("double").alias("total_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
-    )
+    return sliding_agg(load_table(spark, sf_dir, "events"))
 
 
 # Session semantics (Spark session_window): an event extends the current
@@ -126,21 +115,7 @@ GROUP BY user_id, session_id
 def e03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user sessionization with a 30-minute inactivity gap, via
     Spark's native ``session_window`` (no Python state)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(money("value")).cast("double").alias("total_value"),
-        )
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-            "total_value",
-        )
-    )
+    return session_agg(load_table(spark, sf_dir, "events"))
 
 
 _E04_ORACLE = """

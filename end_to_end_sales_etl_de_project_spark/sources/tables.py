@@ -47,15 +47,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-        # map to its microsecond TimestampType. Read nanos as long and
-        # truncate with integer division (exact; a double division would
-        # lose precision above 2^53 ns ≈ 1970+104 days).
-        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        enable_nanos_as_long(spark)
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def enable_nanos_as_long(spark: SparkSession) -> None:
+    """events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+    map to its microsecond TimestampType — read nanos as long (must be
+    set before the read is planned)."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP (LTZ, UTC instants)
+    whatever the parquet flavor was — shared by the batch loader and
+    the streaming source so the two paths cannot drift:
+
+    - bigint (nanos-as-long): exact integer truncation to micros (a
+      double division would lose precision above 2^53 ns);
+    - timestamp_ntz (µs parquet from other engines): reinterpret as
+      UTC instants (watermarks require LTZ).
+    """
+    ts_type = dict(df.dtypes).get(ts_col)
+    if ts_type == "bigint":
+        return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -23,81 +23,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from end_to_end_sales_etl_de_project_spark.functions.scalar import money
+from pyspark.sql import types as T
+
+from end_to_end_sales_etl_de_project_spark.operators.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+from end_to_end_sales_etl_de_project_spark.sources.tables import (
+    enable_nanos_as_long,
+    normalize_event_ts,
+)
 
 
 def read_events_stream(
     spark: SparkSession,
     src_dir: str,
     max_files_per_trigger: int | None = 1,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """File-source stream over an events parquet directory.
 
-    Schema is taken from a batch peek (explicit schema is mandatory for
-    streaming sources); the nanosecond `ts` is read as long and
-    truncated to microseconds exactly as the batch loader does.
+    Streaming sources need an explicit schema; when none is passed it
+    is peeked from existing files — pass ``schema`` to arm ingestion on
+    an EMPTY landing zone (the batch peek cannot infer from nothing).
+    Event-time normalization is shared with the batch loader
+    (``sources.tables.normalize_event_ts``) so the paths cannot drift.
     """
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(src_dir).schema
+    enable_nanos_as_long(spark)
+    if schema is None:
+        try:
+            schema = spark.read.parquet(src_dir).schema
+        except Exception as e:
+            raise ValueError(
+                f"cannot infer a streaming schema from {src_dir!r} (empty "
+                "landing zone?) — pass schema= explicitly to arm ingestion "
+                "before the first file arrives"
+            ) from e
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(src_dir)
-    ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # µs-NTZ parquet (e.g. written by other engines): interpret as
-        # UTC instants — watermarks require TIMESTAMP (LTZ).
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    return normalize_event_ts(reader.parquet(src_dir))
 
 
 def tumbling_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Watermarked tumbling 1-hour counts per event type (streaming twin
-    of ``e01_tumbling_hourly``)."""
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(money("value")).cast("double").alias("total_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
-    )
+    """Watermarked tumbling window — SAME aggregation body as
+    ``e01_tumbling_hourly`` (operators/windows.py)."""
+    return tumbling_agg(events.withWatermark("ts", watermark))
 
 
 def sliding_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """Watermarked sliding 1h/30m window (twin of e02)."""
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(money("value")).cast("double").alias("total_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
-    )
+    """Watermarked sliding window — same body as e02."""
+    return sliding_agg(events.withWatermark("ts", watermark))
 
 
 def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
-    """Watermarked per-user session windows (twin of e03)."""
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(money("value")).cast("double").alias("total_value"),
-        )
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-            "total_value",
-        )
-    )
+    """Watermarked session windows — same body as e03."""
+    return session_agg(events.withWatermark("ts", watermark), gap=gap)
 
 
 def run_to_memory_sink(
