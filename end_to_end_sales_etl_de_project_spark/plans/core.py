@@ -1229,3 +1229,37 @@ def q43_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_custkey NOT IN (SELECT o_custkey FROM v_ord_ni WHERE o_totalprice > 300000)
         """
     )
+
+
+_Q44_ORACLE = """
+SELECT o_custkey, o_orderkey AS latest_order, o_orderdate AS latest_date,
+       o_totalprice AS latest_price
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+WHERE rn = 1
+"""
+
+
+@_register("q44_dedup_keep_latest", _Q44_ORACLE)
+def q44_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style keep-latest dedup: one row per key, newest by event
+    time (deterministic tiebreak on the id) — the read-side half of
+    upsert semantics (operators/upsert.py is the write side)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_order"),
+            F.col("o_orderdate").alias("latest_date"),
+            F.col("o_totalprice").alias("latest_price"),
+        )
+    )
