@@ -117,3 +117,46 @@ def test_dedup_stream_drops_redelivered_events(spark, sf_dir, events_src, tmpdir
     n_unique = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     got = result.count()
     assert got == n_unique, f"expected {n_unique} unique events, got {got}"
+
+
+def test_materialized_rollup_equals_batch(spark, sf_dir, events_src, tmpdir):
+    """Stream events through the incrementally-maintained mart
+    (foreachBatch + upsert) in 1-file micro-batches, then a second file
+    arrives; final mart must equal the batch rollup over everything."""
+    from end_to_end_sales_etl_de_project_spark.streaming.materialized import (
+        start_materialized_rollup,
+    )
+    import pyspark.sql.functions as F
+    from end_to_end_sales_etl_de_project_spark.functions.scalar import money
+
+    mart, ckpt = f"{tmpdir}/mart", f"{tmpdir}/ckpt-mv"
+    stream = read_events_stream(spark, events_src, max_files_per_trigger=1)
+    q = start_materialized_rollup(spark, stream, mart, ckpt)
+    q.processAllAvailable()
+    # late second delivery: half the events again (duplicates on purpose —
+    # the mart is additive, so totals must reflect BOTH deliveries)
+    import duckdb as dk
+
+    dk.connect().execute(
+        f"COPY (SELECT * FROM read_parquet('{sf_dir}/events.parquet') WHERE event_id % 2 = 0)"
+        f" TO '{events_src}/later.parquet' (FORMAT PARquet)"
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.user_id, r.event_type): (r.n_events, r.total_value)
+        for r in spark.read.parquet(mart).collect()
+    }
+    all_events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    half = all_events.filter("event_id % 2 = 0")
+    expected_df = (
+        all_events.unionByName(half)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("value")).cast("double").alias("v"),
+        )
+    )
+    expected = {(r.user_id, r.event_type): (r.n, r.v) for r in expected_df.collect()}
+    assert got == expected
