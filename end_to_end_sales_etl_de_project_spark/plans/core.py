@@ -1263,3 +1263,48 @@ def q44_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("latest_price"),
         )
     )
+
+
+_Q45_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@_register("q45_orc_roundtrip", _Q45_ORACLE)
+def q45_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink under the correctness gate: write nation as ORC,
+    read it back — the engine's columnar-format surface beyond parquet
+    (scratch keyed+overwritten like q33/q34)."""
+    import hashlib
+    import tempfile
+
+    out = f"{tempfile.gettempdir()}/engine-orcrt-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select("n_nationkey", "n_name", "n_regionkey")
+
+
+_Q46_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey,
+       CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+FROM supplier
+"""
+
+
+@_register("q46_json_roundtrip", _Q46_ORACLE)
+def q46_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink under the correctness gate: write supplier
+    as JSONL, read back with an EXPLICIT schema (decimal text roundtrip
+    exact, no inference)."""
+    import hashlib
+    import tempfile
+
+    out = f"{tempfile.gettempdir()}/engine-jsonrt-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", money("s_acctbal").alias("acctbal")
+    )
+    sup.write.mode("overwrite").json(out)
+    schema = "s_suppkey long, s_name string, s_nationkey int, acctbal decimal(18,2)"
+    return (
+        spark.read.schema(schema).json(out)
+        .withColumn("acctbal", F.col("acctbal").cast("double"))
+    )
