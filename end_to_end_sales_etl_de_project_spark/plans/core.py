@@ -1308,3 +1308,112 @@ def q46_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(schema).json(out)
         .withColumn("acctbal", F.col("acctbal").cast("double"))
     )
+
+
+_Q47_ORACLE = """
+SELECT p_partkey, p_name, p_type, p_size,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word
+FROM part
+WHERE p_type LIKE '%AND%' AND p_name NOT LIKE '%green%' AND p_size >= 10
+"""
+
+
+@_register("q47_like_patterns", _Q47_ORACLE)
+def q47_like_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / NOT LIKE pattern predicates + regexp group extraction
+    (the pattern-matching family; uses the otherwise-untouched
+    p_type/p_size columns)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_type").like("%AND%")  # STANDARD — substring wildcard match
+        & ~F.col("p_name").like("%green%")
+        & (F.col("p_size") >= 10)
+    ).select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        "p_size",
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+    )
+
+
+_Q48_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                           RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_similar_cheaper
+FROM orders
+"""
+
+
+@_register("q48_range_frame", _Q48_ORACLE)
+def q48_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frame (vs q25's ROWS frames): for each
+    order, how many of the customer's orders cost within 10000 below
+    it — frames defined by the ORDER BY value, not row position."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar_cheaper"),
+    )
+
+
+_Q49_ORACLE = """
+SELECT n_nationkey,
+       array_to_string(list_sort(list(s_suppkey)), ',') AS supplier_ids,
+       CAST(len(list(s_suppkey)) AS INT) AS n_suppliers,
+       list_sort(list(s_suppkey))[1] AS min_supplier
+FROM nation JOIN supplier ON n_nationkey = s_nationkey
+GROUP BY 1
+"""
+
+
+@_register("q49_array_agg", _Q49_ORACLE)
+def q49_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect per-group values into a SORTED array
+    (collect_list order is shuffle-dependent — sort_array makes it
+    deterministic) + element access."""
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        nation.join(supplier, nation.n_nationkey == supplier.s_nationkey)
+        .groupBy("n_nationkey")
+        .agg(F.sort_array(F.collect_list("s_suppkey")).alias("supplier_ids"))
+        .select(
+            "n_nationkey",
+            # the array itself is emitted as a joined string: array-typed
+            # result columns hash differently across engine->pandas paths
+            # (numpy vs list), so the flat form is the oracle-safe one
+            F.array_join("supplier_ids", ",").alias("supplier_ids"),
+            F.size("supplier_ids").alias("n_suppliers"),
+            F.element_at("supplier_ids", 1).alias("min_supplier"),
+        )
+    )
+
+
+_Q50_ORACLE = """
+SELECT r_regionkey, r_name AS region_name, 'r_name' AS map_key
+FROM region
+"""
+
+
+@_register("q50_map_functions", _Q50_ORACLE)
+def q50_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type functions: build a map column, then explode it back to
+    flat rows (maps themselves don't hash cross-engine; the roundtrip
+    proves construction + key/value access)."""
+    region = load_table(spark, sf_dir, "region")
+    mapped = region.select(
+        "r_regionkey",
+        F.create_map(F.lit("r_name"), F.col("r_name")).alias("attrs"),
+    )
+    return mapped.select(
+        "r_regionkey", F.explode(F.col("attrs")).alias("map_key", "region_name")
+    ).select("r_regionkey", "region_name", "map_key")

@@ -49,6 +49,13 @@ def _canon_value(v):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    # DuckDB .df() materializes LIST columns as numpy arrays above a
+    # size threshold (python lists below it) — canonicalize both forms
+    if type(v).__module__ == "numpy" and hasattr(v, "tolist"):
+        inner = v.tolist()
+        if isinstance(inner, list):
+            return "[" + ",".join(_canon_value(x) for x in inner) + "]"
+        return _canon_value(inner)
     return repr(v)
 
 
