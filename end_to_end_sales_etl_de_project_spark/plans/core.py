@@ -290,17 +290,22 @@ def q15_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q16_ORACLE = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
 """
 
 
 @_register("q16_join_anti", _Q16_ORACLE)
 def q16_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (NOT EXISTS)."""
+    """LEFT ANTI join (NOT EXISTS) — against a selective order subset:
+    every customer has SOME order in this data, so the unfiltered form
+    was a vacuous empty==empty match."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 250000
+    )
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
