@@ -1,0 +1,35 @@
+"""Writer behavior pins: partitioned-write compaction (one file per
+leaf) and the uncompacted control."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from end_to_end_sales_etl_de_project_spark.writers import write_parquet
+
+
+def _df(spark):
+    return (
+        spark.range(0, 5000)
+        .select((F.col("id") % 4).alias("grp"), "id")
+        .repartition(8)
+    )
+
+
+def test_partitioned_write_compacts_to_one_file_per_leaf(spark, tmp_path):
+    out = write_parquet(_df(spark), str(tmp_path / "c"), partition_by=["grp"])
+    assert len(glob.glob(f"{out}/grp=*/*.parquet")) == 4  # == leaves
+
+
+def test_uncompacted_control_fans_out(spark, tmp_path):
+    out = write_parquet(
+        _df(spark), str(tmp_path / "p"), partition_by=["grp"], compact_partitions=False
+    )
+    files = len(glob.glob(f"{out}/grp=*/*.parquet"))
+    assert files > 4  # tasks x leaves blowup the default prevents
+    # and both layouts hold identical data
+    a = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    b = sorted(tuple(r) for r in _df(spark).collect())
+    assert a == b
