@@ -29,7 +29,8 @@ def test_uncompacted_control_fans_out(spark, tmp_path):
     )
     files = len(glob.glob(f"{out}/grp=*/*.parquet"))
     assert files > 4  # tasks x leaves blowup the default prevents
-    # and both layouts hold identical data
-    a = sorted(tuple(r) for r in spark.read.parquet(out).collect())
-    b = sorted(tuple(r) for r in _df(spark).collect())
+    # both layouts hold identical data (partition columns come back
+    # LAST on read — select to a fixed order before comparing)
+    a = sorted(tuple(r) for r in spark.read.parquet(out).select("grp", "id").collect())
+    b = sorted(tuple(r) for r in _df(spark).select("grp", "id").collect())
     assert a == b
