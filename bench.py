@@ -34,6 +34,8 @@ HEADLINE = [
     "q17_join_left_agg",
     "q35_shipping_priority",
     "q36_local_supplier_volume",
+    "q37_product_revenue",
+    "q41_exact_moment_stats",
     # event-time windows + temporal joins
     "e01_tumbling_hourly",
     "e03_session_window",

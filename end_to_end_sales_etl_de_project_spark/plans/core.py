@@ -1422,3 +1422,36 @@ def q50_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapped.select(
         "r_regionkey", F.explode(F.col("attrs")).alias("map_key", "region_name")
     ).select("r_regionkey", "region_name", "map_key")
+
+
+@_register("q02w_sales_team_incentive_windowed", _Q02_ORACLE)
+def q02w_sales_team_incentive_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-faithful plan shape for the incentive metric:
+    window-sum + distinct (transform.py:139-147) instead of q02's
+    groupBy — the q01/q01g pairing applied to metric 2; same oracle."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    enriched = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey, "inner")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "inner")
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.col("s_suppkey").alias("supplier_id"),
+            F.col("s_name").alias("supplier_name"),
+            month_key("o_orderdate").alias("sales_month"),
+            "l_extendedprice",
+        )
+    )
+    monthly = windowed_partition_sum(
+        enriched,
+        partition_keys=["nation_name", "supplier_id", "sales_month"],
+        measure="l_extendedprice",
+        out_col="total_sales",
+        carry_cols=["supplier_name"],
+    ).select("nation_name", "supplier_id", "supplier_name", "sales_month", "total_sales")
+    return top_performer_incentive(
+        monthly, rank_partition=["nation_name", "sales_month"], total_col="total_sales"
+    )
