@@ -68,18 +68,20 @@ class Ledger:
             .drop("rn")
         )
 
-    def stuck_in_start(self, file_names: list[str]) -> list[str]:
+    def stuck_in_start(self, file_names: list[str] | None = None) -> list[str]:
         """Crash check (main_1.py:45-86): files whose latest status is
-        START. A non-empty result means a previous run died mid-flight."""
-        if not file_names:
-            return []
-        rows = (
-            self.current_state()
-            .filter(F.col("file_name").isin(file_names) & (F.col("status") == STATUS_START))
-            .select("file_name")
-            .collect()
-        )
-        return sorted(r["file_name"] for r in rows)
+        START. A non-empty result means a previous run died mid-flight.
+
+        ``file_names=None`` checks the WHOLE ledger — the correct scope
+        for a pipeline preflight: a crashed run may have already
+        archived its inputs out of the landing dir, so filtering by
+        currently-present files would wave the crash through."""
+        state = self.current_state().filter(F.col("status") == STATUS_START)
+        if file_names is not None:
+            if not file_names:
+                return []
+            state = state.filter(F.col("file_name").isin(file_names))
+        return sorted(r["file_name"] for r in state.select("file_name").collect())
 
     def split_processed(self, file_names: list[str]) -> tuple[list[str], list[str]]:
         """Idempotency filter (staging.py:51-113): returns

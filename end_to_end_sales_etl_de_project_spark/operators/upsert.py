@@ -52,6 +52,12 @@ def upsert_parquet(
             f"update batch has duplicate keys (e.g. {[tuple(r)[:-1] for r in dups]}); "
             "dedupe to one row per key before upserting"
         )
+    # crash recovery: a prior swap that died between its two renames
+    # leaves data only in .bak — restore it before reading, otherwise
+    # this call would take the create branch and silently drop history
+    bak0 = f"{target_path}.bak"
+    if not os.path.exists(target_path) and os.path.exists(bak0):
+        os.rename(bak0, target_path)
     tmp = f"{target_path}.staged-{uuid.uuid4().hex[:8]}"
     if os.path.exists(target_path):
         target = spark.read.parquet(target_path)

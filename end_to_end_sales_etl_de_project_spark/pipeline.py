@@ -77,8 +77,10 @@ def run_pipeline(
     )
     names = [os.path.basename(f) for f in files]
 
-    # 1. crash check (abort BEFORE touching anything)
-    stuck = ledger.stuck_in_start(names)
+    # 1. crash check (abort BEFORE touching anything) — ledger-wide:
+    # a crashed run may have archived its inputs already, so scoping
+    # to files currently in the landing dir would miss it
+    stuck = ledger.stuck_in_start()
     if stuck:
         raise CrashDetectedError(
             f"previous run left files in START: {stuck}; reconcile the ledger first"

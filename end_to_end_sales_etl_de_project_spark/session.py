@@ -21,8 +21,6 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
 
 def get_spark_session(
     app_name: str = "end_to_end_sales_etl_de_project_spark",
@@ -53,6 +51,11 @@ def get_spark_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 defaults ANSI on: x/0 THROWS where DuckDB yields NULL —
+        # both a crash on legitimate data (empty doc → word_count 0) and a
+        # cross-engine divergence. Hive-style NULL semantics match the
+        # oracle; load_table pins this too for driver-owned sessions.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")

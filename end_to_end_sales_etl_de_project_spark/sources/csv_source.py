@@ -190,7 +190,10 @@ def read_sales_csv_permissive(
         columnNameOfCorruptRecord="_corrupt_record",
     ).cache()  # required: corrupt-record column is only reliable on a
     # materialized frame (Spark rescans otherwise and the filter on the
-    # internal column can be pushed below the parse)
+    # internal column can be pushed below the parse). The cache lives
+    # until LRU eviction or spark.catalog.clearCache(); batch callers
+    # should clear between ingestion rounds — unpersisting here would
+    # defeat the lazily-returned children.
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
     return good, bad

@@ -26,11 +26,6 @@ TABLES = (
     "embeddings",
 )
 
-# Dimensions small enough to broadcast at any realistic scale factor
-# (region/nation are fixed-size; customer/supplier/part grow with SF but
-# stay orders of magnitude under the fact — broadcast decision is left to
-# AQE for those, forced only for the fixed-size ones).
-FIXED_SIZE_DIMS = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -46,6 +41,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
     if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ANSI division-by-zero throws where the DuckDB oracle yields NULL
+    # (Spark 4 default is ANSI on) — pin NULL semantics for any session
+    if spark.conf.get("spark.sql.ansi.enabled", "true") != "false":
+        spark.conf.set("spark.sql.ansi.enabled", "false")
     if name == "events":
         enable_nanos_as_long(spark)
         return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))

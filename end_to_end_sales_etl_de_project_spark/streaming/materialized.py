@@ -25,11 +25,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from end_to_end_sales_etl_de_project_spark.functions.scalar import money
-from end_to_end_sales_etl_de_project_spark.operators.upsert import upsert_parquet
 
 
 def _fold_batch(spark: SparkSession, mart_path: str, batch: DataFrame, epoch_id: int) -> None:
-    marker = mart_path + ".epoch"
+    # The folded epoch id lives INSIDE the mart directory (underscore-
+    # prefixed files are invisible to the parquet reader, like _SUCCESS),
+    # so data and marker swap in the SAME rename — a crash between an
+    # upsert and a separate marker file would otherwise double-fold the
+    # replayed batch.
+    marker = os.path.join(mart_path, "_epoch.json")
     if os.path.exists(marker):
         with open(marker) as f:
             if json.load(f).get("last_epoch", -1) >= epoch_id:
@@ -62,9 +66,24 @@ def _fold_batch(spark: SparkSession, mart_path: str, batch: DataFrame, epoch_id:
         "n_events",
         F.col("total_value_dec").cast("double").alias("total_value"),
     )
-    upsert_parquet(spark, mart_path, out, ["user_id", "event_type"])
-    with open(marker, "w") as f:
+    # staged write + swap directly (the merge already replaced every key,
+    # so upsert_parquet's anti-join/dup machinery would be wasted mart
+    # reads); one mart read per micro-batch total.
+    import shutil
+    import uuid
+
+    tmp = f"{mart_path}.staged-{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_epoch.json"), "w") as f:
         json.dump({"last_epoch": epoch_id}, f)
+    bak = mart_path + ".bak"
+    if os.path.exists(mart_path):
+        shutil.rmtree(bak, ignore_errors=True)
+        os.rename(mart_path, bak)
+        os.rename(tmp, mart_path)
+        shutil.rmtree(bak)
+    else:
+        os.rename(tmp, mart_path)
 
 
 def start_materialized_rollup(

@@ -61,18 +61,21 @@ def running_user_profile(events: DataFrame) -> DataFrame:
         import pandas as pd  # noqa: F811 — resolved on the worker
 
         (user_id,) = key
-        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        # money accumulates as integer CENTS in state — a float running
+        # total would drift across millions of micro-batches and diverge
+        # from the exact decimal rollups elsewhere in the engine
+        n, total_cents, last_us = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            total_cents += int((pdf["value"] * 100).round().astype("int64").sum())
             if len(pdf):
                 last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
-        state.update((n, total, last_us))
+        state.update((n, total_cents, last_us))
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
                 "n_events": [n],
-                "total_value": [round(total, 2)],
+                "total_value": [total_cents / 100.0],
                 "last_seen": [pd.Timestamp(last_us, unit="us")],
             }
         )

@@ -139,3 +139,11 @@ def test_faithful_and_grouped_metrics_agree(spark, env):
     assert canon(sales_team_incentive(enriched, faithful=True)) == canon(
         sales_team_incentive(enriched, faithful=False)
     )
+
+
+def test_crash_detected_even_after_inputs_archived(spark, env):
+    """A crashed run may have already archived its inputs — the crash
+    check must be ledger-wide, not scoped to the landing dir."""
+    env["ledger"].mark_start({"ghost.csv": "/already/archived/ghost.csv"})
+    with pytest.raises(CrashDetectedError, match="ghost.csv"):
+        _run(spark, env)
