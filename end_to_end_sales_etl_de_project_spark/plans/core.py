@@ -1455,3 +1455,58 @@ def q02w_sales_team_incentive_windowed(spark: SparkSession, sf_dir: str) -> Data
     return top_performer_incentive(
         monthly, rank_partition=["nation_name", "sales_month"], total_col="total_sales"
     )
+
+
+_Q51_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_large,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@_register("q51_filtered_aggregates", _Q51_ORACLE)
+def q51_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates (per-aggregate predicates in one pass —
+    the one-scan alternative to N filtered subqueries)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_filter")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_large,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_revenue,
+               COUNT(*) AS n_total
+        FROM v_li_filter
+        GROUP BY 1
+        """
+    )
+
+
+_Q53_ORACLE = """
+SELECT doc_id, pos - 1 AS pos, token
+FROM (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents
+)
+WHERE doc_id < 10 AND token <> ''
+"""
+
+
+@_register("q53_posexplode_tokens", _Q53_ORACLE)
+def q53_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral positional explode: one row per (doc, position, token) —
+    the flattening primitive under every token-level pipeline stage."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", "pos", "token")
+    )
