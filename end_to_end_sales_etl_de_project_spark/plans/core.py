@@ -1510,3 +1510,50 @@ def q53_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .select("doc_id", "pos", "token")
     )
+
+
+_Q54_ORACLE = """
+SELECT l_returnflag, 'open' AS status, CAST(SUM(CASE WHEN l_linestatus = 'O'
+       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty
+FROM lineitem GROUP BY 1
+UNION ALL
+SELECT l_returnflag, 'filled' AS status, CAST(SUM(CASE WHEN l_linestatus = 'F'
+       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty
+FROM lineitem GROUP BY 1
+"""
+
+
+@_register("q54_unpivot", _Q54_ORACLE)
+def q54_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via ``stack`` — the inverse of q20's pivot;
+    the oracle expresses the same reshape as a UNION ALL."""
+    wide = q20_pivot(spark, sf_dir)
+    return wide.select(
+        "l_returnflag",
+        F.expr("stack(2, 'open', qty_open, 'filled', qty_filled) AS (status, qty)"),
+    )
+
+
+_Q55_ORACLE = """
+SELECT n_name AS nation_name,
+       string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers
+FROM nation JOIN supplier ON n_nationkey = s_nationkey
+GROUP BY 1
+"""
+
+
+@_register("q55_string_agg", _Q55_ORACLE)
+def q55_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG shape): collect, sort for
+    determinism, join — collect_list order alone is shuffle-dependent."""
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        nation.join(supplier, nation.n_nationkey == supplier.s_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias("suppliers"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )

@@ -160,3 +160,57 @@ def test_materialized_rollup_equals_batch(spark, sf_dir, events_src, tmpdir):
     )
     expected = {(r.user_id, r.event_type): (r.n, r.v) for r in expected_df.collect()}
     assert got == expected
+
+
+def test_watermark_drops_late_data(spark, tmpdir):
+    """An event older than the watermark horizon must be DROPPED from a
+    watermarked aggregation once the watermark has advanced past it —
+    the bounded-state guarantee the streaming module claims."""
+    import datetime as dt
+    import duckdb as dk
+
+    land = f"{tmpdir}/wm-landing"
+    import os
+
+    os.makedirs(land)
+    T0 = "2024-06-01 00:00:00"
+    # batch 1: an event at T0+10h advances the watermark to T0+8h (2h delay)
+    dk.connect().execute(
+        f"""COPY (SELECT 1::BIGINT AS event_id, TIMESTAMP '{T0}' + INTERVAL 10 HOUR AS ts,
+                  1::BIGINT AS user_id, 'a' AS event_type, 1.0 AS value, '' AS props)
+            TO '{land}/b1.parquet' (FORMAT PARQUET)"""
+    )
+    from end_to_end_sales_etl_de_project_spark.streaming.events import (
+        read_events_stream,
+        tumbling_stream,
+    )
+
+    stream = read_events_stream(spark, land, max_files_per_trigger=1)
+    q = (
+        tumbling_stream(stream, watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: an event at T0 — 8h behind the watermark → must be dropped
+    dk.connect().execute(
+        f"""COPY (SELECT 2::BIGINT AS event_id, TIMESTAMP '{T0}' AS ts,
+                  1::BIGINT AS user_id, 'a' AS event_type, 1.0 AS value, '' AS props)
+            TO '{land}/b2.parquet' (FORMAT PARQUET)"""
+    )
+    q.processAllAvailable()
+    # batch 3: advance watermark far enough to close+emit all live windows
+    dk.connect().execute(
+        f"""COPY (SELECT 3::BIGINT AS event_id, TIMESTAMP '{T0}' + INTERVAL 30 HOUR AS ts,
+                  1::BIGINT AS user_id, 'a' AS event_type, 1.0 AS value, '' AS props)
+            TO '{land}/b3.parquet' (FORMAT PARQUET)"""
+    )
+    q.processAllAvailable()
+    q.stop()
+    emitted = {r["window_start"] for r in spark.sql("SELECT * FROM wm_test").collect()}
+    late_window = dt.datetime(2024, 6, 1, 0, 0)
+    on_time_window = dt.datetime(2024, 6, 1, 10, 0)
+    assert on_time_window in emitted
+    assert late_window not in emitted  # the late event left no window
