@@ -887,15 +887,16 @@ def q32_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketches the reference lacks (SURVEY §2.4 'not present').
     Deliberately rows-only for the driver: sketch outputs are
     engine-specific; tests/test_approx.py bounds them against exact
-    values instead."""
+    values instead. Quartiles are emitted as SCALAR columns — an
+    array<double> column crashes the driver's pandas canonicalizer
+    (unhashable list, the one red row in CORRECTNESS_r01)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.expr("percentile_approx(l_extendedprice, array(0.25, 0.75))").alias(
-            "approx_quartiles"
-        ),
+        F.percentile_approx("l_extendedprice", 0.25).alias("approx_q25"),
+        F.percentile_approx("l_extendedprice", 0.75).alias("approx_q75"),
     )
 
 

@@ -14,5 +14,4 @@ def test_approx_within_bounds(spark, sf_dir):
         exact = r["exact_orders"]
         # HLL++ default rsd is 5%; allow 3x margin for tiny groups
         assert abs(r["approx_orders"] - exact) <= max(3, 0.15 * exact), r
-        q25, q75 = r["approx_quartiles"]
-        assert q25 <= r["approx_median_price"] <= q75
+        assert r["approx_q25"] <= r["approx_median_price"] <= r["approx_q75"]
