@@ -1,0 +1,64 @@
+"""LSH hot-bucket guard: a boilerplate signature shared by m docs must
+not create an O(m²) candidate blowup inside one (band, key) bucket."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_to_end_sales_etl_de_project_spark.operators import dedup
+
+
+def _corpus(spark, n_boiler: int):
+    """n_boiler identical boilerplate docs + one genuine near-dup pair
+    + one unrelated doc."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again " * 3
+    greek = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    )
+    near_a = greek + " one"
+    near_b = greek + " two"
+    other = "completely different words about rivers mountains oceans forests deserts plains"
+    rows = [(i, boiler) for i in range(n_boiler)]
+    rows += [(1000, near_a), (1001, near_b), (2000, other)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_guard_drops_boilerplate_bucket(spark):
+    docs = _corpus(spark, n_boiler=100)
+    sh = dedup.shingle_table(docs, "doc_id", "text", 3)
+    sigs = dedup.minhash_signatures(sh, 16)
+
+    unguarded = dedup.lsh_candidate_pairs(sigs, 4, 4, max_bucket_size=None)
+    guarded = dedup.lsh_candidate_pairs(sigs, 4, 4, max_bucket_size=32)
+
+    # identical docs share all 4 band buckets -> 100*99/2 pairs unguarded
+    assert unguarded.count() >= 100 * 99 // 2
+    g = {(r["doc_a"], r["doc_b"]) for r in guarded.collect()}
+    assert (1000, 1001) in g  # genuine near-dup survives
+    assert all(a >= 1000 for a, _ in g), "boilerplate pairs must be dropped"
+
+
+def test_guard_off_below_threshold(spark):
+    # with fewer boilerplate copies than the cap, guard changes nothing
+    docs = _corpus(spark, n_boiler=5)
+    sh = dedup.shingle_table(docs, "doc_id", "text", 3)
+    sigs = dedup.minhash_signatures(sh, 16)
+    a = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, 4, 4, max_bucket_size=None).collect()
+    }
+    b = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, 4, 4, max_bucket_size=32).collect()
+    }
+    assert a == b
+
+
+def test_end_to_end_pairs_guarded_sql_matches(spark):
+    """The guard is mirrored in the SQL twin: default-parameter SQL
+    contains the HAVING clause; guard-off SQL does not."""
+    sql_on = dedup.minhash_lsh_pairs_sql("doc_id", "text")
+    sql_off = dedup.minhash_lsh_pairs_sql("doc_id", "text", max_bucket_size=None)
+    assert f"WHERE bs.n <= {dedup.DEFAULT_MAX_BUCKET_SIZE}" in sql_on
+    assert "bucket_sizes" not in sql_off
