@@ -233,24 +233,47 @@ def embedding_neardup_pairs(
     threshold: float,
     block_col: str = "label",
     dim: int = DIM,
+    sig_bits: int = SIG_BITS,
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cosine ≥ threshold), blocked on
-    ``block_col`` so the pair space is |block|² instead of |corpus|²."""
-    a = with_norm(emb, dim=dim).select(
+    """Near-duplicate vector pairs (cosine ≥ threshold): candidates are
+    vectors sharing (block, sign-LSH bucket), then exact cosine verify.
+
+    Scale shape: the join is an equi-join on (block, sig) — NEVER the
+    all-pairs-within-block cross join (which is quadratic in block size
+    and a scale killer when one label dominates). Expected bucket
+    occupancy is |block| / 2^sig_bits, so pairwise work drops by
+    ~2^sig_bits; ``sig_bits`` is the recall/cost dial (candidates that
+    land in different sign buckets are missed — acceptable for
+    near-DUP detection, where targets have cosine near 1 and thus
+    nearly always share the sign pattern). Residual hot buckets are
+    the same problem as LSH banding and take the same cap-style guard
+    (operators/dedup.lsh_candidate_pairs).
+
+    Deterministic (sign bucketing + fixed-order fold) ⇒ fully
+    oracle-checked; threshold must be set from the corpus so the check
+    is non-vacuous (random 64-dim embeddings top out near cosine 0.4
+    within sign buckets — a 0.8 threshold would hash-match
+    empty-vs-empty and prove nothing).
+    """
+    sig = _sig_col("embedding", sig_bits)
+    e = with_norm(emb, dim=dim)
+    a = e.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
         F.col("norm").alias("norm_a"),
         F.col(block_col).alias("blk"),
+        sig.alias("sig"),
     )
-    b = with_norm(emb, dim=dim).select(
+    b = e.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
         F.col("norm").alias("norm_b"),
         F.col(block_col).alias("blk"),
+        sig.alias("sig"),
     )
     dot = _dot_col("emb_a", "emb_b", dim)
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -262,16 +285,22 @@ def embedding_neardup_pairs(
 
 
 def embedding_neardup_pairs_sql(
-    threshold: float, block_col: str = "label", dim: int = DIM, table: str = "embeddings"
+    threshold: float,
+    block_col: str = "label",
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+    table: str = "embeddings",
 ) -> str:
     dot = _dot_sql("a.embedding", "b.embedding", dim, one_based=True)
     an = _norm_sql("a.embedding", dim, one_based=True)
     bn = _norm_sql("b.embedding", dim, one_based=True)
+    sa = _sig_sql("a.embedding", sig_bits, one_based=True)
+    sb = _sig_sql("b.embedding", sig_bits, one_based=True)
     return f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ({dot}) / (({an}) * ({bn})) AS cosine
 FROM {table} a JOIN {table} b
-  ON a.{block_col} = b.{block_col} AND a.vec_id < b.vec_id
+  ON a.{block_col} = b.{block_col} AND ({sa}) = ({sb}) AND a.vec_id < b.vec_id
 WHERE ({dot}) / (({an}) * ({bn})) >= {threshold}
 """
 
