@@ -51,7 +51,17 @@ class Ledger:
 
     # -- reads ---------------------------------------------------------
 
+    def _recover(self) -> None:
+        """A compact() that died between its two renames leaves the log
+        only in .bak; without this restore, events() would return an
+        empty frame and the crash check + idempotency filter would
+        silently wave through double-processing."""
+        bak = self.path + ".bak"
+        if not os.path.exists(self.path) and os.path.exists(bak):
+            os.rename(bak, self.path)
+
     def events(self) -> DataFrame:
+        self._recover()
         if not os.path.exists(self.path):
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
         return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
@@ -141,11 +151,13 @@ class Ledger:
         state reads stay O(live files) instead of O(all appends).
         Returns the number of retained rows. The swap is two renames
         (live→backup, compacted→live) — the unreadable window is a
-        single rename, not a delete+rewrite; a crash between them
-        leaves the backup for manual restore rather than an empty
-        ledger that would wave through double-processing."""
+        single rename, not a delete+rewrite; a crash between them is
+        healed automatically by ``_recover()`` (the backup is renamed
+        back on the next read), never leaving an empty ledger that
+        would wave through double-processing."""
         import shutil as _shutil
 
+        self._recover()
         state = self.current_state().collect()
         tmp = self.path + ".compact"
         bak = self.path + ".bak"

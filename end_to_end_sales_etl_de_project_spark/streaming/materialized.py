@@ -33,6 +33,15 @@ def _fold_batch(spark: SparkSession, mart_path: str, batch: DataFrame, epoch_id:
     # so data and marker swap in the SAME rename — a crash between an
     # upsert and a separate marker file would otherwise double-fold the
     # replayed batch.
+    #
+    # Crash recovery (same pattern as upsert_parquet): a prior fold that
+    # died between its two renames leaves the mart only in .bak; without
+    # the restore, the replayed epoch would find no mart/marker, take
+    # the merged=partial branch, and silently replace accumulated
+    # history with one micro-batch's aggregates.
+    bak0 = mart_path + ".bak"
+    if not os.path.exists(mart_path) and os.path.exists(bak0):
+        os.rename(bak0, mart_path)
     marker = os.path.join(mart_path, "_epoch.json")
     if os.path.exists(marker):
         with open(marker) as f:

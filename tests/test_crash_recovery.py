@@ -1,0 +1,73 @@
+"""Crash-window recovery: a swap that dies between its two renames
+leaves state only in .bak — every consumer must rename it back instead
+of silently proceeding from nothing (ADVICE r1: materialized mart would
+lose accumulated history; ledger would wave through double-processing)."""
+
+from __future__ import annotations
+
+import os
+
+from end_to_end_sales_etl_de_project_spark.config import STATUS_START
+from end_to_end_sales_etl_de_project_spark.ledger import Ledger
+from end_to_end_sales_etl_de_project_spark.streaming.materialized import _fold_batch
+
+
+def test_ledger_crash_between_compact_renames_is_healed(spark, tmp_path):
+    led = Ledger(spark, str(tmp_path / "ledger"))
+    led.mark_start({"a.csv": "/in", "b.csv": "/in"})
+    led.mark_completed(["a.csv"])
+
+    # simulate compact() dying after rename(live -> .bak)
+    os.rename(led.path, led.path + ".bak")
+
+    # crash check must still see b.csv stuck in START (empty would pass)
+    assert led.stuck_in_start() == ["b.csv"]
+    assert os.path.exists(led.path) and not os.path.exists(led.path + ".bak")
+
+    # and compact() from the healed state keeps one event per file
+    assert led.compact() == 2
+    to_process, done = led.split_processed(["a.csv", "b.csv"])
+    assert to_process == ["b.csv"] and done == ["a.csv"]
+
+
+def test_ledger_compact_after_crash_midwindow(spark, tmp_path):
+    led = Ledger(spark, str(tmp_path / "ledger2"))
+    led.mark_start({"x.csv": "/in"})
+    os.rename(led.path, led.path + ".bak")
+    # compact() itself must heal before reading
+    assert led.compact() == 1
+    assert led.current_state().collect()[0]["status"] == STATUS_START
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, event_type string, value double")
+
+
+def test_fold_batch_crash_between_renames_keeps_history(spark, tmp_path):
+    mart = str(tmp_path / "mart")
+    _fold_batch(spark, mart, _batch(spark, [(1, "click", 10.0), (2, "buy", 5.0)]), 0)
+
+    # simulate the fold of epoch 1 dying after rename(mart -> .bak)
+    os.rename(mart, mart + ".bak")
+
+    # replay of epoch 1 must restore history and fold on top of it
+    _fold_batch(spark, mart, _batch(spark, [(1, "click", 2.0)]), 1)
+    got = {
+        (r.user_id, r.event_type): (r.n_events, r.total_value)
+        for r in spark.read.parquet(mart).collect()
+    }
+    assert got == {(1, "click"): (2, 12.0), (2, "buy"): (1, 5.0)}
+    assert not os.path.exists(mart + ".bak")
+
+
+def test_fold_batch_replayed_epoch_after_crash_not_double_folded(spark, tmp_path):
+    mart = str(tmp_path / "mart2")
+    _fold_batch(spark, mart, _batch(spark, [(1, "click", 10.0)]), 0)
+    _fold_batch(spark, mart, _batch(spark, [(1, "click", 1.0)]), 1)
+
+    # crash after epoch 1 committed; restart replays epoch 1
+    os.rename(mart, mart + ".bak")
+    _fold_batch(spark, mart, _batch(spark, [(1, "click", 1.0)]), 1)
+
+    got = spark.read.parquet(mart).collect()[0]
+    assert (got.n_events, got.total_value) == (2, 11.0)  # not 3 / 12.0
