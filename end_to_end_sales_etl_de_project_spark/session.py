@@ -22,6 +22,80 @@ import os
 from pyspark.sql import SparkSession
 
 
+def object_store_conf(
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    endpoint: str | None = None,
+    committer: str = "magic",
+) -> dict[str, str]:
+    """s3a configuration preset for object-store deployments — the
+    cloud-session surface the reference wires inline
+    (``/root/reference/src/utils/utility.py:38-45``), re-expressed for a
+    1000-executor cluster. Pass the result as ``extra_conf`` to
+    :func:`get_spark_session` (plus ``spark.jars.packages`` =
+    hadoop-aws at deploy time; no jar and no network is needed to SET
+    these confs, so the wiring is unit-testable here).
+
+    Differences from the reference, each load-bearing at scale:
+
+    - Credentials default to the provider CHAIN (env, IAM instance/role
+      profile) instead of inline static keys — keys in code leak and
+      can't rotate. Explicit keys remain supported for dev endpoints
+      (MinIO) and pin ``SimpleAWSCredentialsProvider`` like the
+      reference did.
+    - The S3A *magic committer* replaces the rename-based default:
+      rename on S3 is a COPY of every output object through the driver
+      commit phase — O(output bytes) extra traffic and a non-atomic
+      window. The magic committer finalizes multipart uploads instead
+      (O(files) metadata calls, task-commit atomic).
+    - Upload tuning: fast upload with array buffers, 64 MB multipart
+      parts, and a connection pool sized for 32 concurrent streams per
+      executor.
+    """
+    providers = (
+        "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+        if access_key
+        else (
+            "com.amazonaws.auth.EnvironmentVariableCredentialsProvider,"
+            "com.amazonaws.auth.InstanceProfileCredentialsProvider,"
+            "org.apache.hadoop.fs.s3a.anonymous.AnonymousAWSCredentialsProvider"
+        )
+    )
+    conf: dict[str, str] = {
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "spark.hadoop.fs.s3a.aws.credentials.provider": providers,
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+        "spark.hadoop.fs.s3a.fast.upload.buffer": "array",
+        "spark.hadoop.fs.s3a.multipart.size": str(64 * 1024 * 1024),
+        "spark.hadoop.fs.s3a.connection.maximum": "96",
+        "spark.hadoop.fs.s3a.threads.max": "32",
+        # directory-listing performance: no per-dir marker DELETEs
+        "spark.hadoop.fs.s3a.directory.marker.retention": "keep",
+    }
+    if access_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key or ""
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+        conf["spark.hadoop.fs.s3a.path.style.access"] = "true"
+    if committer == "magic":
+        conf.update(
+            {
+                "spark.hadoop.fs.s3a.committer.name": "magic",
+                "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+                "spark.sql.sources.commitProtocolClass": (
+                    "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+                ),
+                "spark.sql.parquet.output.committer.class": (
+                    "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+                ),
+            }
+        )
+    elif committer != "file":
+        raise ValueError(f"unknown committer {committer!r}: use 'magic' or 'file'")
+    return conf
+
+
 def get_spark_session(
     app_name: str = "end_to_end_sales_etl_de_project_spark",
     master: str | None = None,
