@@ -305,6 +305,120 @@ WHERE ({dot}) / (({an}) * ({bn})) >= {threshold}
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: nearest-centroid partitioning
+# ---------------------------------------------------------------------------
+
+
+def _centroid_sims(vec_col: str, centroids: list[list[float]], dim: int) -> Column:
+    """Array of (cosine, centroid_id) structs for a vector against every
+    centroid — struct order (sim first) makes array_max/array_sort rank
+    by similarity with centroid id as deterministic tie-break."""
+    entries = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c[:dim]])
+        norm = sum(float(x) * float(x) for x in c[:dim]) ** 0.5 or 1.0
+        sim = _dot_col(F.col(vec_col), lit, dim) / (_norm_col(vec_col, dim) * F.lit(norm))
+        entries.append(F.struct(sim.alias("sim"), F.lit(i).alias("cid")))
+    return F.array(*entries)
+
+
+def ivf_train(
+    emb: DataFrame, n_centroids: int, dim: int = DIM, iterations: int = 2
+) -> list[list[float]]:
+    """Lloyd's k-means on cosine assignment: deterministic seeding (the
+    ``n_centroids`` lowest vec_ids), then ``iterations`` rounds of
+    assign → per-dimension mean. The model (k x dim doubles) is
+    control-plane sized and collected to the driver each round — the
+    same shape as any distributed k-means; the DATA-side work per round
+    is one scan + one groupBy of k*dim cells. Means are float
+    arithmetic over an unordered shuffle ⇒ not bit-deterministic, so
+    IVF queries are rows-only checked with a recall test
+    (tests/test_ivf_recall.py), per the repo determinism rules."""
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(n_centroids).select("embedding").collect()
+    ]
+    for _ in range(iterations):
+        assigned = emb.select(
+            F.col("embedding"),
+            F.array_max(_centroid_sims("embedding", cents, dim))["cid"].alias("cid"),
+        )
+        means = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        # empty cells keep their previous centroid (standard practice)
+        cents = [
+            [by_cid[i][p] for p in range(dim)] if i in by_cid else cents[i]
+            for i in range(n_centroids)
+        ]
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = DIM,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their
+    nearest-centroid cell; each query probes its ``n_probe`` nearest
+    cells; exact cosine ranks the candidates.
+
+    Same equi-join shape as the sign-LSH path (a02/a03) — corpus is
+    never cross-joined — but cells adapt to the DATA distribution
+    instead of axis signs, which is what lifts recall on corpora where
+    fixed hyperplanes split neighborhoods. Scan fraction ≈
+    n_probe / n_centroids of the corpus per query."""
+    if centroids is None:
+        centroids = ivf_train(emb, n_centroids, dim)
+    n = with_norm(emb, dim=dim).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+        F.array_max(_centroid_sims("embedding", centroids, dim))["cid"].alias("cid"),
+    )
+    probes = F.slice(
+        F.reverse(F.array_sort(_centroid_sims("embedding", centroids, dim))), 1, n_probe
+    )
+    q = (
+        with_norm(queries, dim=dim)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            F.explode(probes).alias("probe"),
+        )
+        .select("query_id", "q_emb", "q_norm", F.col("probe.cid").alias("cid"))
+    )
+    dot = _dot_col("q_emb", "n_emb", dim)
+    scored = (
+        F.broadcast(q)
+        .join(n, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.col("q_norm") * F.col("n_norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_topk_multiprobe(
     emb: DataFrame,
     queries: DataFrame,

@@ -261,6 +261,19 @@ def a03_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk_multiprobe(emb, emb.filter(F.col("vec_id") < 8))
 
 
+@_register("a04_ann_ivf", None)  # k-means means aren't bit-deterministic: rows-only
+def a04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 for the same 8 query vectors as a01-a03: corpus in
+    nearest-centroid cells (16 centroids, 2 Lloyd rounds, deterministic
+    seeding), queries probe their 4 nearest cells — data-adaptive
+    buckets at the a02/a03 equi-join shape. Centroid means are float
+    avgs over an unordered shuffle, so there is no exact SQL twin;
+    tests/test_ivf_recall.py pins recall@5 vs brute force above the
+    sign-LSH multiprobe path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8))
+
+
 @_register("t05_normalize_text", None)  # scalar pandas_udf: rows-only check
 def t05_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC + casefold + whitespace-collapse normalization via a

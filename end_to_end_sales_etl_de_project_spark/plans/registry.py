@@ -55,10 +55,11 @@ DRIVER_WINDOW: list[str] = [
     "d03_minhash_lsh",
     "d04_simhash",
     "d05_embedding_neardup",
-    # -- similarity search (no r01 row)
+    # -- similarity search (no r01 row; a04 new this round)
     "a01_ann_bruteforce",
     "a02_ann_lsh",
     "a03_ann_lsh_multiprobe",
+    "a04_ann_ivf",
     # -- multimodal plumbing (no r01 row)
     "m01_multimodal_assets",
     "m02_multimodal_features",
@@ -88,7 +89,6 @@ DRIVER_WINDOW: list[str] = [
     "q34_partitioned_write_readback",
     "q35_shipping_priority",
     "q44_dedup_keep_latest",
-    "q48_range_frame",
     "q49_array_agg",
     "q50_map_functions",
 ]

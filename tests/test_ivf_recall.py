@@ -1,0 +1,60 @@
+"""IVF ANN quality gate: recall@5 vs exact brute force must beat the
+sign-LSH multiprobe path (a03) on the same corpus/queries — the reason
+IVF exists is that data-adaptive cells recover what fixed axis-sign
+hyperplanes lose. Random 64-dim embeddings are close to the
+information-theoretic worst case, so the bar is relative, not absolute."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_to_end_sales_etl_de_project_spark.operators import similarity
+from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+
+K = 5
+N_QUERIES = 8
+
+
+def _topk_sets(df):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(approx: dict[int, set[int]], exact: dict[int, set[int]]) -> float:
+    hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    return hits / sum(len(nbrs) for nbrs in exact.values())
+
+
+def test_ivf_recall_beats_lsh_multiprobe(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    exact = _topk_sets(similarity.brute_force_topk(emb, queries, k=K))
+    lsh = _topk_sets(similarity.lsh_topk_multiprobe(emb, queries, k=K))
+    ivf = _topk_sets(similarity.ivf_topk(emb, queries, k=K))
+
+    r_lsh, r_ivf = _recall(lsh, exact), _recall(ivf, exact)
+    # a03 measured 9/40 on this corpus in round 1; IVF probing 4/16
+    # cells scans ~25% of the corpus chosen by data proximity
+    assert r_ivf > r_lsh, f"ivf recall {r_ivf:.3f} <= lsh multiprobe {r_lsh:.3f}"
+    assert r_ivf >= 0.3, f"ivf recall {r_ivf:.3f} below floor"
+
+
+def test_ivf_scan_fraction_bounded(spark, sf_dir):
+    """The efficiency claim: candidates per query ≈ n_probe/n_centroids
+    of the corpus, not the whole corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = similarity.ivf_train(emb, 16)
+    n = emb.count()
+    assigned = emb.select(
+        F.array_max(similarity._centroid_sims("embedding", cents, similarity.DIM))[
+            "cid"
+        ].alias("cid")
+    )
+    sizes = {r["cid"]: r["cnt"] for r in assigned.groupBy("cid").agg(F.count("*").alias("cnt")).collect()}
+    # no empty training: every centroid keeps a cell; worst cell must not
+    # swallow the corpus (that would be the all-pairs shape again)
+    assert max(sizes.values()) < 0.5 * n, sizes
