@@ -27,18 +27,32 @@ from pyspark.sql import functions as F
 from end_to_end_sales_etl_de_project_spark.functions.scalar import money
 
 
-def _fold_batch(spark: SparkSession, mart_path: str, batch: DataFrame, epoch_id: int) -> None:
-    # The folded epoch id lives INSIDE the mart directory (underscore-
-    # prefixed files are invisible to the parquet reader, like _SUCCESS),
-    # so data and marker swap in the SAME rename — a crash between an
-    # upsert and a separate marker file would otherwise double-fold the
-    # replayed batch.
-    #
-    # Crash recovery (same pattern as upsert_parquet): a prior fold that
-    # died between its two renames leaves the mart only in .bak; without
-    # the restore, the replayed epoch would find no mart/marker, take
-    # the merged=partial branch, and silently replace accumulated
-    # history with one micro-batch's aggregates.
+def fold_additive_batch(
+    spark: SparkSession,
+    mart_path: str,
+    batch: DataFrame,
+    epoch_id: int,
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+) -> None:
+    """Fold one micro-batch's additive aggregates (count + decimal sum
+    of ``value_col`` per ``key_cols``) into the standing parquet mart,
+    exactly once per epoch.
+
+    The folded epoch id lives INSIDE the mart directory (underscore-
+    prefixed files are invisible to the parquet reader, like _SUCCESS),
+    so data and marker swap in the SAME rename — a crash between an
+    upsert and a separate marker file would otherwise double-fold the
+    replayed batch.
+
+    Crash recovery (same pattern as upsert_parquet): a prior fold that
+    died between its two renames leaves the mart only in .bak; without
+    the restore, the replayed epoch would find no mart/marker, take
+    the merged=partial branch, and silently replace accumulated
+    history with one micro-batch's aggregates.
+    """
+    if key_cols is None:
+        key_cols = ["user_id", "event_type"]
     bak0 = mart_path + ".bak"
     if not os.path.exists(mart_path) and os.path.exists(bak0):
         os.rename(bak0, mart_path)
@@ -47,21 +61,20 @@ def _fold_batch(spark: SparkSession, mart_path: str, batch: DataFrame, epoch_id:
         with open(marker) as f:
             if json.load(f).get("last_epoch", -1) >= epoch_id:
                 return  # replayed batch already folded — keep exactly-once
-    partial = batch.groupBy("user_id", "event_type").agg(
+    partial = batch.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(money("value")).alias("total_value_dec"),
+        F.sum(money(value_col)).alias("total_value_dec"),
     )
     if os.path.exists(mart_path):
         current = spark.read.parquet(mart_path)
         merged = (
             current.select(
-                "user_id",
-                "event_type",
+                *key_cols,
                 "n_events",
                 F.col("total_value").cast("decimal(18,2)").alias("total_value_dec"),
             )
             .unionByName(partial)
-            .groupBy("user_id", "event_type")
+            .groupBy(*key_cols)
             .agg(
                 F.sum("n_events").alias("n_events"),
                 F.sum("total_value_dec").alias("total_value_dec"),
@@ -70,8 +83,7 @@ def _fold_batch(spark: SparkSession, mart_path: str, batch: DataFrame, epoch_id:
     else:
         merged = partial
     out = merged.select(
-        "user_id",
-        "event_type",
+        *key_cols,
         "n_events",
         F.col("total_value_dec").cast("double").alias("total_value"),
     )
@@ -93,6 +105,10 @@ def _fold_batch(spark: SparkSession, mart_path: str, batch: DataFrame, epoch_id:
         shutil.rmtree(bak)
     else:
         os.rename(tmp, mart_path)
+
+
+def _fold_batch(spark: SparkSession, mart_path: str, batch: DataFrame, epoch_id: int) -> None:
+    fold_additive_batch(spark, mart_path, batch, epoch_id)
 
 
 def start_materialized_rollup(
