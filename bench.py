@@ -36,18 +36,28 @@ HEADLINE = [
     "q36_local_supplier_volume",
     "q37_product_revenue",
     "q41_exact_moment_stats",
+    # sources (CSV write + schema'd re-read under the clock)
+    "q33_csv_roundtrip",
+    # late core additions (round-2 widening: regressions in these
+    # families were invisible to the r1 headline)
+    "q51_filtered_aggregates",
+    "q55_string_agg",
     # event-time windows + temporal joins
     "e01_tumbling_hourly",
+    "e02_sliding_hourly_30m",
     "e03_session_window",
     "e05_asof_join",
     "e06_range_join",
     # training-data ops
     "d01_dedup_exact",
+    "d02_ngram_jaccard",
     "d03_minhash_lsh",
     "d04_simhash",
+    "d05_embedding_neardup",
     "t01_text_stats",
     "a01_ann_bruteforce",
     "a02_ann_lsh",
+    "a04_ann_ivf",
 ]
 
 

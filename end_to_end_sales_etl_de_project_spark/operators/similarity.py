@@ -310,15 +310,26 @@ WHERE ({dot}) / (({an}) * ({bn})) >= {threshold}
 # ---------------------------------------------------------------------------
 
 
-def _centroid_sims(vec_col: str, centroids: list[list[float]], dim: int) -> Column:
+def _centroid_sims(
+    vec_col: str,
+    centroids: list[list[float]],
+    dim: int,
+    norm_col: Column | None = None,
+) -> Column:
     """Array of (cosine, centroid_id) structs for a vector against every
     centroid — struct order (sim first) makes array_max/array_sort rank
-    by similarity with centroid id as deterministic tie-break."""
+    by similarity with centroid id as deterministic tie-break.
+
+    Pass ``norm_col`` when the vector's L2 norm is already a column:
+    otherwise the norm fold is re-emitted per centroid, k-folding both
+    the codegen size and the per-row work."""
+    if norm_col is None:
+        norm_col = _norm_col(vec_col, dim)
     entries = []
     for i, c in enumerate(centroids):
         lit = F.array(*[F.lit(float(x)) for x in c[:dim]])
         norm = sum(float(x) * float(x) for x in c[:dim]) ** 0.5 or 1.0
-        sim = _dot_col(F.col(vec_col), lit, dim) / (_norm_col(vec_col, dim) * F.lit(norm))
+        sim = _dot_col(F.col(vec_col), lit, dim) / (norm_col * F.lit(norm))
         entries.append(F.struct(sim.alias("sim"), F.lit(i).alias("cid")))
     return F.array(*entries)
 
@@ -340,9 +351,11 @@ def ivf_train(
         for r in emb.orderBy("vec_id").limit(n_centroids).select("embedding").collect()
     ]
     for _ in range(iterations):
-        assigned = emb.select(
+        assigned = with_norm(emb, dim=dim).select(
             F.col("embedding"),
-            F.array_max(_centroid_sims("embedding", cents, dim))["cid"].alias("cid"),
+            F.array_max(_centroid_sims("embedding", cents, dim, F.col("norm")))[
+                "cid"
+            ].alias("cid"),
         )
         means = (
             assigned.select("cid", F.posexplode("embedding").alias("pos", "val"))
@@ -385,10 +398,16 @@ def ivf_topk(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
         F.col("norm").alias("n_norm"),
-        F.array_max(_centroid_sims("embedding", centroids, dim))["cid"].alias("cid"),
+        F.array_max(_centroid_sims("embedding", centroids, dim, F.col("norm")))[
+            "cid"
+        ].alias("cid"),
     )
     probes = F.slice(
-        F.reverse(F.array_sort(_centroid_sims("embedding", centroids, dim))), 1, n_probe
+        F.reverse(
+            F.array_sort(_centroid_sims("embedding", centroids, dim, F.col("norm")))
+        ),
+        1,
+        n_probe,
     )
     q = (
         with_norm(queries, dim=dim)
