@@ -193,6 +193,24 @@ def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs(emb, _D05_THRESHOLD)
 
 
+@_register(
+    "d06_neardup_resolve",
+    dedup.neardup_components_sql(
+        dedup.minhash_lsh_pairs_sql("doc_id", "text"), "doc_id"
+    ),
+)
+def d06_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup RESOLUTION: connected components over the MinHash-LSH
+    pair graph (d03's exact pairs) — one row per doc with its component
+    representative and keep/drop decision. The step that turns pair
+    lists into an actually-deduplicated corpus; transitivity means
+    A~B, B~C collapse to one keeper even when A~C was never a
+    candidate. Oracle: recursive transitive-closure CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+    return dedup.neardup_components(docs, pairs, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -49,12 +49,13 @@ DRIVER_WINDOW: list[str] = [
     "t03_quality_score",
     "t04_doc_fingerprint",
     "t05_normalize_text",
-    # -- documents: dedup family (no r01 row)
+    # -- documents: dedup family (no r01 row; d06 new this round)
     "d01_dedup_exact",
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
     "d04_simhash",
     "d05_embedding_neardup",
+    "d06_neardup_resolve",
     # -- similarity search (no r01 row; a04 new this round)
     "a01_ann_bruteforce",
     "a02_ann_lsh",
@@ -89,7 +90,6 @@ DRIVER_WINDOW: list[str] = [
     "q34_partitioned_write_readback",
     "q35_shipping_priority",
     "q44_dedup_keep_latest",
-    "q49_array_agg",
     "q50_map_functions",
 ]
 

@@ -1,0 +1,39 @@
+"""Near-dup resolution: pair lists → keep/drop decisions via connected
+components. Transitivity is the point — a chain A~B, B~C with no A~C
+pair must still collapse to one canonical doc."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_to_end_sales_etl_de_project_spark.operators.dedup import neardup_components
+
+
+def _resolve(spark, doc_ids, pair_list):
+    docs = spark.createDataFrame([(i,) for i in doc_ids], "doc_id long")
+    pairs = spark.createDataFrame(pair_list, "doc_a long, doc_b long")
+    rows = neardup_components(docs, pairs, "doc_id").collect()
+    return {r.doc_id: (r.component, r.is_canonical) for r in rows}
+
+def test_chain_and_isolates(spark):
+    # chain 1~2, 2~3, 3~4: component 1 keeps only doc 1; 9 isolated
+    got = _resolve(spark, [1, 2, 3, 4, 9], [(1, 2), (2, 3), (3, 4)])
+    assert got == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        4: (1, False),
+        9: (9, True),
+    }
+
+
+def test_two_components_min_id_wins(spark):
+    got = _resolve(spark, [5, 7, 10, 20, 30], [(7, 5), (20, 30), (30, 10)])
+    assert got[5] == (5, True) and got[7] == (5, False)
+    assert got[10] == (10, True)
+    assert got[20] == (10, False) and got[30] == (10, False)
+
+
+def test_no_pairs_everyone_canonical(spark):
+    got = _resolve(spark, [1, 2, 3], [])
+    assert all(comp == d and keep for d, (comp, keep) in got.items())
