@@ -23,7 +23,8 @@ import os
 import shutil
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from end_to_end_sales_etl_de_project_spark.config import ROUTE_PROCESSED
 from end_to_end_sales_etl_de_project_spark.ledger import Ledger
@@ -110,34 +111,28 @@ def run_pipeline(
             sales, dims["customer"], dims["store"], dims["sales_team"]
         ).cache()
 
-        # 7. marts
-        cm = customer_mart(enriched)
-        result.outputs["customer_mart"] = write_parquet(
-            cm, os.path.join(output_dir, "customer_mart"), timestamp=run_ts
-        )
-        result.row_counts["customer_mart"] = cm.count()
+        # 7/8. marts + metrics — row counts ride the WRITE pass via
+        # df.observe() (an Observation resolves once its action runs),
+        # not a second .count() action per sink: the enriched frame is
+        # cached so the old double-execution was cheap, but at cluster
+        # scale every extra action is an extra stage DAG + scheduler
+        # round-trip per sink.
+        def _write(name: str, df: DataFrame, **write_kwargs) -> None:
+            obs = Observation(f"rows-{name}")
+            observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            result.outputs[name] = write_parquet(
+                observed, os.path.join(output_dir, name), timestamp=run_ts, **write_kwargs
+            )
+            result.row_counts[name] = obs.get["rows"]
 
-        sm = sales_team_mart(enriched)
-        result.outputs["sales_team_mart"] = write_parquet(
-            sm,
-            os.path.join(output_dir, "sales_team_mart"),
+        _write("customer_mart", customer_mart(enriched))
+        _write(
+            "sales_team_mart",
+            sales_team_mart(enriched),
             partition_by=["sales_month", "store_id"],
-            timestamp=run_ts,
         )
-        result.row_counts["sales_team_mart"] = sm.count()
-
-        # 8. metrics
-        cmp_df = customer_monthly_purchase(enriched)
-        result.outputs["customer_monthly_purchase"] = write_parquet(
-            cmp_df, os.path.join(output_dir, "customer_monthly_purchase"), timestamp=run_ts
-        )
-        result.row_counts["customer_monthly_purchase"] = cmp_df.count()
-
-        inc = sales_team_incentive(enriched)
-        result.outputs["sales_team_incentive"] = write_parquet(
-            inc, os.path.join(output_dir, "sales_team_incentive"), timestamp=run_ts
-        )
-        result.row_counts["sales_team_incentive"] = inc.count()
+        _write("customer_monthly_purchase", customer_monthly_purchase(enriched))
+        _write("sales_team_incentive", sales_team_incentive(enriched))
 
         enriched.unpersist()
 
