@@ -152,6 +152,46 @@ def doc_fingerprint_sql(expr: str, k: int = 4) -> str:
     return f"list_min(list_transform({word_shingles_sql(expr, k)}, s -> {h60_sql('s')}))"
 
 
+def corpus_split(
+    col: Column | str,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    salt: str = "split-v1",
+) -> Column:
+    """Deterministic train/val/test assignment by content hash — the
+    reproducible-sampling primitive of a training-data pipeline: the
+    same document lands in the same split on every run, every engine,
+    every cluster size (no RNG, no partition-order dependence — Spark's
+    ``sample()`` guarantees neither across repartitions). Salting the
+    hash decorrelates the split from every other use of the content
+    hash (dedup grouping, fingerprints) and gives a new independent
+    split per salt value.
+
+    Hash-mod assignment is also stable under corpus growth: adding
+    documents never moves an existing document between splits, unlike
+    percentile- or sort-based splits.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    bucket = F.pmod(h60(F.concat(F.lit(salt), c)), F.lit(100))
+    return (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+
+
+def corpus_split_sql(
+    expr: str, train_pct: int = 90, val_pct: int = 5, salt: str = "split-v1"
+) -> str:
+    h = h60_sql(f"'{salt}' || {expr}")
+    # h60 is non-negative (60-bit), so plain % matches Spark's pmod
+    return (
+        f"CASE WHEN ({h}) % 100 < {train_pct} THEN 'train' "
+        f"WHEN ({h}) % 100 < {train_pct + val_pct} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
 def normalized_text_pandas(col: Column | str) -> Column:
     """Scalar Pandas UDF text normalization: NFC-normalize, lowercase,
     collapse whitespace. The ONE text op that genuinely needs Python

@@ -140,6 +140,22 @@ def t04_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text.doc_fingerprint("text", 4).alias("fingerprint"))
 
 
+_T06_ORACLE = f"""
+SELECT doc_id, {text.corpus_split_sql('text')} AS split
+FROM documents
+"""
+
+
+@_register("t06_corpus_split", _T06_ORACLE)
+def t06_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by salted content
+    hash — reproducible across runs/engines/cluster sizes and stable
+    under corpus growth (appending docs never moves existing ones),
+    which Spark's RNG-based sample() does not guarantee."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.corpus_split("text").alias("split"))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------

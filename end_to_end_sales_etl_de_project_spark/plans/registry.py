@@ -49,6 +49,7 @@ DRIVER_WINDOW: list[str] = [
     "t03_quality_score",
     "t04_doc_fingerprint",
     "t05_normalize_text",
+    "t06_corpus_split",
     # -- documents: dedup family (no r01 row; d06 new this round)
     "d01_dedup_exact",
     "d02_ngram_jaccard",
@@ -89,7 +90,6 @@ DRIVER_WINDOW: list[str] = [
     "q33_csv_roundtrip",
     "q34_partitioned_write_readback",
     "q35_shipping_priority",
-    "q44_dedup_keep_latest",
     "q50_map_functions",
 ]
 
