@@ -115,6 +115,33 @@ class Ledger:
 
     # -- writes --------------------------------------------------------
 
+    def _max_seq(self) -> int | None:
+        """Max existing seq from parquet FOOTER statistics — O(files)
+        driver-side metadata reads instead of a Spark job scanning
+        every append (the control-plane cost that grew per append;
+        compact() still bounds file count for long-lived ledgers).
+        Falls back to the full scan if any footer lacks seq stats."""
+        self._recover()
+        if not os.path.exists(self.path):
+            return None
+        try:
+            import pyarrow.parquet as pq
+
+            mx: int | None = None
+            for name in os.listdir(self.path):
+                if not name.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(self.path, name)).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["seq"]
+                for rg in range(md.num_row_groups):
+                    stats = md.row_group(rg).column(idx).statistics
+                    if stats is None or not stats.has_min_max:
+                        raise ValueError(f"no seq stats in {name}")
+                    mx = stats.max if mx is None else max(mx, stats.max)
+            return mx
+        except Exception:
+            return self.events().agg(F.max("seq")).collect()[0][0]
+
     def _append(self, records: list[tuple[str, str, str]]) -> None:
         now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
         # seq must be strictly monotonic per ledger even across clock
@@ -122,7 +149,7 @@ class Ledger:
         # current_state's latest-event ranking could tie/flip between a
         # START and its COMPLETED. Anchor on max(existing)+1.
         clock_us = int(_dt.datetime.now(_dt.timezone.utc).timestamp() * 1_000_000)
-        prev = self.events().agg(F.max("seq")).collect()[0][0]
+        prev = self._max_seq()
         seq = max(clock_us, (prev or 0) + 1)
         rows = [
             (name, loc, now, status, seq + i)
