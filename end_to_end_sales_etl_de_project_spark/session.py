@@ -52,13 +52,19 @@ def object_store_conf(
       parts, and a connection pool sized for 32 concurrent streams per
       executor.
     """
+    if access_key and not secret_key:
+        raise ValueError(
+            "access_key given without secret_key — failing at config time "
+            "beats an opaque 403 at first S3 request"
+        )
     providers = (
         "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
         if access_key
         else (
+            # hadoop-aws FQCNs: env-var creds (AWS SDK), then instance/role
+            # profile (hadoop's own wrapper) — the rotating-credential chain
             "com.amazonaws.auth.EnvironmentVariableCredentialsProvider,"
-            "com.amazonaws.auth.InstanceProfileCredentialsProvider,"
-            "org.apache.hadoop.fs.s3a.anonymous.AnonymousAWSCredentialsProvider"
+            "org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider"
         )
     )
     conf: dict[str, str] = {
@@ -74,7 +80,7 @@ def object_store_conf(
     }
     if access_key:
         conf["spark.hadoop.fs.s3a.access.key"] = access_key
-        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key or ""
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key  # validated above
     if endpoint:
         conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
         conf["spark.hadoop.fs.s3a.path.style.access"] = "true"

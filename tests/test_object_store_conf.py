@@ -11,9 +11,11 @@ from end_to_end_sales_etl_de_project_spark.session import object_store_conf
 def test_default_is_credential_chain_and_magic_committer():
     conf = object_store_conf()
     assert "access.key" not in " ".join(conf)  # no static keys by default
-    assert "InstanceProfileCredentialsProvider" in conf[
-        "spark.hadoop.fs.s3a.aws.credentials.provider"
-    ]
+    assert (
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"]
+        == "com.amazonaws.auth.EnvironmentVariableCredentialsProvider,"
+        "org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider"
+    )
     assert conf["spark.hadoop.fs.s3a.committer.name"] == "magic"
     assert conf["spark.sql.sources.commitProtocolClass"].endswith(
         "PathOutputCommitProtocol"
@@ -21,6 +23,11 @@ def test_default_is_credential_chain_and_magic_committer():
     # all keys must be spark-prefixed (hadoop confs go through spark.hadoop.*)
     assert all(k.startswith("spark.") for k in conf)
     assert all(isinstance(v, str) for v in conf.values())
+
+
+def test_access_key_without_secret_rejected():
+    with pytest.raises(ValueError, match="secret_key"):
+        object_store_conf(access_key="AKIA...")
 
 
 def test_static_keys_pin_simple_provider():
