@@ -5,9 +5,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is fully materialized via the `noop` sink (all partitions
 computed, nothing collected to the driver, no sink I/O skew). Every
-query runs twice: the first run warms plan compilation (janino codegen
-of wide expressions costs seconds and is paid once per plan shape in a
-real deployment), the second is the reported steady-state time.
+query runs three times: the first run warms plan compilation (janino
+codegen of wide expressions costs seconds and is paid once per plan
+shape in a real deployment), then the MIN of two timed runs is the
+reported steady-state time — a single timed run proved noisy (round-2
+driver run recorded q01g at 3.37 s vs 0.90-0.92 s on every other
+measurement; one GC/scheduler hiccup shouldn't read as a regression).
 """
 
 from __future__ import annotations
@@ -78,9 +81,12 @@ def main() -> None:
     for name in names:
         try:
             run(name)  # warm: plan compile + parquet footers
-            t0 = time.perf_counter()
-            run(name)
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run(name)
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
         except Exception as e:  # noqa: BLE001 — one JSON line must always appear
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 

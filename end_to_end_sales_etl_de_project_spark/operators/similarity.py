@@ -350,6 +350,11 @@ def ivf_train(
         [float(x) for x in r["embedding"]]
         for r in emb.orderBy("vec_id").limit(n_centroids).select("embedding").collect()
     ]
+    # a corpus smaller than n_centroids seeds fewer cells; clamp so the
+    # rebuild below never indexes past the seeded list
+    n_centroids = len(cents)
+    if n_centroids == 0:
+        raise ValueError("ivf_train: empty corpus — no centroids to seed")
     for _ in range(iterations):
         assigned = with_norm(emb, dim=dim).select(
             F.col("embedding"),

@@ -53,9 +53,17 @@ def fold_additive_batch(
     """
     if key_cols is None:
         key_cols = ["user_id", "event_type"]
+    import glob
+    import shutil
+
     bak0 = mart_path + ".bak"
     if not os.path.exists(mart_path) and os.path.exists(bak0):
         os.rename(bak0, mart_path)
+    # a fold that died between writing its staged dir and the swap leaves
+    # an orphaned .staged-<uuid>; sweep them here so crashes don't
+    # accumulate stale directories across restarts
+    for stale in glob.glob(mart_path + ".staged-*"):
+        shutil.rmtree(stale, ignore_errors=True)
     marker = os.path.join(mart_path, "_epoch.json")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -90,7 +98,6 @@ def fold_additive_batch(
     # staged write + swap directly (the merge already replaced every key,
     # so upsert_parquet's anti-join/dup machinery would be wasted mart
     # reads); one mart read per micro-batch total.
-    import shutil
     import uuid
 
     tmp = f"{mart_path}.staged-{uuid.uuid4().hex[:8]}"
