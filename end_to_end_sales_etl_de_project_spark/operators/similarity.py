@@ -322,16 +322,37 @@ def _centroid_sims(
 
     Pass ``norm_col`` when the vector's L2 norm is already a column:
     otherwise the norm fold is re-emitted per centroid, k-folding both
-    the codegen size and the per-row work."""
+    the codegen size and the per-row work.
+
+    Built as ONE ``transform`` lambda over an array-of-arrays literal
+    instead of k separately-unrolled dot folds: the dot-product
+    expression appears once in the plan (evaluated k times at runtime),
+    which shrinks the analyzed/compiled tree ~k-fold — with k=16 the
+    per-job planning overhead was the dominant cost of IVF training on
+    a small corpus (measured: 2.6-4.5 s/train at sf0.1 with unrolled
+    folds)."""
     if norm_col is None:
         norm_col = _norm_col(vec_col, dim)
-    entries = []
-    for i, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(x)) for x in c[:dim]])
-        norm = sum(float(x) * float(x) for x in c[:dim]) ** 0.5 or 1.0
-        sim = _dot_col(F.col(vec_col), lit, dim) / (norm_col * F.lit(norm))
-        entries.append(F.struct(sim.alias("sim"), F.lit(i).alias("cid")))
-    return F.array(*entries)
+    vc = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c[:dim]]) for c in centroids]
+    )
+    norms_lit = F.array(
+        *[
+            F.lit(sum(float(x) * float(x) for x in c[:dim]) ** 0.5 or 1.0)
+            for c in centroids
+        ]
+    )
+
+    def entry(c: Column, i: Column) -> Column:
+        prods = F.zip_with(
+            F.slice(vc, 1, dim), c, lambda x, y: x.cast("double") * y.cast("double")
+        )
+        dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        sim = dot / (norm_col * F.element_at(norms_lit, (i + 1).cast("int")))
+        return F.struct(sim.alias("sim"), i.cast("int").alias("cid"))
+
+    return F.transform(cents_lit, entry)
 
 
 def ivf_train(
