@@ -61,6 +61,12 @@ HEADLINE = [
     "a01_ann_bruteforce",
     "a02_ann_lsh",
     "a04_ann_ivf",
+    # round-3 curation surface (regressions visible from r3 on)
+    "d07_decontaminate",
+    "t09_tfidf_top_terms",
+    "c01_curate_corpus",
+    "e10_value_deciles",
+    "q57_jsonl_roundtrip",
 ]
 
 

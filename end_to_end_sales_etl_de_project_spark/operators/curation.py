@@ -1,0 +1,296 @@
+"""Corpus-curation operators: train/test decontamination, TF-IDF term
+extraction, and the end-to-end curation capstone (quality filter →
+exact dedup → near-dup resolution → split assignment).
+
+Not present in the reference (its pipeline stops at mart building);
+these compose the dedup/text primitives into the decision stages an
+LLM-data pipeline runs before training. Everything is built-in Spark
+SQL (codegen'd, no Python), deterministic, and oracle-twinned.
+
+Scale design:
+
+- Decontamination is THE standard shape used on real corpora: the
+  test-set shingle inventory joins the (deduplicated) train shingle
+  inventory on an 8-byte hash — an equi-join whose shuffle carries
+  longs, never text. Train-side dedup happens BEFORE the join
+  (map-side-combinable distinct), so a boilerplate shingle appearing in
+  a million train docs contributes ONE row to the join, not a fanout.
+- TF-IDF is two map-side-combinable aggregations (term counts, then
+  document frequencies) + an equi-join on the term; the corpus-size
+  scalar rides a 1-row broadcast (how Catalyst executes scalar
+  subqueries), never a driver-side collect in the data path.
+- The curation capstone chains each stage's SURVIVORS into the next, so
+  the expensive near-dup stage sees only quality-passing, exact-unique
+  docs — the same ordering (cheap filters first) any production
+  curation run uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from end_to_end_sales_etl_de_project_spark.functions.hashing import h60, h60_sql
+from end_to_end_sales_etl_de_project_spark.operators import dedup
+from end_to_end_sales_etl_de_project_spark.operators.text import (
+    corpus_split,
+    corpus_split_sql,
+    quality_bucket,
+    quality_bucket_sql,
+    shingles_from_tokens,
+    tokens,
+    tokens_sql,
+    word_shingles_sql,
+)
+
+# ---------------------------------------------------------------------------
+# Train/test decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_report(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Per TEST-split document: how many of its distinct k-gram shingles
+    also occur anywhere in the TRAIN split. A test doc sharing verbatim
+    k-grams with training data inflates eval scores; this is the check
+    (and the join shape) used to decontaminate benchmark sets against
+    pretraining corpora.
+
+    Splits come from :func:`corpus_split` (deterministic content-hash
+    assignment), so the report itself is reproducible. Output: one row
+    per test doc — (doc_id, n_shingles, n_contaminated,
+    is_contaminated), including zero-overlap docs via the left join.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        corpus_split(text_col).alias("split"),
+        tokens(text_col).alias("toks"),
+    ).select(
+        "doc", "split", shingles_from_tokens(F.col("toks"), k).alias("sh")
+    )
+    test_docs = base.filter(F.col("split") == "test").select(
+        "doc", F.size("sh").cast("bigint").alias("n_shingles")
+    )
+    test_sh = (
+        base.filter(F.col("split") == "test")
+        .select("doc", F.explode("sh").alias("s"))
+        .select("doc", h60(F.col("s")).alias("h"))
+    )
+    train_set = (
+        base.filter(F.col("split") == "train")
+        .select(F.explode("sh").alias("s"))
+        .select(h60(F.col("s")).alias("h"))
+        .distinct()
+    )
+    hits = test_sh.join(train_set, "h").groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        test_docs.join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("bigint").alias(
+                "n_contaminated"
+            ),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
+def contamination_report_sql(
+    id_col: str = "doc_id", text_col: str = "text", k: int = 5, table: str = "documents"
+) -> str:
+    sh = word_shingles_sql(text_col, k)
+    split = corpus_split_sql(text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc, {split} AS split, {sh} AS sh FROM {table}
+),
+tests AS (SELECT doc, len(sh) AS n_shingles FROM base WHERE split = 'test'),
+test_sh AS (
+  SELECT doc, {h60_sql('s')} AS h
+  FROM (SELECT doc, unnest(sh) AS s FROM base WHERE split = 'test')
+),
+train_set AS (
+  SELECT DISTINCT {h60_sql('s')} AS h
+  FROM (SELECT unnest(sh) AS s FROM base WHERE split = 'train')
+),
+hits AS (
+  SELECT doc, COUNT(*) AS n_contaminated
+  FROM test_sh JOIN train_set USING (h) GROUP BY 1
+)
+SELECT t.doc AS {id_col},
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       COALESCE(h.n_contaminated, 0) > 0 AS is_contaminated
+FROM tests t LEFT JOIN hits h USING (doc)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", top_n: int = 3
+) -> DataFrame:
+    """Top-``top_n`` characteristic terms per document by TF-IDF with
+    reciprocal-df weighting: score = tf * (N / df) in double.
+
+    Deliberately NO logarithm: ``ln`` is a libm call whose low bits are
+    not guaranteed identical across engines, which would break the
+    exact-hash oracle; reciprocal weighting preserves the per-document
+    ranking (monotone in df for fixed tf) using only IEEE +,*,/ — and
+    per the repo determinism rules, bit-reproducibility wins over the
+    textbook formula. Ties rank alphabetically.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = tok.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(dfreq, "token").crossJoin(F.broadcast(n_docs))
+    score = F.col("tf").cast("double") * (
+        F.col("n_docs").cast("double") / F.col("df").cast("double")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score",
+        )
+    )
+
+
+def tfidf_top_terms_sql(
+    id_col: str = "doc_id", text_col: str = "text", top_n: int = 3, table: str = "documents"
+) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc, unnest({toks}) AS token FROM {table}
+),
+tf AS (SELECT doc, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+scored AS (
+  SELECT doc, token, tf, df,
+         CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc, token, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc ORDER BY score DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc AS {id_col}, CAST(rank AS INTEGER) AS rank, token,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM ranked WHERE rank <= {top_n}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Curation capstone: filter → exact dedup → near-dup resolve → split
+# ---------------------------------------------------------------------------
+
+
+def curate_corpus(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The full curation decision per document — what an LLM-data
+    pipeline runs end-to-end before training:
+
+    1. quality gate (:func:`~.text.quality_bucket` != 'ok' → dropped)
+    2. exact dedup (non-minimal id within a text-hash group → dropped)
+    3. near-dup resolution (MinHash-LSH pairs → connected components;
+       non-canonical member → dropped)
+    4. split assignment (:func:`~.text.corpus_split`) for the keepers
+
+    Output: one row per input doc — (doc_id, stage, split) where stage
+    ∈ {kept, dropped_quality, dropped_exact_dup, dropped_near_dup}
+    and split is null for dropped docs. Each stage only processes the
+    previous stage's survivors (cheap filters first), so the pair-graph
+    work runs on the smallest possible corpus.
+    """
+    base = docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+    ok = base.filter(quality_bucket("text") == "ok")
+    canon = (
+        ok.select("doc", h60(F.col("text")).alias("th"))
+        .groupBy("th")
+        .agg(F.min("doc").alias("canon_doc"))
+    )
+    exact = ok.select("doc", "text", h60(F.col("text")).alias("th")).join(
+        canon, "th"
+    )
+    survivors = exact.filter(F.col("doc") == F.col("canon_doc")).select("doc", "text")
+    pairs = dedup.minhash_lsh_pairs(survivors, "doc", "text")
+    comps = dedup.neardup_components(survivors, pairs, "doc").select(
+        F.col("doc_id").alias("doc"), "is_canonical"
+    )
+    decided = (
+        base.join(
+            exact.select("doc", F.col("canon_doc")), "doc", "left"
+        )
+        .join(comps, "doc", "left")
+    )
+    stage = (
+        F.when(F.col("canon_doc").isNull(), "dropped_quality")
+        .when(F.col("doc") != F.col("canon_doc"), "dropped_exact_dup")
+        .when(~F.col("is_canonical"), "dropped_near_dup")
+        .otherwise("kept")
+    )
+    return decided.select(
+        F.col("doc").alias(id_col),
+        stage.alias("stage"),
+        F.when(stage == "kept", corpus_split("text")).alias("split"),
+    )
+
+
+def curate_corpus_sql(
+    id_col: str = "doc_id", text_col: str = "text", table: str = "documents"
+) -> str:
+    qb = quality_bucket_sql(text_col)
+    th = h60_sql(text_col)
+    pairs_sql = dedup.minhash_lsh_pairs_sql("doc", "text", table="surv")
+    comp_sql = dedup.neardup_components_sql(pairs_sql, "doc", table="surv")
+    split = corpus_split_sql(f"d.{text_col}")
+    return f"""
+WITH ok AS (
+  SELECT {id_col} AS doc, {text_col} AS text FROM {table} WHERE ({qb}) = 'ok'
+),
+canon AS (
+  SELECT {h60_sql('text')} AS th, MIN(doc) AS canon_doc FROM ok GROUP BY 1
+),
+ex AS (
+  SELECT o.doc, o.text, c.canon_doc
+  FROM ok o JOIN canon c ON {h60_sql('o.text')} = c.th
+),
+surv AS (SELECT doc, text FROM ex WHERE doc = canon_doc),
+comp AS (SELECT * FROM ({comp_sql}) z)
+SELECT d.{id_col},
+       CASE WHEN e.canon_doc IS NULL THEN 'dropped_quality'
+            WHEN d.{id_col} <> e.canon_doc THEN 'dropped_exact_dup'
+            WHEN NOT comp.is_canonical THEN 'dropped_near_dup'
+            ELSE 'kept' END AS stage,
+       CASE WHEN e.canon_doc IS NOT NULL AND d.{id_col} = e.canon_doc
+                 AND comp.is_canonical
+            THEN {split} ELSE NULL END AS split
+FROM {table} d
+LEFT JOIN ex e ON d.{id_col} = e.doc
+LEFT JOIN comp ON d.{id_col} = comp.doc_id
+"""

@@ -176,6 +176,69 @@ def doc_fingerprint_sql(expr: str, k: int = 4) -> str:
     return f"list_min(list_transform({word_shingles_sql(expr, k)}, s -> {h60_sql('s')}))"
 
 
+def quality_bucket(col: Column | str) -> Column:
+    """Routing bucket of the composite quality filter (length +
+    punctuation density) — the drop/keep decision a curation pipeline
+    acts on. Shared by the t03 scoring query and the c01 curation
+    capstone so both stages apply identical thresholds."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = word_count(c)
+    punct_ratio = punct_count(c) / F.length(c).cast("double")
+    return (
+        F.when(words < 10, "too_short")
+        .when(punct_ratio > 0.2, "too_puncty")
+        .otherwise("ok")
+    )
+
+
+def quality_bucket_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN {word_count_sql(expr)} < 10 THEN 'too_short' "
+        f"WHEN {punct_count_sql(expr)} / CAST(length({expr}) AS DOUBLE) > 0.2 "
+        f"THEN 'too_puncty' ELSE 'ok' END"
+    )
+
+
+def stratified_keep(
+    strat_col: Column | str,
+    content_col: Column | str,
+    rates: dict[str, int],
+    default_pct: int,
+    salt: str = "sample-v1",
+) -> Column:
+    """Deterministic per-stratum downsampling decision: keep a row iff
+    its salted content-hash bucket (0-99) falls under the stratum's
+    keep percentage. The training-mix primitive — e.g. downsample the
+    dominant language while keeping the tail — with the same guarantees
+    as :func:`corpus_split`: reproducible across engines/cluster sizes,
+    stable under corpus growth, zero RNG. Per-row projection, no
+    shuffle; the rate lookup is a literal CASE chain (codegen'd), never
+    a join."""
+    sc = F.col(strat_col) if isinstance(strat_col, str) else strat_col
+    cc = F.col(content_col) if isinstance(content_col, str) else content_col
+    bucket = F.pmod(h60(F.concat(F.lit(salt), cc)), F.lit(100))
+    rate: Column = F.lit(default_pct)
+    for stratum, pct in rates.items():
+        rate = F.when(sc == stratum, F.lit(pct)).otherwise(rate)
+    return bucket < rate
+
+
+def stratified_keep_sql(
+    strat_expr: str,
+    content_expr: str,
+    rates: dict[str, int],
+    default_pct: int,
+    salt: str = "sample-v1",
+) -> str:
+    h = h60_sql(f"'{salt}' || {content_expr}")
+    # build the CASE chain in the same last-wins order as the Spark
+    # when()-fold (later dict entries override earlier ones)
+    rate = str(default_pct)
+    for stratum, pct in rates.items():
+        rate = f"CASE WHEN {strat_expr} = '{stratum}' THEN {pct} ELSE {rate} END"
+    return f"(({h}) % 100) < ({rate})"
+
+
 def corpus_split(
     col: Column | str,
     train_pct: int = 90,

@@ -937,6 +937,56 @@ def q33_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("q56_orc_roundtrip", _Q33_ORACLE)
+def q56_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan under the correctness gate (columnar alternative
+    the reference lacks; Spark ships the reader/writer built in). Same
+    contract as q33: write, re-read, and any roundtrip loss
+    hash-mismatches against the parquet-reading oracle. ORC preserves
+    decimals natively — the exact-decimal column travels as decimal."""
+    import hashlib
+    import tempfile
+
+    out = f"{tempfile.gettempdir()}/engine-orcrt-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        money("o_totalprice").alias("total_price"),
+    )
+    orders.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).withColumn(
+        "total_price", F.col("total_price").cast("double")
+    )
+
+
+@_register("q57_jsonl_roundtrip", _Q33_ORACLE)
+def q57_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Lines sink + schema'd scan under the correctness gate — the
+    interchange format training-data pipelines ingest most. Read back
+    with an EXPLICIT schema (no inference pass): the decimal column is
+    parsed from the JSON digits exactly, so the oracle hash still
+    matches bit-for-bit."""
+    import hashlib
+    import tempfile
+
+    out = f"{tempfile.gettempdir()}/engine-jsonrt-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        money("o_totalprice").alias("total_price"),
+    )
+    orders.write.mode("overwrite").json(out)
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " total_price decimal(18,2)"
+    )
+    return spark.read.json(out, schema=schema).withColumn(
+        "total_price", F.col("total_price").cast("double")
+    )
+
+
 _Q34_ORACLE = """
 SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS sales_month,
        o_orderstatus,

@@ -16,7 +16,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from end_to_end_sales_etl_de_project_spark.operators import dedup, multimodal, similarity, text
+from end_to_end_sales_etl_de_project_spark.operators import (
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
 
 DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -96,10 +102,7 @@ SELECT doc_id,
          + (1.0 - least({text.punct_count_sql('text')}
                         / CAST(length(text) AS DOUBLE) / 0.2, 1.0)) * 0.2
          AS quality_score,
-       CASE WHEN {text.word_count_sql('text')} < 10 THEN 'too_short'
-            WHEN {text.punct_count_sql('text')} / CAST(length(text) AS DOUBLE) > 0.2
-              THEN 'too_puncty'
-            ELSE 'ok' END AS quality_bucket
+       {text.quality_bucket_sql('text')} AS quality_bucket
 FROM documents
 """
 
@@ -117,13 +120,10 @@ def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.least(stop_ratio / F.lit(0.1), F.lit(1.0)) * 0.3
         + (F.lit(1.0) - F.least(punct_ratio / F.lit(0.2), F.lit(1.0))) * 0.2
     )
-    bucket = (
-        F.when(words < 10, "too_short")
-        .when(punct_ratio > 0.2, "too_puncty")
-        .otherwise("ok")
-    )
     return docs.select(
-        "doc_id", score.alias("quality_score"), bucket.alias("quality_bucket")
+        "doc_id",
+        score.alias("quality_score"),
+        text.quality_bucket("text").alias("quality_bucket"),
     )
 
 
@@ -320,6 +320,104 @@ def a04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _IVF_MODELS:
         _IVF_MODELS[sf_dir] = similarity.ivf_train(emb, 16)
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), centroids=_IVF_MODELS[sf_dir])
+
+
+# Intra-document repetition: total k-gram windows vs distinct shingles.
+# n_windows uses the same guarded sequence as word_shingles (docs
+# shorter than k words have 0 windows, ratio 0).
+_T07_K = 3
+_T07_ORACLE = f"""
+SELECT doc_id,
+       CAST(greatest(len({text.tokens_sql('text')}) - {_T07_K - 1}, 0) AS BIGINT)
+         AS n_windows,
+       CAST(len({text.word_shingles_sql('text', _T07_K)}) AS BIGINT) AS n_distinct,
+       CASE WHEN greatest(len({text.tokens_sql('text')}) - {_T07_K - 1}, 0) > 0
+            THEN 1.0 - CAST(len({text.word_shingles_sql('text', _T07_K)}) AS DOUBLE)
+                       / CAST(greatest(len({text.tokens_sql('text')}) - {_T07_K - 1}, 0) AS DOUBLE)
+            ELSE 0.0 END AS repetition_ratio
+FROM documents
+"""
+
+
+@_register("t07_repetition", _T07_ORACLE)
+def t07_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio — 1 - distinct/total k-gram
+    windows. The boilerplate/loop-detection quality signal (heavily
+    repeated docs are low-value training data). Pure projection with
+    the two-step tokenization; zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", text.tokens("text").alias("toks"))
+    toks = F.col("toks")
+    n_windows = (
+        F.when(F.size(toks) >= _T07_K, F.size(toks) - (_T07_K - 1))
+        .otherwise(0)
+        .cast("bigint")
+    )
+    n_distinct = F.size(text.shingles_from_tokens(toks, _T07_K)).cast("bigint")
+    ratio = (
+        F.when(
+            n_windows > 0,
+            F.lit(1.0) - n_distinct.cast("double") / n_windows.cast("double"),
+        )
+        .otherwise(0.0)
+    )
+    return toked.select(
+        "doc_id",
+        n_windows.alias("n_windows"),
+        n_distinct.alias("n_distinct"),
+        ratio.alias("repetition_ratio"),
+    )
+
+
+# Downsample the dominant stratum (en → 10%), keep the tail at 60%.
+_T08_RATES = {"en": 10}
+_T08_DEFAULT = 60
+_T08_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {text.stratified_keep_sql('lang', 'text', _T08_RATES, _T08_DEFAULT)}
+"""
+
+
+@_register("t08_stratified_sample", _T08_ORACLE)
+def t08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (training-mix control):
+    salted content-hash bucket vs per-stratum keep rate — reproducible
+    across engines and cluster sizes, stable under corpus growth,
+    unlike RNG ``sample()``. Per-row filter, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        text.stratified_keep("lang", "text", _T08_RATES, _T08_DEFAULT)
+    ).select("doc_id", "lang")
+
+
+@_register("d07_decontaminate", curation.contamination_report_sql())
+def d07_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination report: per test-split doc, how many
+    of its distinct 5-gram shingles occur anywhere in the train split.
+    Equi-join on 8-byte shingle hashes; the train inventory is
+    deduplicated BEFORE the join (no hot-shingle fanout)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.contamination_report(docs)
+
+
+@_register("t09_tfidf_top_terms", curation.tfidf_top_terms_sql())
+def t09_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by reciprocal-df TF-IDF
+    (log-free for cross-engine bit-determinism). Two map-side
+    aggregations + term equi-join + per-doc rank window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.tfidf_top_terms(docs)
+
+
+@_register("c01_curate_corpus", curation.curate_corpus_sql())
+def c01_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone: quality gate → exact dedup → near-dup
+    resolution (MinHash-LSH + connected components) → split assignment,
+    one decision row per document. Oracle: the same four stages as
+    chained CTEs over the recursive transitive-closure twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.curate_corpus(docs)
 
 
 @_register("t05_normalize_text", None)  # scalar pandas_udf: rows-only check

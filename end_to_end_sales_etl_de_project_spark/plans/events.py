@@ -263,3 +263,49 @@ def e09_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_value"),
         F.when(k >= 50, "high").otherwise("low").alias("k_bucket"),
     )
+
+
+# Decile assignment needs a TOTAL order to be cross-engine
+# deterministic: (value, event_id) is unique, so tie rows can't swap
+# across a decile boundary between engines.
+_E10_ORACLE = """
+WITH d AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM d
+GROUP BY 1, 2
+"""
+
+
+@_register("e10_value_deciles", _E10_ORACLE)
+def e10_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value deciles (quantile bucketing — the curriculum /
+    difficulty-binning primitive): ntile over a total order, then
+    per-bucket stats. One shuffle on event_type for the window, one
+    map-side-combinable aggregation; the decimal-sum discipline keeps
+    the per-bucket totals bit-deterministic."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .withColumn("decile", F.col("decile").cast("int"))
+        .select(
+            "event_type", "decile", "n_events", "min_value", "max_value", "total_value"
+        )
+    )

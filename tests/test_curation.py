@@ -1,0 +1,116 @@
+"""Curation operators: stage coverage for curate_corpus on planted
+docs (the sf corpora have no quality-fail or exact-dup docs, so the
+oracle parity run alone can't exercise those branches), plus
+decontamination and stratified-sampling behavior pins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_to_end_sales_etl_de_project_spark.operators import curation, text
+
+LONG_A = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(20))
+LONG_B = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(20))
+
+
+def test_curate_corpus_stages(spark):
+    # doc 1: quality fail (too short); docs 2,3: exact dups (3 loses);
+    # docs 4,5: near dups (one word changed; 5 loses); doc 6: unique keeper
+    near_a = LONG_A
+    near_b = LONG_A.replace("alpha7", "OMEGA", 1)
+    rows = [
+        (1, "tiny doc"),
+        (2, LONG_B),
+        (3, LONG_B),
+        (4, near_a),
+        (5, near_b),
+        (6, "unique " + LONG_A.replace("beta", "kappa")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation.curate_corpus(docs).collect()}
+    assert out[1]["stage"] == "dropped_quality"
+    assert out[2]["stage"] == "kept"
+    assert out[3]["stage"] == "dropped_exact_dup"
+    assert out[4]["stage"] == "kept"
+    assert out[5]["stage"] == "dropped_near_dup"
+    assert out[6]["stage"] == "kept"
+    # split only for keepers, and consistent with corpus_split
+    for i in (1, 3, 5):
+        assert out[i]["split"] is None
+    for i in (2, 4, 6):
+        assert out[i]["split"] in ("train", "val", "test")
+
+
+def test_contamination_planted(spark):
+    # Build texts whose split assignment we discover first, then assert
+    # overlap is detected between a train doc and a test doc sharing a
+    # 5-gram, using the report end-to-end.
+    candidates = [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g") for i in range(200)]
+    docs = spark.createDataFrame(candidates, "doc_id long, text string")
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in docs.select(
+            "doc_id", text.corpus_split("text").alias("split")
+        ).collect()
+    }
+    train_ids = [i for i, s in splits.items() if s == "train"]
+    test_ids = [i for i, s in splits.items() if s == "test"]
+    assert train_ids and test_ids, "need both splits in the sample"
+    # contaminate: append one test doc's text onto one train doc so the
+    # test doc's every 5-gram occurs in the train side
+    t_id, tr_id = test_ids[0], train_ids[0]
+    texts = dict(candidates)
+    texts[tr_id] = texts[tr_id] + " " + texts[t_id]
+    docs2 = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    rep = {r["doc_id"]: r for r in curation.contamination_report(docs2).collect()}
+    # appending text changes the train doc's hash bucket only for itself;
+    # the chosen test doc keeps its split (text unchanged)
+    if t_id in rep:
+        assert rep[t_id]["is_contaminated"]
+        assert rep[t_id]["n_contaminated"] == rep[t_id]["n_shingles"]
+    clean = [r for r in rep.values() if not r["is_contaminated"]]
+    assert clean, "expected at least one uncontaminated test doc"
+    assert all(r["n_contaminated"] == 0 for r in clean)
+
+
+def test_stratified_keep_rates(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr", f"text body number {i}") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = (
+        docs.filter(text.stratified_keep("lang", "text", {"en": 10}, 60))
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    by_lang = {r["lang"]: r["count"] for r in kept}
+    # 1000 docs per lang: en ~10%, fr ~60% — generous tolerance, zero RNG
+    assert 50 <= by_lang["en"] <= 160
+    assert 500 <= by_lang["fr"] <= 700
+    # determinism: second evaluation is identical
+    again = (
+        docs.filter(text.stratified_keep("lang", "text", {"en": 10}, 60))
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    assert {r["lang"]: r["count"] for r in again} == by_lang
+
+
+def test_tfidf_rank_is_per_doc_and_bounded(spark):
+    rows = [
+        (1, "apple apple banana common common common"),
+        (2, "banana cherry common common common common"),
+        (3, "date date date common apple cherry"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.tfidf_top_terms(docs, top_n=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == [1, 2]
+    # doc 3's signature term is 'date' (tf=3, df=1)
+    top3 = min(by_doc[3], key=lambda r: r["rank"])
+    assert top3["token"] == "date"

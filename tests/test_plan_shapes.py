@@ -74,3 +74,31 @@ def test_aggregations_have_partial_aggregation(spark, name):
     """Map-side combine: two HashAggregate levels around one exchange."""
     plan = plan_of(spark, name)
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_decontamination_never_cross_joins(spark):
+    """d07's test×train comparison must stay an equi-join on the shingle
+    hash — a cross join here is quadratic in corpus size."""
+    plan = plan_of(spark, "d07_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_deciles_single_shuffle(spark):
+    """e10: one exchange for the per-type window; the decile aggregation
+    reuses that partitioning (partial agg still applies)."""
+    plan = plan_of(spark, "e10_value_deciles")
+    assert _shuffle_exchanges(plan) <= 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_tfidf_corpus_count_rides_broadcast(spark):
+    """t09's corpus-size scalar joins as a 1-row broadcast (the scalar-
+    subquery shape) — the only nested-loop join allowed in the plan."""
+    import re
+
+    plan = plan_of(spark, "t09_tfidf_top_terms")
+    assert "CartesianProduct" not in plan
+    # node headers only (the formatted details section repeats names)
+    bnl_nodes = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, flags=re.M)
+    assert len(bnl_nodes) <= 1, plan
