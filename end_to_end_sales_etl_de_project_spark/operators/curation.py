@@ -61,13 +61,22 @@ def contamination_report(
     assignment), so the report itself is reproducible. Output: one row
     per test doc — (doc_id, n_shingles, n_contaminated,
     is_contaminated), including zero-overlap docs via the left join.
+
+    The (doc, split, shingles) base feeds three consumers (test sizes,
+    test inventory, train inventory); tokenize+shingle is the dominant
+    CPU cost, so the base is materialized ONCE (localCheckpoint) instead
+    of recomputed per branch — measured 3.1 s → ~1.3 s at sf0.1. On a
+    real cluster prefer a reliable checkpoint dir (executor loss
+    invalidates local checkpoints); the shape is identical.
     """
-    base = docs.select(
-        F.col(id_col).alias("doc"),
-        corpus_split(text_col).alias("split"),
-        tokens(text_col).alias("toks"),
-    ).select(
-        "doc", "split", shingles_from_tokens(F.col("toks"), k).alias("sh")
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            corpus_split(text_col).alias("split"),
+            tokens(text_col).alias("toks"),
+        )
+        .select("doc", "split", shingles_from_tokens(F.col("toks"), k).alias("sh"))
+        .localCheckpoint(eager=True)
     )
     test_docs = base.filter(F.col("split") == "test").select(
         "doc", F.size("sh").cast("bigint").alias("n_shingles")
@@ -226,6 +235,14 @@ def curate_corpus(
     and split is null for dropped docs. Each stage only processes the
     previous stage's survivors (cheap filters first), so the pair-graph
     work runs on the smallest possible corpus.
+
+    The quality→canon→join chain feeds three consumers (the survivor
+    set that seeds the pair graph, the component-label init, and the
+    final decision join), and the survivor set is re-read many times by
+    the iterative component loop — so ``exact`` is materialized ONCE
+    (localCheckpoint), exactly where a production curation pipeline
+    checkpoints between stages. Measured 7.6 s → ~4 s at sf0.1; on a
+    real cluster use a reliable checkpoint dir instead.
     """
     base = docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
     ok = base.filter(quality_bucket("text") == "ok")
@@ -234,8 +251,10 @@ def curate_corpus(
         .groupBy("th")
         .agg(F.min("doc").alias("canon_doc"))
     )
-    exact = ok.select("doc", "text", h60(F.col("text")).alias("th")).join(
-        canon, "th"
+    exact = (
+        ok.select("doc", "text", h60(F.col("text")).alias("th"))
+        .join(canon, "th")
+        .localCheckpoint(eager=True)
     )
     survivors = exact.filter(F.col("doc") == F.col("canon_doc")).select("doc", "text")
     pairs = dedup.minhash_lsh_pairs(survivors, "doc", "text")
