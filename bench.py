@@ -67,6 +67,9 @@ HEADLINE = [
     "c01_curate_corpus",
     "e10_value_deciles",
     "q57_jsonl_roundtrip",
+    "t11_token_packing",
+    "e11_ohlc_hourly",
+    "q58_sorted_layout_readback",
 ]
 
 

@@ -280,6 +280,140 @@ def curate_corpus(
     )
 
 
+def training_manifest(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    k: int = 5,
+) -> DataFrame:
+    """Corpus in, training manifest out — the end-to-end composition a
+    training run consumes:
+
+    1. :func:`curate_corpus` decides keep/drop + split per doc
+    2. TEST keepers are flagged if any of their k-gram shingles occur
+       in the TRAIN keepers (decontamination, d07's join shape)
+    3. TRAIN keepers are packed into ``budget``-token bins in salted
+       hash order (t11's window shape)
+
+    Output: one row per KEPT doc — (doc_id, split, n_tokens,
+    bin_id [train only], is_contaminated [test only]). Dropped docs are
+    absent (the manifest is what the loader reads, not an audit log —
+    c01 is the audit view).
+
+    The kept set feeds three consumers (train inventory, test
+    inventory, packing), so it is materialized once, same rationale as
+    the checkpoint in :func:`contamination_report`.
+    """
+    decisions = curate_corpus(docs, id_col, text_col)
+    kept = (
+        decisions.filter(F.col("stage") == "kept")
+        .select(id_col, "split")
+        .join(docs.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            "split",
+            F.col(text_col).alias("text"),
+            tokens(text_col).alias("toks"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sh = kept.select(
+        "doc", "split", F.explode(shingles_from_tokens(F.col("toks"), k)).alias("s")
+    ).select("doc", "split", h60(F.col("s")).alias("h"))
+    train_set = sh.filter(F.col("split") == "train").select("h").distinct()
+    contaminated = (
+        sh.filter(F.col("split") == "test")
+        .join(train_set, "h")
+        .select("doc")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    from pyspark.sql import Window
+
+    sized = kept.select(
+        "doc",
+        "split",
+        F.size(F.col("toks")).cast("bigint").alias("n_tokens"),
+        h60(F.concat(F.lit("pack-v1"), F.col("text"))).alias("ord"),
+    )
+    w = (
+        Window.partitionBy("split")
+        .orderBy("ord", "doc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sized.select(
+        "doc",
+        "split",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        packed.join(contaminated, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "split",
+            "n_tokens",
+            F.when(
+                F.col("split") == "train",
+                F.expr(f"cum_before div {budget}"),
+            )
+            .cast("bigint")
+            .alias("bin_id"),
+            F.when(
+                F.col("split") == "test", F.coalesce(F.col("is_contaminated"), F.lit(False))
+            ).alias("is_contaminated"),
+        )
+    )
+
+
+def training_manifest_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    k: int = 5,
+    table: str = "documents",
+) -> str:
+    cur = curate_corpus_sql(id_col, text_col, table)
+    sh = word_shingles_sql("text", k)
+    toks = tokens_sql("text")
+    return f"""
+WITH cur AS (SELECT * FROM ({cur}) c0),
+kept AS (
+  SELECT c.{id_col} AS doc, c.split, d.{text_col} AS text
+  FROM cur c JOIN {table} d ON c.{id_col} = d.{id_col}
+  WHERE c.stage = 'kept'
+),
+sh AS (
+  SELECT doc, split, {h60_sql('s')} AS h
+  FROM (SELECT doc, split, unnest({sh}) AS s FROM kept)
+),
+train_set AS (SELECT DISTINCT h FROM sh WHERE split = 'train'),
+contaminated AS (
+  SELECT DISTINCT s.doc, TRUE AS is_contaminated
+  FROM sh s JOIN train_set t USING (h) WHERE s.split = 'test'
+),
+sized AS (
+  SELECT doc, split, CAST(len({toks}) AS BIGINT) AS n_tokens,
+         {h60_sql("'pack-v1' || text")} AS ord
+  FROM kept
+),
+packed AS (
+  SELECT doc, split, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY split ORDER BY ord, doc
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_before
+  FROM sized
+)
+SELECT p.doc AS {id_col}, p.split, p.n_tokens,
+       CASE WHEN p.split = 'train' THEN CAST(p.cum_before // {budget} AS BIGINT)
+            ELSE NULL END AS bin_id,
+       CASE WHEN p.split = 'test' THEN COALESCE(c.is_contaminated, FALSE)
+            ELSE NULL END AS is_contaminated
+FROM packed p LEFT JOIN contaminated c USING (doc)
+"""
+
+
 def curate_corpus_sql(
     id_col: str = "doc_id", text_col: str = "text", table: str = "documents"
 ) -> str:

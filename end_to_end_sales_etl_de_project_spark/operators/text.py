@@ -26,6 +26,12 @@ TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 WORD_REGEX = "[A-Za-z0-9]+"
 PUNCT_REGEX = "[^A-Za-z0-9 ]"
 
+# PII patterns restricted to the Java-regex ∩ RE2 common subset (no
+# backreferences, no lookaround) so the Spark expression and the DuckDB
+# oracle compile the SAME automaton.
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_REGEX = r"\b\d{3}-\d{3}-\d{4}\b"
+
 # Function-word stopword sets for the n-gram-free language-ID heuristic.
 # Ordered: ties resolve to the earlier language.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -73,6 +79,42 @@ def punct_count(col: Column | str) -> Column:
 
 def punct_count_sql(expr: str) -> str:
     return f"CAST(len(regexp_extract_all({expr}, '{PUNCT_REGEX}')) AS BIGINT)"
+
+
+def pii_email_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(EMAIL_REGEX)).cast("bigint")
+
+
+def pii_email_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{EMAIL_REGEX}')) AS BIGINT)"
+
+
+def pii_phone_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PHONE_REGEX)).cast("bigint")
+
+
+def pii_phone_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{PHONE_REGEX}')) AS BIGINT)"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every email / phone occurrence with a typed placeholder —
+    the scrubbing stage a training corpus passes before release. Chained
+    ``regexp_replace`` (replace-all in both engines), JVM-side and
+    codegen'd; the pattern subset compiles identically under Java regex
+    and RE2 so the DuckDB twin is exact."""
+    c = F.col(col) if isinstance(col, str) else col
+    redacted = F.regexp_replace(c, EMAIL_REGEX, "<EMAIL>")
+    return F.regexp_replace(redacted, PHONE_REGEX, "<PHONE>")
+
+
+def redact_pii_sql(expr: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({expr}, '{EMAIL_REGEX}', '<EMAIL>', 'g'), "
+        f"'{PHONE_REGEX}', '<PHONE>', 'g')"
+    )
 
 
 def stopword_hits(col: Column | str, lang: str) -> Column:

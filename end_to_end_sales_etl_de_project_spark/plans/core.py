@@ -1608,3 +1608,43 @@ def q55_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_suppliers"),
         )
     )
+
+
+_Q58_ORACLE = """
+SELECT substr(CAST(l_shipdate AS VARCHAR), 1, 7) AS ship_month,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE CAST(l_shipdate AS VARCHAR) >= '1997-06-01'
+GROUP BY 1
+"""
+
+
+@_register("q58_sorted_layout_readback", _Q58_ORACLE)
+def q58_sorted_layout_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping layout: write lineitem range-partitioned + sorted
+    by l_shipdate, re-read with a date predicate, aggregate. The layout
+    is the point — range partitioning makes every file's shipdate span
+    disjoint, so parquet row-group min/max stats prune the cold files
+    at scan time (the same reason warehouses Z-order/cluster fact
+    tables). tests/test_plan_shapes.py asserts the written files have
+    non-overlapping shipdate ranges via their parquet footers; the
+    oracle reads the ORIGINAL table, so layout round-trip loss would
+    hash-mismatch. Scratch dir keyed on sf_dir, overwritten per call."""
+    import hashlib
+    import tempfile
+
+    out = f"{tempfile.gettempdir()}/engine-sortrt-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", money("l_extendedprice").alias("price")
+    )
+    li.repartitionByRange(8, "l_shipdate").sortWithinPartitions("l_shipdate").write.mode(
+        "overwrite"
+    ).parquet(out)
+    back = spark.read.parquet(out).filter(F.col("l_shipdate") >= "1997-06-01")
+    return back.groupBy(
+        F.substring(F.col("l_shipdate").cast("string"), 1, 7).alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("price").cast("double").alias("revenue"),
+    )

@@ -420,6 +420,181 @@ def c01_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curate_corpus(docs)
 
 
+# The synthetic corpus contains no real PII (verified: zero regex hits),
+# so the redaction path is exercised on text enriched with DETERMINISTIC
+# synthetic PII — the same concat expression in both engines — making
+# the hash check discriminate actual redaction behavior instead of
+# matching untouched-vs-untouched.
+_T10_SYNTH = (
+    "text || ' Contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' or call 555-123-4567' ELSE '' END"
+)
+_T10_ORACLE = f"""
+SELECT doc_id,
+       {text.pii_email_count_sql(_T10_SYNTH)} AS n_emails,
+       {text.pii_phone_count_sql(_T10_SYNTH)} AS n_phones,
+       {text.redact_pii_sql(_T10_SYNTH)} AS redacted
+FROM documents
+"""
+
+
+@_register("t10_pii_redact", _T10_ORACLE)
+def t10_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count + redact email/phone occurrences with typed
+    placeholders (the pre-release scrubbing stage of a training
+    corpus). Pure per-row regexp projection, zero shuffle, JVM-side.
+    The corpus ships no PII, so deterministic synthetic PII is spliced
+    in first (same expression in the oracle) — the hash check covers
+    the full redacted text, so a missed or mangled replacement fails."""
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0, " or call 555-123-4567").otherwise(""),
+    )
+    enriched = docs.select("doc_id", synth.alias("pii_text"))
+    return enriched.select(
+        "doc_id",
+        text.pii_email_count("pii_text").alias("n_emails"),
+        text.pii_phone_count("pii_text").alias("n_phones"),
+        text.redact_pii("pii_text").alias("redacted"),
+    )
+
+
+# Sequence packing: assign docs to fixed token-budget bins in a
+# deterministic salted-hash order. Window cumsum per split — the
+# PARTITION BY bounds the sort; at 100 TB the same shape runs per
+# range-partition (packing is per-worker in real loaders anyway).
+_T11_BUDGET = 2048
+
+
+def _t11_oracle() -> str:
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60_sql
+
+    order_h = h60_sql("'pack-v1' || text")
+    split = text.corpus_split_sql("text")
+    n_tok = text.token_count_sql("text")
+    return f"""
+WITH sized AS (
+  SELECT doc_id, {split} AS split, {n_tok} AS n_tokens,
+         {order_h} AS ord
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, split, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY split ORDER BY ord, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_before
+  FROM sized
+)
+SELECT doc_id, split, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_before // {_T11_BUDGET} AS BIGINT) AS bin_id,
+       CAST(cum_before % {_T11_BUDGET} AS BIGINT) AS offset_in_bin
+FROM packed
+"""
+
+
+@_register("t11_token_packing", _t11_oracle())
+def t11_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training loaders: assign each doc a
+    (bin_id, offset) inside fixed 2048-token bins, in a deterministic
+    salted-hash order per split. One window cumsum (single shuffle on
+    split + sort); contiguous assignment means a doc can straddle a bin
+    boundary — exactly what packed pretraining batches do."""
+    from pyspark.sql import Window
+
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        text.corpus_split("text").alias("split"),
+        text.token_count("text").cast("bigint").alias("n_tokens"),
+        h60(F.concat(F.lit("pack-v1"), F.col("text"))).alias("ord"),
+    )
+    w = (
+        Window.partitionBy("split")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = sized.select(
+        "doc_id",
+        "split",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+    )
+    # integer `div`, not floor(x/y): float division drifts once the
+    # cumulative count exceeds 2^53 tokens (a 100 TB corpus does)
+    return packed.select(
+        "doc_id",
+        "split",
+        "n_tokens",
+        F.expr(f"cum_before div {_T11_BUDGET}").cast("bigint").alias("bin_id"),
+        (F.col("cum_before") % _T11_BUDGET).cast("bigint").alias("offset_in_bin"),
+    )
+
+
+# Per-source document cap — the anti-spam / source-mix primitive: no
+# single source may contribute more than N docs, keepers chosen by
+# salted content hash (deterministic, growth-stable).
+_T12_CAP = 40
+
+
+def _t12_oracle() -> str:
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60_sql
+
+    order_h = h60_sql("'cap-v1' || text")
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY {order_h}, doc_id)
+           AS rank_in_source
+  FROM documents
+)
+SELECT doc_id, source, CAST(rank_in_source AS BIGINT) AS rank_in_source
+FROM ranked WHERE rank_in_source <= {_T12_CAP}
+"""
+
+
+@_register("t12_source_cap", _t12_oracle())
+def t12_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source's contribution at 40 docs, keepers picked by
+    salted content-hash rank — deterministic and stable as the corpus
+    grows (a new doc can displace at most one keeper, never reshuffle
+    the set). One shuffle on source; rank + filter prunes before
+    anything downstream."""
+    from pyspark.sql import Window
+
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        h60(F.concat(F.lit("cap-v1"), F.col("text"))), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("bigint").alias("rank_in_source"),
+        )
+        .filter(F.col("rank_in_source") <= _T12_CAP)
+    )
+
+
+@_register("c02_training_manifest", curation.training_manifest_sql())
+def c02_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → training manifest: curation decisions (c01), then
+    decontamination of test keepers against train keepers (d07's join
+    shape) and token-budget packing of train keepers (t11's window
+    shape) — one row per kept doc with its split, bin, and
+    contamination flag. The end-to-end composition a training run
+    consumes; oracle composes the same stages as chained CTEs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.training_manifest(docs)
+
+
 @_register("t05_normalize_text", None)  # scalar pandas_udf: rows-only check
 def t05_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC + casefold + whitespace-collapse normalization via a

@@ -284,6 +284,73 @@ GROUP BY 1, 2
 """
 
 
+# OHLC needs deterministic FIRST/LAST: (ts, event_id) is a total order
+# (event_id unique), so open/close are well-defined even when two events
+# share a timestamp. Both engines compute the same rn via the same
+# tie-broken window.
+_E11_ORACLE = """
+WITH ranked AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts, event_id) AS rn_open,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM events
+)
+SELECT bucket AS window_start, event_type,
+       MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ranked
+GROUP BY 1, 2
+"""
+
+
+@_register("e11_ohlc_hourly", _E11_ORACLE)
+def e11_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) per event type — the
+    hypertable/candlestick rollup time-series stores ship natively.
+    One shuffle for the tie-broken rank window, then a
+    map-side-combinable aggregation; open/close are deterministic via
+    the (ts, event_id) total order, never first()/last() on an
+    unordered shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # materialize the bucket BEFORE the windows: partitioning the window
+    # on the named column (not the raw date_trunc expression) lets the
+    # downstream groupBy reuse the window's exchange instead of adding a
+    # second shuffle (Catalyst treats an inlined expression copy as a
+    # distinct attribute)
+    bucketed = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_open = Window.partitionBy("window_start", "event_type").orderBy("ts", "event_id")
+    w_close = Window.partitionBy("window_start", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = bucketed.select(
+        "window_start",
+        "event_type",
+        "value",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return ranked.groupBy("window_start", "event_type").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 @_register("e10_value_deciles", _E10_ORACLE)
 def e10_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type value deciles (quantile bucketing — the curriculum /

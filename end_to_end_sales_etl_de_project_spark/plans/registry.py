@@ -37,11 +37,17 @@ DRIVER_WINDOW: list[str] = [
     "t07_repetition",
     "t08_stratified_sample",
     "t09_tfidf_top_terms",
+    "t10_pii_redact",
+    "t11_token_packing",
+    "t12_source_cap",
     "d07_decontaminate",
     "c01_curate_corpus",
+    "c02_training_manifest",
     "q56_orc_roundtrip",
     "q57_jsonl_roundtrip",
+    "q58_sorted_layout_readback",
     "e10_value_deciles",
+    "e11_ohlc_hourly",
     # -- events: windows / sessionization / temporal joins (no r01 row)
     "e01_tumbling_hourly",
     "e02_sliding_hourly_30m",
@@ -80,19 +86,13 @@ DRIVER_WINDOW: list[str] = [
     # -- repaired this round (r01 row was an error)
     "q32_approx_aggs",
     # -- core representatives (all driver-green in r01+r02; regression
-    # cover — the 8 rotated out for the new round-3 queries are
-    # double-green and their operator families stay represented)
+    # cover — everything rotated out for the round-3 newcomers is
+    # double-green and its operator family stays represented)
     "q01g_customer_monthly_spend_grouped",
     "q02_sales_team_incentive",
-    "q03_projection_filter",
-    "q05_join_inner_broadcast",
     "q10_rank_top1",
     "q12_pricing_summary",
     "q14_sales_team_mart",
-    "q31_salted_agg",
-    "q33_csv_roundtrip",
-    "q34_partitioned_write_readback",
-    "q35_shipping_priority",
     "q41_exact_moment_stats",
 ]
 

@@ -130,6 +130,44 @@ def start_checkpointed_ingestion(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    max_gap_seconds: int = 600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each left event matched to same-user
+    right events from the preceding ``max_gap_seconds`` — the streaming
+    twin of the batch range join (e06) for enrich-on-arrival pipelines
+    (purchase ⋈ recent views, click ⋈ recent impressions).
+
+    Both sides are watermarked and the join condition bounds right's
+    event time relative to left's, which is exactly what Spark needs to
+    EXPIRE join state: a buffered right row is dropped once the left
+    watermark passes ``ts + max_gap`` — state stays proportional to the
+    gap window, not the stream length. Inner join ⇒ append mode; rows
+    emit as soon as both sides arrive.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("id_l"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("ts_l"),
+        F.col("value").alias("value_l"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("id_r"),
+        F.col("user_id").alias("user_r"),
+        F.col("ts").alias("ts_r"),
+        F.col("value").alias("value_r"),
+    )
+    cond = (
+        (l["user_id"] == r["user_r"])
+        & (r["ts_r"] >= l["ts_l"] - F.expr(f"INTERVAL {max_gap_seconds} SECONDS"))
+        & (r["ts_r"] <= l["ts_l"])
+    )
+    return l.join(r, cond, "inner").drop("user_r")
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup by event_id with bounded state.
 

@@ -98,6 +98,30 @@ def test_stratified_keep_rates(spark):
     assert {r["lang"]: r["count"] for r in again} == by_lang
 
 
+def test_training_manifest_composition(spark, sf_dir):
+    """Manifest rows are exactly c01's keepers; bin/contamination
+    columns are populated per split; train bins are contiguous from 0."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = curation.training_manifest(docs)
+    decisions = curation.curate_corpus(docs)
+    kept_ids = {r["doc_id"] for r in decisions.filter(F.col("stage") == "kept").collect()}
+    rows = manifest.collect()
+    assert {r["doc_id"] for r in rows} == kept_ids
+    for r in rows:
+        if r["split"] == "train":
+            assert r["bin_id"] is not None and r["is_contaminated"] is None
+        elif r["split"] == "test":
+            assert r["bin_id"] is None and r["is_contaminated"] is not None
+        else:
+            assert r["bin_id"] is None and r["is_contaminated"] is None
+    train_bins = sorted({r["bin_id"] for r in rows if r["split"] == "train"})
+    assert train_bins == list(range(len(train_bins))), "bins must be contiguous from 0"
+
+
 def test_tfidf_rank_is_per_doc_and_bounded(spark):
     rows = [
         (1, "apple apple banana common common common"),

@@ -102,3 +102,56 @@ def test_tfidf_corpus_count_rides_broadcast(spark):
     # node headers only (the formatted details section repeats names)
     bnl_nodes = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, flags=re.M)
     assert len(bnl_nodes) <= 1, plan
+
+
+def test_pii_redact_is_pure_projection(spark):
+    """t10: regexp count+replace pipelines inside the scan stage — no
+    exchange anywhere."""
+    plan = plan_of(spark, "t10_pii_redact")
+    assert _shuffle_exchanges(plan) == 0, plan
+
+
+@pytest.mark.parametrize("name", ["t11_token_packing", "t12_source_cap"])
+def test_packing_and_cap_single_shuffle(spark, name):
+    """t11/t12: exactly one exchange (the window partitioning); rank
+    filters happen before anything downstream."""
+    plan = plan_of(spark, name)
+    assert _shuffle_exchanges(plan) == 1, plan
+
+
+def test_ohlc_single_shuffle_with_partial_agg(spark):
+    """e11: one exchange for the (hour, type) windows — both rank
+    windows and the final agg reuse that partitioning — and the
+    aggregation keeps map-side combine."""
+    plan = plan_of(spark, "e11_ohlc_hourly")
+    assert _shuffle_exchanges(plan) <= 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_sorted_layout_files_have_disjoint_ranges(spark):
+    """q58's written layout is the data-skipping contract: every
+    parquet file's (min, max) shipdate span must be disjoint from every
+    other file's, so a date predicate prunes cold files via footer
+    stats alone."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    QUERIES["q58_sorted_layout_readback"](spark, SF).collect()  # materialize the write
+    import hashlib
+    import tempfile
+
+    out = f"{tempfile.gettempdir()}/engine-sortrt-{hashlib.md5(SF.encode()).hexdigest()[:8]}"
+    spans = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # l_shipdate is the first column
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    assert len(spans) >= 2, "range partitioning produced a single file"
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b, f"overlapping file ranges: ({lo_a},{hi_a}) vs ({lo_b},{hi_b})"

@@ -15,6 +15,7 @@ from end_to_end_sales_etl_de_project_spark.plans.events import (
     e03_session_window,
 )
 from end_to_end_sales_etl_de_project_spark.streaming.events import (
+    interval_join_stream,
     read_events_stream,
     run_to_memory_sink,
     session_stream,
@@ -65,6 +66,47 @@ def test_session_stream_equals_batch(spark, sf_dir, events_src):
     stream = read_events_stream(spark, events_src)
     result = run_to_memory_sink(session_stream(stream), "session_test", "complete")
     assert _canon(result) == _canon(e03_session_window(spark, sf_dir))
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir, events_src):
+    """Stream-stream interval join (purchase ⋈ preceding same-user
+    views) must produce exactly the batch join of the same input."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+
+    purchases_s = read_events_stream(spark, events_src).filter(
+        F.col("event_type") == "purchase"
+    )
+    views_s = read_events_stream(spark, events_src).filter(
+        F.col("event_type") == "view"
+    )
+    result = run_to_memory_sink(
+        interval_join_stream(purchases_s, views_s), "ssjoin_test", "append"
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("id_l"),
+        "user_id",
+        F.col("ts").alias("ts_l"),
+        F.col("value").alias("value_l"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("id_r"),
+        F.col("user_id").alias("user_r"),
+        F.col("ts").alias("ts_r"),
+        F.col("value").alias("value_r"),
+    )
+    batch = p.join(
+        v,
+        (p["user_id"] == v["user_r"])
+        & (v["ts_r"] >= p["ts_l"] - F.expr("INTERVAL 600 SECONDS"))
+        & (v["ts_r"] <= p["ts_l"]),
+        "inner",
+    ).drop("user_r")
+    assert len(_canon(result)) > 0, "join produced no rows — vacuous test"
+    assert _canon(result) == _canon(batch)
 
 
 def test_stateful_running_profile(spark, sf_dir, events_src):
