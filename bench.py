@@ -70,6 +70,9 @@ HEADLINE = [
     "t11_token_packing",
     "e11_ohlc_hourly",
     "q58_sorted_layout_readback",
+    "d08_jaccard_stopshingle",
+    "e12_cohort_retention",
+    "a05_ann_pq",
 ]
 
 

@@ -542,3 +542,146 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 )
 WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: compressed-domain scan + exact rerank
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    emb: DataFrame,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    dim: int = DIM,
+    iterations: int = 2,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks (n_subspaces x n_codes x dim/n_subspaces):
+    the embedding is split into contiguous coordinate blocks and each
+    block gets its own k-means codebook — reusing :func:`ivf_train`'s
+    seeded Lloyd rounds on the sliced vectors (cosine assignment rather
+    than classic L2; for a cosine-ranking engine the angular codebook
+    is the natural choice, and the recall test measures the end
+    metric). Training is one Lloyd job per subspace per round over the
+    SLICED column — at corpus scale the slices stream from the same
+    scan, and the model (4x16x16 doubles) is control-plane sized, like
+    any ANN index build (Faiss trains once, serves many queries)."""
+    sub = dim // n_subspaces
+    books: list[list[list[float]]] = []
+    for s in range(n_subspaces):
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", s * sub + 1, sub).alias("embedding")
+        )
+        books.append(ivf_train(sliced, n_codes, dim=sub, iterations=iterations))
+    return books
+
+
+def _pq_codes_col(vec_col: str, books: list[list[list[float]]], sub: int) -> Column:
+    """Array of per-subspace nearest-codeword ids for a vector."""
+    parts = []
+    for s, book in enumerate(books):
+        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+        parts.append(F.array_max(_centroid_sims(sl, book, sub))["cid"])
+    return F.array(*parts)
+
+
+def _pq_recon_norm_col(codes: Column, books: list[list[list[float]]]) -> Column:
+    """L2 norm of the reconstructed (codeword-concatenated) vector:
+    sqrt of the sum of squared codeword norms — valid because the
+    subspaces are orthogonal coordinate blocks."""
+    total = F.lit(0.0)
+    for s, book in enumerate(books):
+        sq_norms = F.array(*[F.lit(sum(x * x for x in c)) for c in book])
+        total = total + F.element_at(sq_norms, F.element_at(codes, s + 1) + 1)
+    return F.sqrt(total)
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = DIM,
+    books: list[list[list[float]]] | None = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """PQ approximate top-k — the memory-bound ANN shape: the corpus is
+    scanned as CODES (n_subspaces small ints per vector, a 64x
+    compression of a 64-dim float vector), each (query, code) score is
+    a sum of n_subspaces codebook dot-products instead of a dim-term
+    fold, the top ``k * rerank_factor`` candidates per query are
+    re-scored EXACTLY against their real vectors (hash join back to
+    the corpus — the candidate fetch every PQ serving system does),
+    and the exact top-k is returned.
+
+    Same broadcast shape as a01 (queries broadcast, corpus streams,
+    never shuffled) but the streamed payload is codes, not vectors —
+    at 100 TB this is the difference between scanning 100 TB and
+    scanning ~1.5 TB. Codebook means are float averages over an
+    unordered shuffle ⇒ rows-only check + recall test
+    (tests/test_ivf_recall.py), per the repo determinism rules."""
+    n_subspaces = 4 if books is None else len(books)
+    sub = dim // n_subspaces
+    if books is None:
+        books = pq_train(emb, n_subspaces, dim=dim)
+
+    codes_tbl = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _pq_codes_col("embedding", books, sub).alias("codes"),
+    ).withColumn("recon_norm", _pq_recon_norm_col(F.col("codes"), books))
+
+    q = with_norm(queries, dim=dim).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+
+    # approx dot: sum over subspaces of dot(q_s, codeword) — the
+    # codebook rides as a nested literal; element_at picks the codeword
+    approx_dot = F.lit(0.0)
+    for s, book in enumerate(books):
+        book_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+        cw = F.element_at(book_lit, F.element_at(F.col("codes"), s + 1) + 1)
+        prods = F.zip_with(
+            F.slice(F.col("q_emb"), s * sub + 1, sub),
+            cw,
+            lambda x, y: x.cast("double") * y,
+        )
+        approx_dot = approx_dot + F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
+
+    cand = (
+        F.broadcast(q)
+        .crossJoin(codes_tbl)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_norm",
+            "neighbor_id",
+            (approx_dot / (F.col("q_norm") * F.col("recon_norm"))).alias("approx_cosine"),
+        )
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id")
+    )
+    shortlist = cand.withColumn("arank", F.row_number().over(w_approx)).filter(
+        F.col("arank") <= k * rerank_factor
+    )
+
+    # exact rerank: fetch the real vectors for the shortlist only
+    corpus = with_norm(emb, dim=dim).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+    )
+    dot = _dot_col("q_emb", "n_emb", dim)
+    rescored = shortlist.join(corpus, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        (dot / (F.col("q_norm") * F.col("n_norm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

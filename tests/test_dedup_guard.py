@@ -55,6 +55,34 @@ def test_guard_off_below_threshold(spark):
     assert a == b
 
 
+def test_stop_shingle_cap_removes_boilerplate_pairs(spark):
+    """df-capped Jaccard: docs related ONLY through a boilerplate
+    shingle stop pairing; genuine near-dups (rare shingles) survive
+    with their Jaccard computed over the reduced universe."""
+    greek = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    )
+    footer = " copyright footer boilerplate"
+    rows = [(i, f"unique words row{i} anchor{i} filler{i} end{i}" + footer) for i in range(30)]
+    rows += [(1000, greek + " one"), (1001, greek + " two")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingle_table(docs, "doc_id", "text", 3)
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.jaccard_pairs(sh, 0.0).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(sh, 0.0, max_df=5).collect()
+    }
+    # footer shingles relate every boilerplate doc pairwise when uncapped
+    assert any(a < 30 and b < 30 for a, b in uncapped)
+    # capped: those pairs vanish; the genuine near-dup pair survives
+    assert not any(a < 30 and b < 30 for a, b in capped)
+    assert (1000, 1001) in capped
+
+
 def test_end_to_end_pairs_guarded_sql_matches(spark):
     """The guard is mirrored in the SQL twin: default-parameter SQL
     contains the HAVING clause; guard-off SQL does not."""

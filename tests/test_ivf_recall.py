@@ -42,6 +42,33 @@ def test_ivf_recall_beats_lsh_multiprobe(spark, sf_dir):
     assert r_ivf >= 0.3, f"ivf recall {r_ivf:.3f} below floor"
 
 
+def test_pq_rerank_recall(spark, sf_dir):
+    """PQ with exact rerank: the shortlist is built from compressed
+    codes, so recall is bounded by shortlist quality — it must clear
+    the same relative bar as IVF (beat fixed-hyperplane LSH) and the
+    reranked scores must be EXACT cosines (every returned (query,
+    neighbor) score equals the brute-force score)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    exact_df = similarity.brute_force_topk(emb, queries, k=K)
+    exact = _topk_sets(exact_df)
+    pq_df = similarity.pq_topk(emb, queries, k=K)
+    pq = _topk_sets(pq_df)
+
+    lsh = _topk_sets(similarity.lsh_topk_multiprobe(emb, queries, k=K))
+    r_pq, r_lsh = _recall(pq, exact), _recall(lsh, exact)
+    assert r_pq > r_lsh, f"pq recall {r_pq:.3f} <= lsh multiprobe {r_lsh:.3f}"
+
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact_df.collect()
+    }
+    for r in pq_df.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:  # shared neighbors must carry identical scores
+            assert r["cosine"] == exact_scores[key], key
+
+
 def test_ivf_scan_fraction_bounded(spark, sf_dir):
     """The efficiency claim: candidates per query ≈ n_probe/n_centroids
     of the corpus, not the whole corpus."""

@@ -23,6 +23,23 @@ def test_partitioned_write_compacts_to_one_file_per_leaf(spark, tmp_path):
     assert len(glob.glob(f"{out}/grp=*/*.parquet")) == 4  # == leaves
 
 
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from end_to_end_sales_etl_de_project_spark.writers import compact_parquet
+
+    out = str(tmp_path / "frag")
+    _df(spark).repartition(16).write.parquet(out)  # fragment: 16 tiny files
+    before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    n_files_before = len(glob.glob(f"{out}/*.parquet"))
+    assert n_files_before >= 16
+
+    n_out = compact_parquet(spark, out, target_file_bytes=64 * 1024 * 1024)
+    assert n_out == 1  # tiny data packs into one target-sized file
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    assert len(glob.glob(f"{out}.staged-*")) == 0 and len(glob.glob(f"{out}.bak-*")) == 0
+    after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert after == before  # content byte-identical through the swap
+
+
 def test_uncompacted_control_fans_out(spark, tmp_path):
     out = write_parquet(
         _df(spark), str(tmp_path / "p"), partition_by=["grp"], compact_partitions=False
