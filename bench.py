@@ -73,6 +73,9 @@ HEADLINE = [
     "d08_jaccard_stopshingle",
     "e12_cohort_retention",
     "a05_ann_pq",
+    "t13_token_rarity",
+    "e13_change_intervals",
+    "q59_data_profile",
 ]
 
 

@@ -414,6 +414,87 @@ FROM packed p LEFT JOIN contaminated c USING (doc)
 """
 
 
+def token_rarity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max: int = 2,
+) -> DataFrame:
+    """Corpus-relative token-rarity profile per document — a unigram
+    language-model quality signal without float folds: documents whose
+    tokens are rare in the corpus (low ``avg_token_freq``, high
+    ``rare_ratio``) are either high-information or garbage; both tails
+    are what a curation run inspects.
+
+    Two map-side-combinable aggregations (corpus token frequencies, then
+    the per-doc rollup) around one equi-join on the token. The join key
+    is skewed by construction (stopwords dominate any natural corpus) —
+    AQE's skew-join split handles the hot tokens, and the frequency side
+    carries one row per DISTINCT token, so a stopword appearing a
+    billion times contributes a single join row, not a fanout.
+
+    Determinism: every emitted number is either an exact BIGINT count or
+    ONE IEEE division of two exact BIGINTs — no order-dependent float
+    accumulation, so the DuckDB twin hash-matches exactly.
+
+    Docs with zero tokens have no token rows and are absent from the
+    output (identically in both engines).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        tok.join(freq, "token")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("freq_sum"),
+            F.sum(F.when(F.col("freq") <= rare_max, 1).otherwise(0)).alias("n_rare"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            "freq_sum",
+            (F.col("freq_sum").cast("double") / F.col("n_tokens")).alias(
+                "avg_token_freq"
+            ),
+            "n_rare",
+            (F.col("n_rare").cast("double") / F.col("n_tokens")).alias("rare_ratio"),
+        )
+    )
+
+
+def token_rarity_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max: int = 2,
+    table: str = "documents",
+) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc, unnest({toks}) AS token FROM {table}
+),
+freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY token
+),
+rolled AS (
+  SELECT doc,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(freq) AS BIGINT) AS freq_sum,
+         CAST(SUM(CASE WHEN freq <= {rare_max} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM tok JOIN freq USING (token)
+  GROUP BY doc
+)
+SELECT doc AS {id_col}, n_tokens, freq_sum,
+       CAST(freq_sum AS DOUBLE) / n_tokens AS avg_token_freq,
+       n_rare,
+       CAST(n_rare AS DOUBLE) / n_tokens AS rare_ratio
+FROM rolled
+"""
+
+
 def curate_corpus_sql(
     id_col: str = "doc_id", text_col: str = "text", table: str = "documents"
 ) -> str:

@@ -625,6 +625,18 @@ def t12_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("t13_token_rarity", curation.token_rarity_sql())
+def t13_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative unigram rarity per document (the join-based
+    quality signal a unigram LM score reduces to when every number must
+    be exact): corpus token frequencies, equi-joined back onto the
+    token stream, rolled up per doc. Two map-side-combinable
+    aggregations + one skew-tolerant equi-join; all outputs are exact
+    counts or single divisions, so the oracle hash-matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.token_rarity(docs)
+
+
 @_register("c02_training_manifest", curation.training_manifest_sql())
 def c02_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus → training manifest: curation decisions (c01), then

@@ -389,6 +389,71 @@ def e11_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gaps-and-islands run-length encoding: the CDC/SCD-2 primitive. A
+# change log (user_id, ts, state) becomes effective-dated intervals —
+# one row per consecutive run of the same state. (ts, event_id) is a
+# total order, so run boundaries are identical in both engines.
+_E13_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+)
+SELECT user_id, event_type,
+       MIN(ts) AS valid_from,
+       MAX(ts) AS valid_to,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM runs
+GROUP BY user_id, event_type, run_id
+"""
+
+
+@_register("e13_change_intervals", _E13_ORACLE)
+def e13_change_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log → effective-dated intervals (SCD Type-2 / CDC shape):
+    consecutive same-state runs per user collapse to one
+    (valid_from, valid_to) row via gaps-and-islands (lag-break flag +
+    running sum). One shuffle on user_id serves both window passes AND
+    the final grouping (same prefix key), then a map-side-combinable
+    aggregation. This is how a dimension change feed becomes the
+    effective-dated dim table the reference's mart joins would consume."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = ev.withColumn(
+        "brk",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn("run_id", F.sum("brk").over(wrun))
+    return (
+        flagged.groupBy("user_id", "event_type", "run_id")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.max("ts").alias("valid_to"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .drop("run_id")
+        .select(
+            "user_id", "event_type", "valid_from", "valid_to", "n_events", "total_value"
+        )
+    )
+
+
 @_register("e10_value_deciles", _E10_ORACLE)
 def e10_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type value deciles (quantile bucketing — the curriculum /

@@ -32,6 +32,10 @@ DRIVER_WINDOW_SIZE = 50
 
 # First-50 layout for the driver correctness run. Order within the
 # window is immaterial to the driver; grouping is for human diffing.
+# Rows-only entries with an r02 driver row (t05, a04, m02 — no oracle
+# by design) rotate out in favor of the late-round-3 oracle-checked
+# newcomers (t13/e13/q59); they remain under the local rows-check in
+# tests/test_oracle_parity.py::test_all_queries_return_rows_at_smoke.
 DRIVER_WINDOW: list[str] = [
     # -- NEW in round 3 (no driver row yet): curation + formats
     "t07_repetition",
@@ -51,6 +55,9 @@ DRIVER_WINDOW: list[str] = [
     "e12_cohort_retention",
     "d08_jaccard_stopshingle",
     "a05_ann_pq",
+    "t13_token_rarity",
+    "e13_change_intervals",
+    "q59_data_profile",
     # -- events: windows / sessionization / temporal joins (no r01 row)
     "e01_tumbling_hourly",
     "e02_sliding_hourly_30m",
@@ -65,7 +72,6 @@ DRIVER_WINDOW: list[str] = [
     "t02_language_id",
     "t03_quality_score",
     "t04_doc_fingerprint",
-    "t05_normalize_text",
     "t06_corpus_split",
     # -- documents: dedup family (no r01 row; d06 new this round)
     "d01_dedup_exact",
@@ -78,10 +84,8 @@ DRIVER_WINDOW: list[str] = [
     "a01_ann_bruteforce",
     "a02_ann_lsh",
     "a03_ann_lsh_multiprobe",
-    "a04_ann_ivf",
     # -- multimodal plumbing (no r01 row)
     "m01_multimodal_assets",
-    "m02_multimodal_features",
     # -- late core additions (no r01 row)
     "q51_filtered_aggregates",
     "q55_string_agg",

@@ -128,6 +128,35 @@ def test_ohlc_single_shuffle_with_partial_agg(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_profile_is_single_pass(spark):
+    """q59: all column metrics fold into ONE aggregation over ONE scan
+    of the fact (the multi-distinct runs through Expand, not extra
+    scans) — profiling N columns must not cost N passes."""
+    import re
+
+    plan = plan_of(spark, "q59_data_profile")
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1, plan
+    assert "Expand" in plan  # the multi-count-distinct shape
+
+
+def test_change_intervals_single_shuffle(spark):
+    """e13: both window passes and the run grouping share the user_id
+    exchange; the aggregation keeps map-side combine."""
+    plan = plan_of(spark, "e13_change_intervals")
+    assert _shuffle_exchanges(plan) <= 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_token_rarity_joins_on_token_never_cross(spark):
+    """t13: the frequency decoration is an equi-join on the token (skew
+    handled by AQE); a cross join or per-doc nested loop here would be
+    quadratic in corpus size."""
+    plan = plan_of(spark, "t13_token_rarity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_sorted_layout_files_have_disjoint_ranges(spark):
     """q58's written layout is the data-skipping contract: every
     parquet file's (min, max) shipdate span must be disjoint from every
