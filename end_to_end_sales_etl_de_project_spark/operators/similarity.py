@@ -558,21 +558,62 @@ def pq_train(
 ) -> list[list[list[float]]]:
     """Per-subspace codebooks (n_subspaces x n_codes x dim/n_subspaces):
     the embedding is split into contiguous coordinate blocks and each
-    block gets its own k-means codebook — reusing :func:`ivf_train`'s
-    seeded Lloyd rounds on the sliced vectors (cosine assignment rather
-    than classic L2; for a cosine-ranking engine the angular codebook
-    is the natural choice, and the recall test measures the end
-    metric). Training is one Lloyd job per subspace per round over the
-    SLICED column — at corpus scale the slices stream from the same
-    scan, and the model (4x16x16 doubles) is control-plane sized, like
-    any ANN index build (Faiss trains once, serves many queries)."""
+    block gets its own k-means codebook — :func:`ivf_train`'s seeding
+    and Lloyd rounds applied to the sliced vectors (cosine assignment
+    rather than classic L2; for a cosine-ranking engine the angular
+    codebook is the natural choice, and the recall test measures the
+    end metric). All subspaces train together: ONE job per Lloyd round
+    computes every (subspace, code, dimension) mean cell from a single
+    corpus scan, and the model (4x16x16 doubles) is control-plane
+    sized, like any ANN index build (Faiss trains once, serves many
+    queries)."""
     sub = dim // n_subspaces
-    books: list[list[list[float]]] = []
-    for s in range(n_subspaces):
-        sliced = emb.select(
-            "vec_id", F.slice("embedding", s * sub + 1, sub).alias("embedding")
+    seed_rows = (
+        emb.orderBy("vec_id").limit(n_codes).select("embedding").collect()
+    )
+    if not seed_rows:
+        raise ValueError("pq_train: empty corpus — no codewords to seed")
+    n_codes = min(n_codes, len(seed_rows))
+    books: list[list[list[float]]] = [
+        [
+            [float(x) for x in r["embedding"][s * sub : (s + 1) * sub]]
+            for r in seed_rows[:n_codes]
+        ]
+        for s in range(n_subspaces)
+    ]
+    # All subspaces train in ONE job per Lloyd round: each row emits
+    # (subspace, nearest-code, slice) structs, one explode + one
+    # groupBy computes every (subspace, code, dimension) mean cell.
+    # Per-subspace loops would rescan the corpus n_subspaces times per
+    # round — at 100 TB that multiplies the dominant cost (the scan)
+    # by the subspace count for zero extra information.
+    for _ in range(iterations):
+        parts = []
+        for s in range(n_subspaces):
+            sl = F.slice(F.col("embedding"), s * sub + 1, sub)
+            cid = F.array_max(_centroid_sims(sl, books[s], sub))["cid"]
+            parts.append(
+                F.struct(F.lit(s).alias("s"), cid.alias("cid"), sl.alias("v"))
+            )
+        cells = (
+            emb.select(F.explode(F.array(*parts)).alias("a"))
+            .select("a.s", "a.cid", F.posexplode("a.v").alias("pos", "val"))
+            .groupBy("s", "cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
         )
-        books.append(ivf_train(sliced, n_codes, dim=sub, iterations=iterations))
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in cells:
+            by_key.setdefault((r["s"], r["cid"]), {})[r["pos"]] = r["m"]
+        books = [
+            [
+                [by_key[(s, i)][p] for p in range(sub)]
+                if (s, i) in by_key
+                else books[s][i]
+                for i in range(n_codes)
+            ]
+            for s in range(n_subspaces)
+        ]
     return books
 
 

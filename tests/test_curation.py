@@ -138,3 +138,25 @@ def test_tfidf_rank_is_per_doc_and_bounded(spark):
     # doc 3's signature term is 'date' (tf=3, df=1)
     top3 = min(by_doc[3], key=lambda r: r["rank"])
     assert top3["token"] == "date"
+
+
+def test_token_rarity_exact_counts(spark):
+    # corpus: "common" appears in all 3 docs (freq 5), "solo" once.
+    rows = [
+        (1, "common common solo"),
+        (2, "common"),
+        (3, "common other other"),
+        (4, ""),  # zero tokens: absent from the output
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in curation.token_rarity(docs, rare_max=1).collect()}
+    assert set(out) == {1, 2, 3}
+    # corpus freqs: common=4, solo=1, other=2
+    r1 = out[1]
+    assert r1["n_tokens"] == 3
+    assert r1["freq_sum"] == 4 + 4 + 1
+    assert r1["n_rare"] == 1  # only "solo" has freq <= 1
+    assert r1["avg_token_freq"] == (4 + 4 + 1) / 3
+    assert r1["rare_ratio"] == 1 / 3
+    assert out[2]["n_tokens"] == 1 and out[2]["freq_sum"] == 4 and out[2]["n_rare"] == 0
+    assert out[3]["freq_sum"] == 4 + 2 + 2

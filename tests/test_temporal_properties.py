@@ -88,3 +88,29 @@ def test_range_join_matches_bruteforce(spark, events, gap):
             if i < j and ka == kb and abs(sb - sa) <= gap:
                 want.add((i, j))
     assert got == want
+
+
+def test_change_intervals_partition_the_event_stream(spark, sf_dir):
+    """e13 invariants: per user, intervals ordered by valid_from never
+    overlap, adjacent intervals always change state, and every event is
+    in exactly one interval (counts partition the per-user total)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+    from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+
+    out = QUERIES["e13_change_intervals"](spark, sf_dir)
+    rows = out.orderBy("user_id", "valid_from", "valid_to").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+        assert r["valid_from"] <= r["valid_to"]
+        assert r["n_events"] >= 1
+    for user, ivs in by_user.items():
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] <= b["valid_from"]
+            assert a["event_type"] != b["event_type"]
+    ev = load_table(spark, sf_dir, "events")
+    totals = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for user, ivs in by_user.items():
+        assert sum(r["n_events"] for r in ivs) == totals[user]
