@@ -74,6 +74,7 @@ HEADLINE = [
     "e12_cohort_retention",
     "a05_ann_pq",
     "t13_token_rarity",
+    "t14_doc_chunking",
     "e13_change_intervals",
     "q59_data_profile",
 ]

@@ -321,6 +321,79 @@ def corpus_split_sql(
     )
 
 
+def doc_chunks(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 128,
+    stride: int = 96,
+):
+    """Split documents into fixed-size token windows with overlap — the
+    context-length chunking every pretraining/RAG loader runs before
+    tokenized text reaches a model. One row per (doc, window): window
+    ``i`` covers tokens ``[i*stride, i*stride + chunk_size)``; with
+    ``stride < chunk_size`` consecutive windows overlap by
+    ``chunk_size - stride`` tokens so no boundary context is lost.
+
+    Pure per-row explode (sequence of window starts → slice) — no
+    shuffle, pipelines inside whole-stage codegen over the scan, and
+    the fan-out is bounded by ceil(n_tokens / stride) per doc. Empty
+    docs produce no chunks. Deterministic (integer window math +
+    substring joins) ⇒ exact DuckDB twin.
+    """
+    from pyspark.sql import functions as _F
+
+    toked = docs.select(
+        _F.col(id_col).alias("doc"), tokens(text_col).alias("toks")
+    ).withColumn("n", _F.size("toks"))
+    starts = _F.sequence(
+        _F.lit(0),
+        ((_F.col("n") - 1) - ((_F.col("n") - 1) % stride)),
+        _F.lit(stride),
+    )
+    return (
+        toked.filter(_F.col("n") > 0)
+        .select("doc", "toks", "n", _F.explode(starts).alias("chunk_start"))
+        .select(
+            _F.col("doc").alias(id_col),
+            (_F.col("chunk_start") / stride).cast("bigint").alias("chunk_id"),
+            _F.col("chunk_start").cast("bigint"),
+            _F.least(_F.lit(chunk_size), _F.col("n") - _F.col("chunk_start"))
+            .cast("bigint")
+            .alias("chunk_len"),
+            _F.array_join(
+                _F.slice(_F.col("toks"), _F.col("chunk_start") + 1, chunk_size), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def doc_chunks_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 128,
+    stride: int = 96,
+    table: str = "documents",
+) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+WITH toked AS (
+  SELECT {id_col} AS doc, {toks} AS toks, len({toks}) AS n FROM {table}
+),
+expanded AS (
+  SELECT doc, toks, n, unnest(generate_series(0, n - 1, {stride})) AS chunk_start
+  FROM toked WHERE n > 0
+)
+SELECT doc AS {id_col},
+       CAST(chunk_start // {stride} AS BIGINT) AS chunk_id,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       CAST(LEAST({chunk_size}, n - chunk_start) AS BIGINT) AS chunk_len,
+       array_to_string(list_slice(toks, chunk_start + 1, chunk_start + {chunk_size}), ' ')
+         AS chunk_text
+FROM expanded
+"""
+
+
 def normalized_text_pandas(col: Column | str) -> Column:
     """Scalar Pandas UDF text normalization: NFC-normalize, lowercase,
     collapse whitespace. The ONE text op that genuinely needs Python

@@ -625,6 +625,15 @@ def t12_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("t14_doc_chunking", text.doc_chunks_sql())
+def t14_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: overlapping 128-token windows with
+    stride 96 per document — the loader-side splitter between a curated
+    corpus and a training run. Pure explode, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.doc_chunks(docs)
+
+
 @_register("t13_token_rarity", curation.token_rarity_sql())
 def t13_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative unigram rarity per document (the join-based

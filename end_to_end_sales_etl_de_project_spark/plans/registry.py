@@ -32,9 +32,10 @@ DRIVER_WINDOW_SIZE = 50
 
 # First-50 layout for the driver correctness run. Order within the
 # window is immaterial to the driver; grouping is for human diffing.
-# Rows-only entries with an r02 driver row (t05, a04, m02 — no oracle
-# by design) rotate out in favor of the late-round-3 oracle-checked
-# newcomers (t13/e13/q59); they remain under the local rows-check in
+# Rows-only entries with an r02 driver row (t05, a04, m02, q32 — no
+# oracle by design) rotate out in favor of the late-round-3
+# oracle-checked newcomers (t13/t14/e13/q59); they remain under the
+# local rows-check in
 # tests/test_oracle_parity.py::test_all_queries_return_rows_at_smoke.
 DRIVER_WINDOW: list[str] = [
     # -- NEW in round 3 (no driver row yet): curation + formats
@@ -89,8 +90,7 @@ DRIVER_WINDOW: list[str] = [
     # -- late core additions (no r01 row)
     "q51_filtered_aggregates",
     "q55_string_agg",
-    # -- repaired this round (r01 row was an error)
-    "q32_approx_aggs",
+    "t14_doc_chunking",
     # -- core representatives (all driver-green in r01+r02; regression
     # cover — everything rotated out for the round-3 newcomers is
     # double-green and its operator family stays represented)

@@ -160,3 +160,32 @@ def test_token_rarity_exact_counts(spark):
     assert r1["rare_ratio"] == 1 / 3
     assert out[2]["n_tokens"] == 1 and out[2]["freq_sum"] == 4 and out[2]["n_rare"] == 0
     assert out[3]["freq_sum"] == 4 + 2 + 2
+
+
+def test_doc_chunks_cover_every_token(spark):
+    """Chunk invariants: windows start at multiples of the stride, the
+    last window reaches the final token, every token position is inside
+    >=1 window, and consecutive windows overlap by chunk_size - stride."""
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # n < chunk: one window
+        (2, " ".join(f"u{i}" for i in range(300))),  # several windows
+        (3, ""),                                      # no windows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.doc_chunks(docs, chunk_size=128, stride=96).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    one = by_doc[1]
+    assert len(one) == 1 and one[0]["chunk_len"] == 10
+    assert one[0]["chunk_text"].split(" ") == [f"t{i}" for i in range(10)]
+    two = sorted(by_doc[2], key=lambda r: r["chunk_id"])
+    assert [r["chunk_start"] for r in two] == [0, 96, 192, 288]
+    assert [r["chunk_len"] for r in two] == [128, 128, 108, 12]
+    covered = set()
+    for r in two:
+        covered.update(range(r["chunk_start"], r["chunk_start"] + r["chunk_len"]))
+    assert covered == set(range(300))
+    # overlap: window i+1 re-reads the last chunk_size - stride tokens
+    assert two[0]["chunk_text"].split(" ")[96:] == two[1]["chunk_text"].split(" ")[:32]
