@@ -77,6 +77,7 @@ HEADLINE = [
     "t14_doc_chunking",
     "e13_change_intervals",
     "q59_data_profile",
+    "c03_dataset_mix",
 ]
 
 

@@ -38,6 +38,8 @@ from end_to_end_sales_etl_de_project_spark.operators.text import (
     quality_bucket,
     quality_bucket_sql,
     shingles_from_tokens,
+    token_count,
+    token_count_sql,
     tokens,
     tokens_sql,
     word_shingles_sql,
@@ -492,6 +494,69 @@ SELECT doc AS {id_col}, n_tokens, freq_sum,
        n_rare,
        CAST(n_rare AS DOUBLE) / n_tokens AS rare_ratio
 FROM rolled
+"""
+
+
+def dataset_mix_report(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The dataset-card table: per (split, source, language) — document
+    count, token total, and the cell's share of its split's tokens.
+    This is the mix report every training run publishes (and the input
+    to source-weighting decisions like t12's caps).
+
+    One map-side-combinable aggregation on the derived (split, source,
+    lang) key, then a split-partitioned window sum over the AGGREGATED
+    frame (bounded by |splits|x|sources|x|langs| — control-plane sized,
+    so the second exchange moves almost nothing). Counts are exact
+    BIGINTs; the share is one IEEE division of two exact sums ⇒
+    hash-exact against the DuckDB twin.
+    """
+    from pyspark.sql import Window
+
+    per = (
+        docs.select(
+            corpus_split(text_col).alias("split"),
+            "source",
+            "lang",
+            token_count(text_col).cast("bigint").alias("toks"),
+        )
+        .groupBy("split", "source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("split")
+    return per.select(
+        "split",
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)).alias(
+            "token_share"
+        ),
+    )
+
+
+def dataset_mix_report_sql(
+    id_col: str = "doc_id", text_col: str = "text", table: str = "documents"
+) -> str:
+    split = corpus_split_sql(text_col)
+    tc = token_count_sql(text_col)
+    return f"""
+WITH per AS (
+  SELECT {split} AS split, source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({tc}) AS BIGINT) AS n_tokens
+  FROM {table}
+  GROUP BY 1, 2, 3
+)
+SELECT split, source, lang, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE)
+         / CAST(SUM(n_tokens) OVER (PARTITION BY split) AS BIGINT) AS token_share
+FROM per
 """
 
 

@@ -646,6 +646,15 @@ def t13_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.token_rarity(docs)
 
 
+@_register("c03_dataset_mix", curation.dataset_mix_report_sql())
+def c03_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card mix report: per (split, source, lang) doc/token
+    totals and each cell's share of its split's tokens — the published
+    summary of a curated corpus and the input to source-weighting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dataset_mix_report(docs)
+
+
 @_register("c02_training_manifest", curation.training_manifest_sql())
 def c02_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus → training manifest: curation decisions (c01), then

@@ -33,10 +33,10 @@ DRIVER_WINDOW_SIZE = 50
 # First-50 layout for the driver correctness run. Order within the
 # window is immaterial to the driver; grouping is for human diffing.
 # Rows-only entries with an r02 driver row (t05, a04, m02, q32 — no
-# oracle by design) rotate out in favor of the late-round-3
-# oracle-checked newcomers (t13/t14/e13/q59); they remain under the
-# local rows-check in
-# tests/test_oracle_parity.py::test_all_queries_return_rows_at_smoke.
+# oracle by design) and the r02-green m01 rotate out in favor of the
+# late-round-3 oracle-checked newcomers (t13/t14/e13/q59/c03); all
+# remain under the local parity/rows checks in
+# tests/test_oracle_parity.py.
 DRIVER_WINDOW: list[str] = [
     # -- NEW in round 3 (no driver row yet): curation + formats
     "t07_repetition",
@@ -85,8 +85,7 @@ DRIVER_WINDOW: list[str] = [
     "a01_ann_bruteforce",
     "a02_ann_lsh",
     "a03_ann_lsh_multiprobe",
-    # -- multimodal plumbing (no r01 row)
-    "m01_multimodal_assets",
+    "c03_dataset_mix",
     # -- late core additions (no r01 row)
     "q51_filtered_aggregates",
     "q55_string_agg",
