@@ -106,3 +106,63 @@ def extract_features(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
             yield out
 
     return assets.mapInPandas(feature_batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_id", T.LongType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame,
+    frame_size: int = 256,
+    hop: int = 1024,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Frame sampling over opaque payloads via ``mapInPandas`` — the
+    1:N fan-out shape of video frame extraction (one asset row in, one
+    row per sampled frame out), which ``m02``'s 1:1 feature map cannot
+    express.
+
+    With the stub, a "frame" is the ``frame_size``-byte window at every
+    ``hop``-th offset (deterministic byte math standing in for decoded
+    frames); a real pipeline swaps the window loop for pyav/ffmpeg
+    keyframe extraction at the marked seam. Assets shorter than one
+    frame emit a single truncated frame so every asset stays visible
+    downstream. The UDF is a closure (pickled by value); payload bytes
+    never leave the executor, and the output carries its own checksum
+    so a lost/duplicated frame is detectable after any downstream
+    shuffle.
+    """
+
+    def frame_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame extraction requires a video library; "
+                    "this environment ships none (stub only)"
+                )
+            cols: dict[str, list] = {k: [] for k in (
+                "asset_id", "frame_id", "frame_offset", "frame_bytes", "frame_checksum"
+            )}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                offsets = range(0, len(b) - frame_size + 1, hop) if len(b) >= frame_size else [0]
+                for fid, off in enumerate(offsets):
+                    fr = b[off : off + frame_size]
+                    cols["asset_id"].append(aid)
+                    cols["frame_id"].append(fid)
+                    cols["frame_offset"].append(off)
+                    cols["frame_bytes"].append(fr)
+                    cols["frame_checksum"].append(sum(fr) % (1 << 31))
+            yield pd.DataFrame(cols)
+
+    return assets.mapInPandas(frame_batches, schema=FRAME_SCHEMA)

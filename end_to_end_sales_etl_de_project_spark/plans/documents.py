@@ -312,6 +312,23 @@ def m02_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.documents_as_assets(docs))
 
 
+@_register("m03_frame_sample", None)  # Pandas-UDF 1:N fan-out: rows-only check
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (mapInPandas 1:N fan-out) over the asset table —
+    the video-keyframe plumbing shape with the decode stubbed. The raw
+    frame bytes are dropped here (the driver compare needs scalars);
+    the checksum stands in for the payload downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(multimodal.documents_as_assets(docs))
+    return frames.select(
+        "asset_id",
+        "frame_id",
+        "frame_offset",
+        F.octet_length("frame_bytes").cast("long").alias("frame_len"),
+        "frame_checksum",
+    )
+
+
 @_register("a03_ann_lsh_multiprobe", similarity.lsh_topk_multiprobe_sql(_QUERY_PRED))
 def a03_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiprobe sign-LSH top-5 (own + Hamming-1 buckets) — the

@@ -56,3 +56,27 @@ def test_scalar_pandas_udf_normalization(spark):
     assert got[1] == "café naïve text"
     assert got[2] is None
     assert got[3] == "café"  # NFC composes e+combining-accent
+
+
+def test_frame_sampling_windows_and_checksums(spark):
+    """m03 semantics: hop-spaced full frames for long payloads, one
+    truncated frame for short ones, checksums match the byte windows."""
+    from end_to_end_sales_etl_de_project_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    long_text = "x" * 2500  # 2500 bytes: frames at 0, 1024, 2048
+    rows = [(1, long_text, "a"), (2, "tiny", "b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    frames = sample_frames(documents_as_assets(docs)).collect()
+    by_asset: dict = {}
+    for r in frames:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    one = sorted(by_asset[1], key=lambda r: r["frame_id"])
+    assert [r["frame_offset"] for r in one] == [0, 1024, 2048]
+    assert all(len(r["frame_bytes"]) == 256 for r in one)
+    assert all(r["frame_checksum"] == sum(b"x" * 256) % (1 << 31) for r in one)
+    two = by_asset[2]
+    assert len(two) == 1
+    assert bytes(two[0]["frame_bytes"]) == b"tiny"
+    assert two[0]["frame_checksum"] == sum(b"tiny") % (1 << 31)
