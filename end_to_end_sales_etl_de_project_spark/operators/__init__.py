@@ -10,6 +10,7 @@ from end_to_end_sales_etl_de_project_spark.operators.metrics import (
     top_performer_incentive,
     windowed_partition_sum,
 )
+from end_to_end_sales_etl_de_project_spark.operators.profiling import profile_columns
 from end_to_end_sales_etl_de_project_spark.operators.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
@@ -39,6 +40,7 @@ __all__ = [
     "lsh_topk",
     "lsh_topk_multiprobe",
     "minhash_lsh_pairs",
+    "profile_columns",
     "range_join_bucketed",
     "salted_sum",
     "session_agg",

@@ -1,0 +1,95 @@
+"""Single-pass column profiling — the Deequ-style data-quality audit
+(row/null/distinct counts, numeric and timestamp min/max) as a reusable
+operator.
+
+Not present in the reference (its only validation is the mandatory-
+column header check, SURVEY §2.1 A3); this is the audit a production
+ingest runs per batch. Design for scale: ALL metrics for ALL profiled
+columns fold into ONE aggregation over ONE scan — the multi-column
+exact count-distinct runs through Catalyst's Expand (map-side row
+replication, still a single shuffle), and a ``stack()`` unpivots the
+1-row aggregate into the per-column report. Profiling N columns costs
+one pass regardless of N; the Expand factor (one replica per distinct
+aggregate) is the explicit, bounded price of EXACT distinct counts —
+swap ``approx_count_distinct`` in at 100 TB if ±2% is acceptable and
+the Expand shuffle dominates.
+
+Determinism: counts are exact BIGINTs; numeric min/max surface as
+exact doubles (bigint/int/epoch-millis magnitudes fit a double
+losslessly); timestamp min/max stay typed columns; string columns
+profile nulls+distinct only — cross-engine string rendering of MIN/MAX
+is not pinned, so it is not claimed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# kind ∈ {num, ts, str}
+ProfileCols = list[tuple[str, str]]
+
+
+def profile_columns(df: DataFrame, cols: ProfileCols) -> DataFrame:
+    """One row per profiled column: (column_name, n_rows, n_nulls,
+    n_distinct, min_value, max_value, min_ts, max_ts)."""
+    aggs: list = [F.count(F.lit(1)).alias("n_rows")]
+    stack_args: list[str] = []
+    null_d = "CAST(NULL AS DOUBLE)"
+    null_t = "CAST(NULL AS TIMESTAMP_NTZ)"
+    for col, kind in cols:
+        aggs.append(F.count(F.when(F.col(col).isNull(), 1)).alias(f"{col}__nulls"))
+        aggs.append(F.count_distinct(F.col(col)).alias(f"{col}__distinct"))
+        mn = mx = null_d
+        mnt = mxt = null_t
+        if kind == "num":
+            aggs.append(F.min(col).cast("double").alias(f"{col}__min"))
+            aggs.append(F.max(col).cast("double").alias(f"{col}__max"))
+            mn, mx = f"{col}__min", f"{col}__max"
+        elif kind == "ts":
+            aggs.append(F.min(col).alias(f"{col}__min"))
+            aggs.append(F.max(col).alias(f"{col}__max"))
+            mnt, mxt = f"{col}__min", f"{col}__max"
+        stack_args.append(
+            f"'{col}', {col}__nulls, {col}__distinct, {mn}, {mx}, {mnt}, {mxt}"
+        )
+    row = df.agg(*aggs)
+    n = len(cols)
+    return row.select(
+        F.expr(
+            f"stack({n}, {', '.join(stack_args)}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value, min_ts, max_ts)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_value",
+        "max_value",
+        "min_ts",
+        "max_ts",
+    )
+
+
+def profile_columns_sql(cols: ProfileCols, table: str) -> str:
+    """DuckDB twin: one independent SELECT per column, UNION ALL'd (the
+    oracle re-derives each row; only the engine's plan is single-pass)."""
+    rows = []
+    for col, kind in cols:
+        mn = mx = "CAST(NULL AS DOUBLE)"
+        mnt = mxt = "CAST(NULL AS TIMESTAMP)"
+        if kind == "num":
+            mn, mx = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+        elif kind == "ts":
+            mnt, mxt = f"MIN({col})", f"MAX({col})"
+        rows.append(
+            f"SELECT '{col}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+            f"       CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,\n"
+            f"       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,\n"
+            f"       {mn} AS min_value, {mx} AS max_value,\n"
+            f"       {mnt} AS min_ts, {mxt} AS max_ts\n"
+            f"FROM {table}"
+        )
+    return "\nUNION ALL\n".join(rows)

@@ -1651,11 +1651,14 @@ def q58_sorted_layout_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Data-quality profiling (Deequ-style column audit). Numeric/timestamp
-# min/max surface as exact doubles (bigint/int/epoch-millis are exact in
-# a double at these magnitudes); string columns profile nulls+distinct
-# only — cross-engine string rendering of min/max is not pinned.
+# Data-quality profiling (operators/profiling.py — see its module
+# docstring for the single-pass / determinism design).
 # ---------------------------------------------------------------------------
+
+from end_to_end_sales_etl_de_project_spark.operators.profiling import (  # noqa: E402
+    profile_columns,
+    profile_columns_sql,
+)
 
 _Q59_PROFILE_COLS: list[tuple[str, str]] = [
     # (column, kind) — kind ∈ {num, ts, str}
@@ -1668,74 +1671,12 @@ _Q59_PROFILE_COLS: list[tuple[str, str]] = [
 ]
 
 
-def _q59_oracle() -> str:
-    rows = []
-    for col, kind in _Q59_PROFILE_COLS:
-        mn = mx = "CAST(NULL AS DOUBLE)"
-        mnt = mxt = "CAST(NULL AS TIMESTAMP)"
-        if kind == "num":
-            mn, mx = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
-        elif kind == "ts":
-            mnt, mxt = f"MIN({col})", f"MAX({col})"
-        rows.append(
-            f"SELECT '{col}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
-            f"       CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,\n"
-            f"       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,\n"
-            f"       {mn} AS min_value, {mx} AS max_value,\n"
-            f"       {mnt} AS min_ts, {mxt} AS max_ts\n"
-            f"FROM lineitem"
-        )
-    return "\nUNION ALL\n".join(rows)
-
-
-@_register("q59_data_profile", _q59_oracle())
+@_register("q59_data_profile", profile_columns_sql(_Q59_PROFILE_COLS, "lineitem"))
 def q59_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-profile audit (the Deequ/data-quality shape): one row per
-    profiled column with row/null/distinct counts and numeric min/max.
-
-    SINGLE pass over the fact: all metrics fold into one aggregation
-    (the multi-distinct is Catalyst's Expand — map-side row replication,
-    still one shuffle), then a stack() unpivots the 1-row result to the
-    per-column report. The oracle re-derives each row independently;
-    only the engine's plan is single-pass. At 100 TB this is the audit
-    you run per ingest batch — cost is one scan, no matter how many
-    columns are profiled."""
-    li = load_table(spark, sf_dir, "lineitem")
-    aggs: list = [F.count(F.lit(1)).alias("n_rows")]
-    stack_args: list[str] = []
-    null_d = "CAST(NULL AS DOUBLE)"
-    null_t = "CAST(NULL AS TIMESTAMP_NTZ)"
-    for col, kind in _Q59_PROFILE_COLS:
-        aggs.append(F.count(F.when(F.col(col).isNull(), 1)).alias(f"{col}__nulls"))
-        aggs.append(F.count_distinct(F.col(col)).alias(f"{col}__distinct"))
-        mn = mx = null_d
-        mnt = mxt = null_t
-        if kind == "num":
-            aggs.append(F.min(col).cast("double").alias(f"{col}__min"))
-            aggs.append(F.max(col).cast("double").alias(f"{col}__max"))
-            mn, mx = f"{col}__min", f"{col}__max"
-        elif kind == "ts":
-            aggs.append(F.min(col).alias(f"{col}__min"))
-            aggs.append(F.max(col).alias(f"{col}__max"))
-            mnt, mxt = f"{col}__min", f"{col}__max"
-        stack_args.append(
-            f"'{col}', {col}__nulls, {col}__distinct, {mn}, {mx}, {mnt}, {mxt}"
-        )
-    row = li.agg(*aggs)
-    n = len(_Q59_PROFILE_COLS)
-    return row.select(
-        F.expr(
-            f"stack({n}, {', '.join(stack_args)}) AS "
-            "(column_name, n_nulls, n_distinct, min_value, max_value, min_ts, max_ts)"
-        ),
-        "n_rows",
-    ).select(
-        "column_name",
-        "n_rows",
-        "n_nulls",
-        "n_distinct",
-        "min_value",
-        "max_value",
-        "min_ts",
-        "max_ts",
-    )
+    """Column-profile audit over the fact table — one row per profiled
+    column with row/null/distinct counts and min/max, via
+    :func:`~end_to_end_sales_etl_de_project_spark.operators.profiling.profile_columns`
+    (single scan for all metrics; tests/test_plan_shapes.py pins the
+    one-scan property, tests/test_profiling.py the planted-null
+    behavior the null-free sf corpora cannot exercise)."""
+    return profile_columns(load_table(spark, sf_dir, "lineitem"), _Q59_PROFILE_COLS)
