@@ -21,6 +21,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -88,6 +89,97 @@ def running_user_profile(events: DataFrame) -> DataFrame:
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+INTERVAL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("valid_from", TimestampType()),
+        StructField("valid_to", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+INTERVAL_STATE_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("from_us", LongType()),
+        StructField("to_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_cents", LongType()),
+    ]
+)
+
+
+def change_interval_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``e13_change_intervals`` operator:
+    run-length encodes each user's event-type stream into effective-
+    dated intervals, emitting an interval the moment the state CHANGES
+    (append mode). The currently-open run lives in per-key state — the
+    streaming-native form of an SCD-2 dimension feed, where the closed
+    interval is what gets merged into the dim table.
+
+    Correct under in-order delivery per key (the micro-batch is sorted
+    on (ts, event_id); cross-batch reordering would need an event-time
+    buffer — the standard caveat for stream run-length encoding).
+    Money accumulates as integer cents in state, matching the engine's
+    exact-decimal discipline, so emitted totals equal the batch twin's
+    bit-for-bit. Per-key state is one open run: O(1).
+    """
+
+    def update_intervals(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        import pandas as pd  # noqa: F811 — resolved on the worker
+
+        (user_id,) = key
+        cur = tuple(state.get) if state.exists else None
+        out: dict[str, list] = {
+            "user_id": [],
+            "event_type": [],
+            "valid_from": [],
+            "valid_to": [],
+            "n_events": [],
+            "total_value": [],
+        }
+
+        def close(run: tuple) -> None:
+            etype, from_us, to_us, n, cents = run
+            out["user_id"].append(user_id)
+            out["event_type"].append(etype)
+            out["valid_from"].append(pd.Timestamp(from_us, unit="us"))
+            out["valid_to"].append(pd.Timestamp(to_us, unit="us"))
+            out["n_events"].append(n)
+            out["total_value"].append(cents / 100.0)
+
+        for pdf in pdfs:
+            for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+                ts_us = int(pd.Timestamp(r.ts).value // 1000)
+                cents = int(round(r.value * 100))
+                if cur is None:
+                    cur = (r.event_type, ts_us, ts_us, 1, cents)
+                elif cur[0] == r.event_type:
+                    cur = (cur[0], cur[1], ts_us, cur[3] + 1, cur[4] + cents)
+                else:
+                    close(cur)
+                    cur = (r.event_type, ts_us, ts_us, 1, cents)
+        if cur is not None:
+            state.update(cur)
+        yield pd.DataFrame(out)
+
+    return (
+        events.select("user_id", "ts", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_intervals,
+            outputStructType=INTERVAL_OUTPUT_SCHEMA,
+            stateStructType=INTERVAL_STATE_SCHEMA,
+            outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -256,3 +256,34 @@ def test_watermark_drops_late_data(spark, tmpdir):
     on_time_window = dt.datetime(2024, 6, 1, 10, 0)
     assert on_time_window in emitted
     assert late_window not in emitted  # the late event left no window
+
+
+def test_change_interval_stream_emits_closed_runs(spark, sf_dir, events_src):
+    """Streaming run-length encoding: the closed intervals emitted by
+    the stream must equal the batch e13 intervals minus each user's
+    final (still-open) run, with bit-identical totals."""
+    from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+    from end_to_end_sales_etl_de_project_spark.streaming.stateful import (
+        change_interval_stream,
+    )
+
+    stream = read_events_stream(spark, events_src)
+    result = run_to_memory_sink(
+        change_interval_stream(stream), "intervals_test", "append"
+    )
+    got = _canon(result)
+    batch = QUERIES["e13_change_intervals"](spark, sf_dir)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("valid_from"))
+    closed_batch = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)  # drop each user's open (latest) run
+        .drop("rn")
+        .select(
+            "user_id", "event_type", "valid_from", "valid_to", "n_events", "total_value"
+        )
+    )
+    assert len(got) > 0, "no closed intervals — vacuous test"
+    assert got == _canon(closed_batch)
