@@ -90,3 +90,25 @@ def test_end_to_end_pairs_guarded_sql_matches(spark):
     sql_off = dedup.minhash_lsh_pairs_sql("doc_id", "text", max_bucket_size=None)
     assert f"WHERE bs.n <= {dedup.DEFAULT_MAX_BUCKET_SIZE}" in sql_on
     assert "bucket_sizes" not in sql_off
+
+
+def test_lsh_pairs_subset_of_exact_jaccard(spark, sf_dir):
+    """Containment law: every MinHash-LSH verified pair (d03) must
+    appear in the exact all-pairs result (d02) with the IDENTICAL
+    jaccard value — LSH may miss pairs (that's the probabilistic
+    trade), but a pair it reports must be exactly right."""
+    from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", 3)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(sh, 0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    for pair, j in lsh.items():
+        assert pair in exact, f"LSH invented pair {pair}"
+        assert j == exact[pair], f"jaccard mismatch for {pair}"
