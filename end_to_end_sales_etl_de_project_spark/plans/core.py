@@ -889,14 +889,43 @@ def q32_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific; tests/test_approx.py bounds them against exact
     values instead. Quartiles are emitted as SCALAR columns — an
     array<double> column crashes the driver's pandas canonicalizer
-    (unhashable list, the one red row in CORRECTNESS_r01)."""
+    (unhashable list, the one red row in CORRECTNESS_r01).
+
+    Plan shape: the sketches and the exact distinct run as SEPARATE
+    aggregations joined on the (3-row) group key. Mixing countDistinct
+    with sketch aggregates in one agg forces Catalyst's Expand and
+    drops the sketches to the sort-aggregate fallback — every
+    percentile buffer then consumes the replicated rows (measured 39 s
+    vs ~1 s at sf0.1). The three quartiles share ONE GK sketch
+    (percentile_approx with a percentage array), unpacked to scalars
+    after the agg."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.25).alias("approx_q25"),
-        F.percentile_approx("l_extendedprice", 0.75).alias("approx_q75"),
+    sketches = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.percentile_approx(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            ).alias("qs"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            F.element_at("qs", 2).alias("approx_median_price"),
+            F.element_at("qs", 1).alias("approx_q25"),
+            F.element_at("qs", 3).alias("approx_q75"),
+        )
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    return sketches.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "approx_orders",
+        "exact_orders",
+        "approx_median_price",
+        "approx_q25",
+        "approx_q75",
     )
 
 
