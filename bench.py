@@ -78,6 +78,7 @@ HEADLINE = [
     "e13_change_intervals",
     "q59_data_profile",
     "c03_dataset_mix",
+    "q60_star_join",
 ]
 
 

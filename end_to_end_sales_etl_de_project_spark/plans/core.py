@@ -1709,3 +1709,74 @@ def q59_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-scan property, tests/test_profiling.py the planted-null
     behavior the null-free sf corpora cannot exercise)."""
     return profile_columns(load_table(spark, sf_dir, "lineitem"), _Q59_PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Star-schema join showcase (TPC-H Q5 shape): selective dim filters +
+# 5 joins — exercises Catalyst's join reordering / broadcast planning
+# on the full star. Revenue = SUM(extendedprice * (1 - discount)) in
+# exact decimal arithmetic (discounts are 2-decimal by construction).
+# ---------------------------------------------------------------------------
+
+_Q60_ORACLE = """
+SELECT n_name AS nation_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS VARCHAR) >= '1996-01-01'
+  AND CAST(o_orderdate AS VARCHAR) < '1998-01-01'
+GROUP BY 1
+"""
+
+
+@_register("q60_star_join", _Q60_ORACLE)
+def q60_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue per nation inside one
+    region and a 2-year window. The fact shuffles ONCE for the
+    orders join (both sides large); every dimension — customer is
+    bounded, supplier/nation/region tiny — broadcasts, and the
+    region filter prunes nations BEFORE the fact sees them, so the
+    c_nationkey = s_nationkey local-supplier condition resolves inside
+    broadcast hash joins, never a shuffle. Partial aggregation applies
+    on the derived nation key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    od = F.col("o_orderdate").cast("string")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(
+            orders.filter((od >= "1996-01-01") & (od < "1998-01-01")),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum(money("l_extendedprice") * (one - disc))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -184,3 +184,13 @@ def test_sorted_layout_files_have_disjoint_ranges(spark):
     spans.sort()
     for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
         assert hi_a <= lo_b, f"overlapping file ranges: ({lo_a},{hi_a}) vs ({lo_b},{hi_b})"
+
+
+def test_star_join_broadcasts_every_dim(spark):
+    """q60 (TPC-H Q5 shape): all dimension joins resolve as broadcast
+    hash joins — a sort-merge join against a bounded dim means the
+    broadcast hints were lost; the region filter must reach its scan."""
+    plan = plan_of(spark, "q60_star_join")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "HashAggregate" in plan and plan.count("HashAggregate") >= 2
