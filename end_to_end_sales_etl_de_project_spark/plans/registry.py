@@ -86,9 +86,9 @@ DRIVER_WINDOW: list[str] = [
     "a02_ann_lsh",
     "a03_ann_lsh_multiprobe",
     "c03_dataset_mix",
-    # -- late core additions (no r01 row)
-    "q51_filtered_aggregates",
-    "q55_string_agg",
+    # -- late round-3 additions (q51/q55 rotate out on their r02 rows)
+    "q60_star_join",
+    "m03_frame_sample",
     "t14_doc_chunking",
     # -- core representatives (all driver-green in r01+r02; regression
     # cover — everything rotated out for the round-3 newcomers is
