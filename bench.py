@@ -79,6 +79,7 @@ HEADLINE = [
     "q59_data_profile",
     "c03_dataset_mix",
     "q60_star_join",
+    "t15_boilerplate_ngrams",
 ]
 
 

@@ -497,6 +497,86 @@ FROM rolled
 """
 
 
+def boilerplate_ngrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    top: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-source boilerplate discovery: the ``top`` k-gram shingles by
+    document frequency within each source (ties broken on the shingle
+    text). This is the AUDIT behind stop-shingle capping (d08) — before
+    capping hot shingles you look at what they are, per source, because
+    boilerplate is source-specific (site templates, license headers).
+
+    One explode → one distinct (a shingle counts once per doc) → one
+    map-side-combinable (source, shingle) count → one rank window over
+    the aggregated frame. The window's input is the aggregate, bounded
+    by |sources| x |distinct shingles per source| — at 100 TB apply
+    ``min_df`` first (done here) so the rank only sees shingles that
+    repeat at all. Counts exact, ordering totally tie-broken ⇒
+    hash-exact oracle.
+    """
+    from pyspark.sql import Window
+
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            "source",
+            F.explode(
+                shingles_from_tokens(tokens(text_col), k)
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    df_counts = (
+        sh.groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("df"), "shingle")
+    return (
+        df_counts.withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= top)
+        .select(
+            "source",
+            F.col("rank_in_source").cast("bigint"),
+            "shingle",
+            F.col("df").cast("bigint").alias("df"),
+        )
+    )
+
+
+def boilerplate_ngrams_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    top: int = 5,
+    min_df: int = 2,
+    table: str = "documents",
+) -> str:
+    sh = word_shingles_sql(text_col, k)
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT {id_col} AS doc, source, unnest({sh}) AS shingle FROM {table}
+),
+counts AS (
+  SELECT source, shingle, CAST(COUNT(*) AS BIGINT) AS df
+  FROM sh GROUP BY 1, 2 HAVING COUNT(*) >= {min_df}
+),
+ranked AS (
+  SELECT source, shingle, df,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY df DESC, shingle)
+           AS rank_in_source
+  FROM counts
+)
+SELECT source, CAST(rank_in_source AS BIGINT) AS rank_in_source, shingle, df
+FROM ranked WHERE rank_in_source <= {top}
+"""
+
+
 def dataset_mix_report(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -642,6 +642,15 @@ def t12_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("t15_boilerplate_ngrams", curation.boilerplate_ngrams_sql())
+def t15_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate audit: top-5 3-gram shingles by document
+    frequency within each source — what you inspect before capping hot
+    shingles (d08). Explode → distinct → count → bounded rank window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.boilerplate_ngrams(docs)
+
+
 @_register("t14_doc_chunking", text.doc_chunks_sql())
 def t14_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length chunking: overlapping 128-token windows with

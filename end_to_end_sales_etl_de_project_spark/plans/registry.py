@@ -70,7 +70,6 @@ DRIVER_WINDOW: list[str] = [
     "e08_interarrival_stats",
     # -- documents: text analysis (no r01 row)
     "t01_text_stats",
-    "t02_language_id",
     "t03_quality_score",
     "t04_doc_fingerprint",
     "t06_corpus_split",
@@ -90,6 +89,7 @@ DRIVER_WINDOW: list[str] = [
     "q60_star_join",
     "m03_frame_sample",
     "t14_doc_chunking",
+    "t15_boilerplate_ngrams",
     # -- core representatives (all driver-green in r01+r02; regression
     # cover — everything rotated out for the round-3 newcomers is
     # double-green and its operator family stays represented)
