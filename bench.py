@@ -51,6 +51,8 @@ HEADLINE = [
     "e03_session_window",
     "e05_asof_join",
     "e06_range_join",
+    "e08_interarrival_stats",
+    "e14_interarrival_native",
     # training-data ops
     "d01_dedup_exact",
     "d02_ngram_jaccard",

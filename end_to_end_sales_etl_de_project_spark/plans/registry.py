@@ -61,8 +61,8 @@ DRIVER_WINDOW: list[str] = [
     "q59_data_profile",
     # -- events: windows / sessionization / temporal joins (no r01 row)
     "e01_tumbling_hourly",
-    "e02_sliding_hourly_30m",
     "e03_session_window",
+    "e14_interarrival_native",
     "e04_user_activity_rollup",
     "e05_asof_join",
     "e06_range_join",
