@@ -32,11 +32,11 @@ DRIVER_WINDOW_SIZE = 50
 
 # First-50 layout for the driver correctness run. Order within the
 # window is immaterial to the driver; grouping is for human diffing.
-# Rows-only entries with an r02 driver row (t05, a04, m02, q32 — no
-# oracle by design) and the r02-green m01 rotate out in favor of the
-# late-round-3 oracle-checked newcomers (t13/t14/e13/q59/c03); all
-# remain under the local parity/rows checks in
-# tests/test_oracle_parity.py.
+# Rotated OUT on their r02 driver evidence: rows-only t05/a04/m02/q32
+# (no oracle by design) and oracle-green m01/q51/q55/t02/e02 — all
+# stay under the local parity/rows checks in tests/test_oracle_parity.py,
+# and tests/test_registry_window.py enforces the union invariant (every
+# registered query has driver evidence from some round or a slot here).
 DRIVER_WINDOW: list[str] = [
     # -- NEW in round 3 (no driver row yet): curation + formats
     "t07_repetition",
