@@ -511,29 +511,26 @@ def boilerplate_ngrams(
     capping hot shingles you look at what they are, per source, because
     boilerplate is source-specific (site templates, license headers).
 
-    One explode → one distinct (a shingle counts once per doc) → one
-    map-side-combinable (source, shingle) count → one rank window over
-    the aggregated frame. The window's input is the aggregate, bounded
-    by |sources| x |distinct shingles per source| — at 100 TB apply
-    ``min_df`` first (done here) so the rank only sees shingles that
-    repeat at all. Counts exact, ordering totally tie-broken ⇒
+    One explode → one (source, shingle) aggregation counting DISTINCT
+    docs (a shingle counts once per doc; the single-distinct aggregate
+    plans as a two-phase agg — partial dedup map-side, so the shuffle
+    carries each (source, shingle, doc) once, not once per occurrence)
+    → one rank window over the aggregated frame. The window's input is
+    bounded by |sources| x |distinct shingles per source| — at 100 TB
+    apply ``min_df`` first (done here) so the rank only sees shingles
+    that repeat at all. Counts exact, ordering totally tie-broken ⇒
     hash-exact oracle.
     """
     from pyspark.sql import Window
 
-    sh = (
-        docs.select(
-            F.col(id_col).alias("doc"),
-            "source",
-            F.explode(
-                shingles_from_tokens(tokens(text_col), k)
-            ).alias("shingle"),
-        )
-        .distinct()
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        "source",
+        F.explode(shingles_from_tokens(tokens(text_col), k)).alias("shingle"),
     )
     df_counts = (
         sh.groupBy("source", "shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.count_distinct("doc").alias("df"))
         .filter(F.col("df") >= min_df)
     )
     w = Window.partitionBy("source").orderBy(F.desc("df"), "shingle")

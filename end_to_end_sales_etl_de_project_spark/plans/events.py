@@ -509,3 +509,80 @@ def e10_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "decile", "n_events", "min_value", "max_value", "total_value"
         )
     )
+
+
+# Ordered funnel (view -> click -> purchase, strictly increasing ts):
+# the product-analytics sequencing query. Stage n's "first qualifying
+# timestamp" depends on stage n-1's, so the funnel is the standard
+# chain of conditional-min aggregations — every aggregation and join
+# keys on user_id, so one hash partitioning serves the whole chain
+# (no broadcast needed: the per-user frames are |users|-sized, and the
+# joins are co-partitioned equi-joins).
+_E15_ORACLE = """
+WITH s1 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS view_ts
+  FROM events GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.view_ts
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts
+  GROUP BY 1
+)
+SELECT s1.user_id, s1.view_ts, s2.click_ts, s3.purchase_ts,
+       CAST(CASE WHEN s3.purchase_ts IS NOT NULL THEN 3
+                 WHEN s2.click_ts IS NOT NULL THEN 2
+                 WHEN s1.view_ts IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS reached
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+@_register("e15_funnel", _E15_ORACLE)
+def e15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user: first view, first click strictly after
+    it, first purchase strictly after that, and the step reached."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("view_ts")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    reached = (
+        F.when(F.col("purchase_ts").isNotNull(), 3)
+        .when(F.col("click_ts").isNotNull(), 2)
+        .when(F.col("view_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            reached.cast("bigint").alias("reached"),
+        )
+    )

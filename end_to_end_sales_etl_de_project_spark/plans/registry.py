@@ -66,7 +66,7 @@ DRIVER_WINDOW: list[str] = [
     "e04_user_activity_rollup",
     "e05_asof_join",
     "e06_range_join",
-    "e07_sessionize_lag",
+    "e15_funnel",
     "e08_interarrival_stats",
     # -- documents: text analysis (no r01 row)
     "t01_text_stats",
