@@ -605,13 +605,18 @@ def dataset_mix_report(
         )
     )
     w = Window.partitionBy("split")
+    denom = F.sum("n_tokens").over(w)
+    # guard the divisor: a split whose docs are all empty would give
+    # NULL here (non-ANSI /0) but NaN in DuckDB's IEEE division —
+    # emit NULL in both engines so the hash-exact oracle claim holds
+    # on that edge case
     return per.select(
         "split",
         "source",
         "lang",
         "n_docs",
         "n_tokens",
-        (F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)).alias(
+        F.when(denom > 0, F.col("n_tokens").cast("double") / denom).alias(
             "token_share"
         ),
     )
@@ -631,8 +636,10 @@ WITH per AS (
   GROUP BY 1, 2, 3
 )
 SELECT split, source, lang, n_docs, n_tokens,
-       CAST(n_tokens AS DOUBLE)
-         / CAST(SUM(n_tokens) OVER (PARTITION BY split) AS BIGINT) AS token_share
+       CASE WHEN SUM(n_tokens) OVER (PARTITION BY split) > 0
+            THEN CAST(n_tokens AS DOUBLE)
+                   / CAST(SUM(n_tokens) OVER (PARTITION BY split) AS BIGINT)
+       END AS token_share
 FROM per
 """
 

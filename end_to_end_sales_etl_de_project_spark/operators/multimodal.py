@@ -134,8 +134,10 @@ def sample_frames(
     ``hop``-th offset (deterministic byte math standing in for decoded
     frames); a real pipeline swaps the window loop for pyav/ffmpeg
     keyframe extraction at the marked seam. Assets shorter than one
-    frame emit a single truncated frame so every asset stays visible
-    downstream. The UDF is a closure (pickled by value); payload bytes
+    frame emit a single truncated frame, and any tail bytes beyond the
+    last full frame emit a final truncated frame — every asset's end
+    stays visible downstream, so the checksum column can detect loss
+    or truncation at either end of the payload. The UDF is a closure (pickled by value); payload bytes
     never leave the executor, and the output carries its own checksum
     so a lost/duplicated frame is detectable after any downstream
     shuffle.
@@ -155,7 +157,15 @@ def sample_frames(
             )}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 b = bytes(payload)
-                offsets = range(0, len(b) - frame_size + 1, hop) if len(b) >= frame_size else [0]
+                if len(b) >= frame_size:
+                    offsets = list(range(0, len(b) - frame_size + 1, hop))
+                    # tail beyond the last full frame: truncated final
+                    # frame (consistent with the short-payload case)
+                    tail = offsets[-1] + frame_size
+                    if tail < len(b):
+                        offsets.append(tail)
+                else:
+                    offsets = [0]
                 for fid, off in enumerate(offsets):
                     fr = b[off : off + frame_size]
                     cols["asset_id"].append(aid)

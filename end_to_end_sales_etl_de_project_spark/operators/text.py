@@ -340,7 +340,16 @@ def doc_chunks(
     the fan-out is bounded by ceil(n_tokens / stride) per doc. Empty
     docs produce no chunks. Deterministic (integer window math +
     substring joins) ⇒ exact DuckDB twin.
+
+    ``stride`` must be in (0, chunk_size]: a stride beyond chunk_size
+    would silently drop the tokens between windows, violating the
+    every-token-covered guarantee above.
     """
+    if not 0 < stride <= chunk_size:
+        raise ValueError(
+            f"stride ({stride}) must be in (0, chunk_size={chunk_size}]: "
+            "a larger stride drops tokens between windows"
+        )
     from pyspark.sql import functions as _F
 
     toked = docs.select(
@@ -375,6 +384,11 @@ def doc_chunks_sql(
     stride: int = 96,
     table: str = "documents",
 ) -> str:
+    if not 0 < stride <= chunk_size:
+        raise ValueError(
+            f"stride ({stride}) must be in (0, chunk_size={chunk_size}]: "
+            "a larger stride drops tokens between windows"
+        )
     toks = tokens_sql(text_col)
     return f"""
 WITH toked AS (

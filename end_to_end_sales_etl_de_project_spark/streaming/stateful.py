@@ -136,6 +136,8 @@ def change_interval_stream(events: DataFrame) -> DataFrame:
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         import pandas as pd  # noqa: F811 — resolved on the worker
+        from decimal import Decimal as _Decimal
+        from decimal import ROUND_HALF_UP as _ROUND_HALF_UP
 
         (user_id,) = key
         cur = tuple(state.get) if state.exists else None
@@ -160,7 +162,16 @@ def change_interval_stream(events: DataFrame) -> DataFrame:
         for pdf in pdfs:
             for r in pdf.sort_values(["ts", "event_id"]).itertuples():
                 ts_us = int(pd.Timestamp(r.ts).value // 1000)
-                cents = int(round(r.value * 100))
+                # HALF_UP via Decimal, matching batch e13's CAST to
+                # DECIMAL(18,2): float round() is banker's and would
+                # diverge on inputs carrying >2 decimals (0.125 -> 12
+                # vs 13 cents)
+                cents = int(
+                    _Decimal(str(r.value)).quantize(
+                        _Decimal("0.01"), rounding=_ROUND_HALF_UP
+                    )
+                    * 100
+                )
                 if cur is None:
                     cur = (r.event_type, ts_us, ts_us, 1, cents)
                 elif cur[0] == r.event_type:

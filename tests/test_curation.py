@@ -189,3 +189,17 @@ def test_doc_chunks_cover_every_token(spark):
     assert covered == set(range(300))
     # overlap: window i+1 re-reads the last chunk_size - stride tokens
     assert two[0]["chunk_text"].split(" ")[96:] == two[1]["chunk_text"].split(" ")[:32]
+
+
+def test_doc_chunks_rejects_gapping_stride(spark):
+    """stride > chunk_size would silently drop inter-window tokens —
+    both the Spark operator and its SQL twin must refuse."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        text.doc_chunks(docs, chunk_size=64, stride=65)
+    with pytest.raises(ValueError, match="stride"):
+        text.doc_chunks_sql(chunk_size=64, stride=65)
+    with pytest.raises(ValueError, match="stride"):
+        text.doc_chunks(docs, chunk_size=64, stride=0)

@@ -65,7 +65,8 @@ def test_frame_sampling_windows_and_checksums(spark):
         sample_frames,
     )
 
-    long_text = "x" * 2500  # 2500 bytes: frames at 0, 1024, 2048
+    # 2500 bytes: full frames at 0, 1024, 2048 + truncated tail at 2304
+    long_text = "x" * 2500
     rows = [(1, long_text, "a"), (2, "tiny", "b")]
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     frames = sample_frames(documents_as_assets(docs)).collect()
@@ -73,9 +74,12 @@ def test_frame_sampling_windows_and_checksums(spark):
     for r in frames:
         by_asset.setdefault(r["asset_id"], []).append(r)
     one = sorted(by_asset[1], key=lambda r: r["frame_id"])
-    assert [r["frame_offset"] for r in one] == [0, 1024, 2048]
-    assert all(len(r["frame_bytes"]) == 256 for r in one)
-    assert all(r["frame_checksum"] == sum(b"x" * 256) % (1 << 31) for r in one)
+    assert [r["frame_offset"] for r in one] == [0, 1024, 2048, 2304]
+    assert [len(r["frame_bytes"]) for r in one] == [256, 256, 256, 196]
+    assert all(
+        r["frame_checksum"] == sum(bytes(r["frame_bytes"])) % (1 << 31) for r in one
+    )
+    assert bytes(one[-1]["frame_bytes"]) == b"x" * 196
     two = by_asset[2]
     assert len(two) == 1
     assert bytes(two[0]["frame_bytes"]) == b"tiny"
