@@ -93,3 +93,63 @@ def profile_columns_sql(cols: ProfileCols, table: str) -> str:
             f"FROM {table}"
         )
     return "\nUNION ALL\n".join(rows)
+
+
+FkSpec = list[tuple[str, DataFrame, str, DataFrame, str]]
+
+
+def fk_orphans(fks: FkSpec) -> DataFrame:
+    """Referential-integrity audit — one row per declared foreign key:
+    (fk_name, n_rows, n_null_keys, n_orphans). An orphan is a child row
+    whose non-null key has no parent (SQL ``NOT EXISTS`` semantics;
+    NULL keys are counted separately, never as orphans — matching the
+    null-aware discipline of q43's anti join).
+
+    Scale shape: each FK costs ONE left join on the key plus one
+    map-side-combinable aggregation — the parent side is deduplicated
+    first, so the join never expands the child, and Catalyst broadcasts
+    bounded dims (part/supplier/customer) while big-big pairs
+    (lineitem ⋈ orders) take the one shuffle they need. The per-FK
+    1-row aggregates union into the report: an audit over any number of
+    declared keys stays a fixed number of passes over each child, never
+    a collect.
+    """
+    reports = []
+    for name, child, child_key, parent, parent_key in fks:
+        par = parent.select(F.col(parent_key).alias("__pk")).distinct()
+        joined = child.select(F.col(child_key).alias("__ck")).join(
+            par, F.col("__ck") == F.col("__pk"), "left"
+        )
+        reports.append(
+            joined.agg(
+                F.lit(name).alias("fk_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col("__ck").isNull(), 1)).alias("n_null_keys"),
+                F.count(
+                    F.when(F.col("__ck").isNotNull() & F.col("__pk").isNull(), 1)
+                ).alias("n_orphans"),
+            ).select("fk_name", "n_rows", "n_null_keys", "n_orphans")
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def fk_orphans_sql(fks: list[tuple[str, str, str, str, str]]) -> str:
+    """DuckDB twin: (fk_name, child_table, child_key, parent_table,
+    parent_key) tuples, same left-join-against-distinct-parent shape."""
+    rows = []
+    for name, child, ck, parent, pk in fks:
+        rows.append(
+            f"SELECT '{name}' AS fk_name,\n"
+            f"       CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+            f"       CAST(COUNT(*) FILTER (WHERE c.{ck} IS NULL) AS BIGINT)"
+            f" AS n_null_keys,\n"
+            f"       CAST(COUNT(*) FILTER (WHERE c.{ck} IS NOT NULL"
+            f" AND p.__pk IS NULL) AS BIGINT) AS n_orphans\n"
+            f"FROM {child} c LEFT JOIN"
+            f" (SELECT DISTINCT {pk} AS __pk FROM {parent}) p\n"
+            f"  ON c.{ck} = p.__pk"
+        )
+    return "\nUNION ALL\n".join(rows)

@@ -1780,3 +1780,196 @@ def q60_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: two parquet generations, merged-schema read
+# ---------------------------------------------------------------------------
+
+_Q61_ORACLE = """
+SELECT o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+       CASE WHEN substr(CAST(o_orderdate AS VARCHAR), 1, 10) >= '1997-01-01'
+            THEN o_orderpriority END AS priority
+FROM orders
+"""
+
+
+@_register("q61_union_by_name", _Q61_ORACLE)
+def q61_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under the correctness gate: generation 1 is
+    written WITHOUT the ``priority`` column, generation 2 adds it; the
+    read side merges footers (``mergeSchema``) so old files surface the
+    new column as NULL — exactly how a long-lived 100 TB table absorbs
+    a schema change without rewriting history. The oracle recomputes
+    the union from the source table, so a column misalignment or a
+    generation dropped by the merged read would hash-mismatch.
+
+    Scale note: ``mergeSchema`` reconciles footers at planning time
+    (driver-side, one pass over file metadata) — the data files are
+    never rewritten and column pruning/pushdown still applies per file.
+    """
+    import hashlib
+    import tempfile
+
+    base = f"{tempfile.gettempdir()}/engine-evolve-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.substring(F.col("o_orderdate").cast("string"), 1, 10)
+    gen1 = orders.filter(od < "1997-01-01").select(
+        "o_orderkey", money("o_totalprice").alias("total_price")
+    )
+    gen2 = orders.filter(od >= "1997-01-01").select(
+        "o_orderkey",
+        money("o_totalprice").alias("total_price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    gen1.write.mode("overwrite").parquet(f"{base}/gen=1")
+    gen2.write.mode("overwrite").parquet(f"{base}/gen=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{base}/gen=1", f"{base}/gen=2")
+        .withColumn("total_price", F.col("total_price").cast("double"))
+        .select("o_orderkey", "total_price", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: partial-agg merge ≡ full recompute
+# ---------------------------------------------------------------------------
+
+_Q62_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@_register("q62_incremental_agg", _Q62_ORACLE)
+def q62_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental mart maintenance: the fact is split into a BASE
+    partition and a DELTA batch (by ship date), partial aggregates are
+    computed per side, and the mart is refreshed by merging partials —
+    sum-of-sums, sum-of-counts, averages re-derived LAST from merged
+    sums. The oracle recomputes the aggregate from scratch over the
+    whole fact: the hash match IS the proof that fold(base) ⊕
+    fold(delta) ≡ fold(all), which only holds because money folds in
+    exact decimal (a double sum would drift between the two plans).
+    This is the algebra every incremental/materialized-view refresh
+    rests on; at 100 TB the base partials are a tiny stored table and
+    each refresh touches only the delta.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sd = F.substring(F.col("l_shipdate").cast("string"), 1, 10)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.sum(money("l_quantity")).alias("p_qty"),
+            F.sum(money("l_extendedprice")).alias("p_price"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+
+    base = partials(li.filter((sd < "1997-01-01") | sd.isNull()))
+    delta = partials(li.filter(sd >= "1997-01-01"))
+    return (
+        base.unionByName(delta)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("p_qty").cast("double").alias("sum_qty"),
+            F.sum("p_price").cast("double").alias("sum_price"),
+            F.sum("p_n").alias("n_rows"),
+        )
+        .withColumn("avg_price", F.col("sum_price") / F.col("n_rows"))
+        .select("l_returnflag", "sum_qty", "sum_price", "n_rows", "avg_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit over the star schema
+# ---------------------------------------------------------------------------
+
+from end_to_end_sales_etl_de_project_spark.operators.profiling import (  # noqa: E402
+    fk_orphans,
+    fk_orphans_sql,
+)
+
+_Q63_FKS_SQL = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+@_register("q63_fk_orphans", fk_orphans_sql(_Q63_FKS_SQL))
+def q63_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star: every
+    declared FK gets (n_rows, n_null_keys, n_orphans) from one
+    null-aware left join against the deduplicated parent keys. The
+    audit a production warehouse runs after every load — clean data
+    reports zero orphans (this corpus does), and the planted-orphan
+    unit test (tests/test_profiling.py) proves the detector fires."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    return fk_orphans(
+        [
+            ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem->part", li, "l_partkey", part, "p_partkey"),
+            ("lineitem->supplier", li, "l_suppkey", supplier, "s_suppkey"),
+            ("orders->customer", orders, "o_custkey", customer, "c_custkey"),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram (profiling / distribution audit)
+# ---------------------------------------------------------------------------
+
+_Q64_WIDTH = 25000
+
+_Q64_ORACLE = f"""
+SELECT CAST(FLOOR(o_totalprice / {_Q64_WIDTH}.0) AS BIGINT) AS bucket,
+       CAST(FLOOR(o_totalprice / {_Q64_WIDTH}.0) AS BIGINT) * {_Q64_WIDTH}.0
+         AS bucket_lo,
+       (CAST(FLOOR(o_totalprice / {_Q64_WIDTH}.0) AS BIGINT) + 1) * {_Q64_WIDTH}.0
+         AS bucket_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1
+"""
+
+
+@_register("q64_numeric_histogram", _Q64_ORACLE)
+def q64_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value — the distribution audit
+    behind skew detection and bucket-boundary choices. Fixed origin +
+    width (not data-driven min/max) keeps it ONE pass and ONE map-side-
+    combinable aggregation on a derived integer key: no second scan, no
+    driver round-trip, bucket count bounded by domain/width regardless
+    of row count. (Quantile-based binning is e10's job; approximate
+    sketches are q32's.) floor(x/width) on doubles is IEEE-identical in
+    both engines, and bucket totals fold in exact decimal."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(float(_Q64_WIDTH))).cast("bigint")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * float(_Q64_WIDTH)).alias("bucket_lo"),
+            ((F.col("bucket") + 1) * float(_Q64_WIDTH)).alias("bucket_hi"),
+            "n_orders",
+            "total_price",
+        )
+    )

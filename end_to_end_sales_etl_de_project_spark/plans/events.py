@@ -586,3 +586,129 @@ def e15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             reached.cast("bigint").alias("reached"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling time-range window (trailing 1 h per user)
+# ---------------------------------------------------------------------------
+
+_E16_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+@_register("e16_rolling_1h", _E16_ORACLE)
+def e16_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour rolling count/sum per user — the RANGE-frame
+    window (frame bounds in event-time seconds, not row counts) behind
+    rate limits, rolling spend, and anomaly baselines. One shuffle on
+    user_id; the frame walks each partition sorted once. Both engines
+    evaluate the identical integer-second frame (Spark's timestamp→long
+    cast and DuckDB's floor(epoch()) truncate alike), peers included,
+    and the windowed sum folds in exact decimal — hash-exact."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(money("value")).over(w).cast("double").alias("value_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill + last-observation-carried-forward
+# ---------------------------------------------------------------------------
+
+_E17_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+  GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM spans
+)
+SELECT s.user_id, s.hour,
+       COALESCE(h.n_events, 0) AS n_events,
+       (h.n_events IS NULL) AS is_gap,
+       last_value(h.total_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM spine s
+LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+"""
+
+
+@_register("e17_gap_fill_locf", _E17_ORACLE)
+def e17_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user hourly resample over a
+    dense hour spine (each user's own active span), missing hours
+    surfaced as gap rows with count 0 and the last observed hourly
+    total carried forward (LOCF) — what every downstream
+    forecaster/feature pipeline does to an irregular event stream.
+
+    Scale shape: aggregate FIRST (events → per-user-hour rollup), then
+    build the spine by exploding ``sequence(min_hour, max_hour)`` off
+    the per-user span — the explode fans out over the AGGREGATED frame
+    (|users| rows → |users|×|span| rows), never over raw events, and
+    the dense frame is bounded by span length. The spine join and the
+    LOCF window both key on user_id, so the whole chain rides one hash
+    partitioning. First spine hour per user is that user's first active
+    hour ⇒ the LOCF window never reads an all-NULL prefix."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= "2024-01-08") & (F.col("ts") < "2024-01-15")
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(money("value")).cast("double").alias("total_value"),
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.col("n_events").isNull().alias("is_gap"),
+            F.last("total_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
