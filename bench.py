@@ -82,6 +82,15 @@ HEADLINE = [
     "c03_dataset_mix",
     "q60_star_join",
     "t15_boilerplate_ngrams",
+    # round-4 additions
+    "q61_union_by_name",
+    "q62_incremental_agg",
+    "q63_fk_orphans",
+    "q64_numeric_histogram",
+    "e16_rolling_1h",
+    "e17_gap_fill_locf",
+    "t16_weighted_source_mix",
+    "d09_minhash_estimate_audit",
 ]
 
 

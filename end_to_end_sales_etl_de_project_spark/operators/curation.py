@@ -677,3 +677,108 @@ FROM {table} d
 LEFT JOIN ex e ON d.{id_col} = e.doc
 LEFT JOIN comp ON d.{id_col} = comp.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted source sampling (training-mix rebalancing)
+# ---------------------------------------------------------------------------
+
+
+def weighted_source_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_frac: float = 0.5,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Sqrt-temperature source rebalancing: each source's target share
+    of the sampled corpus is proportional to the SQUARE ROOT of its
+    token mass (the standard alpha=0.5 temperature that upweights small
+    sources and flattens head-heavy mixes), and documents are kept by
+    deterministic hash against the per-source keep rate. Output: one
+    row per KEPT doc with its source's keep_rate — the mix-rebalancing
+    step between curation (c01) and packing (t11).
+
+    Scale shape: one map-side-combinable aggregation builds the
+    per-source token totals (|sources| rows — control-plane sized, so
+    the unpartitioned window over it moves nothing), the rate table
+    broadcasts back onto the corpus, and the keep decision is a pure
+    per-row hash filter in codegen. Nothing driver-side, nothing
+    quadratic, no second corpus pass.
+
+    Determinism: weights are floor(sqrt(tokens)) — INTEGERS — so their
+    sum is order-free; the rate is a fixed left-to-right chain of IEEE
+    ops mirrored exactly in the SQL twin; the keep test compares
+    integers (md5 bucket vs floor(rate*1e6)). Hash-exact, including
+    the all-empty-corpus edge (rate NULL in both engines, no rows).
+    """
+    from pyspark.sql import Window
+
+    per = (
+        docs.select("source", token_count(text_col).cast("bigint").alias("toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    rates = per.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint").alias("wt"),
+    )
+    total_wt = F.sum("wt").over(w)
+    total_docs = F.sum("n_docs").over(w)
+    keep_rate = F.least(
+        F.lit(1.0),
+        F.col("wt").cast("double")
+        / total_wt
+        * (total_docs * F.lit(target_frac))
+        / F.col("n_docs"),
+    )
+    rates = rates.select(
+        "source", F.when(total_wt > 0, keep_rate).alias("keep_rate")
+    )
+    bucket = F.pmod(
+        h60(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.lit(1000000)
+    )
+    return (
+        docs.select(F.col(id_col), "source")
+        .join(F.broadcast(rates), "source")
+        .filter(bucket < F.floor(F.col("keep_rate") * 1000000.0).cast("bigint"))
+        .select(id_col, "source", "keep_rate")
+    )
+
+
+def weighted_source_sample_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_frac: float = 0.5,
+    salt: str = "mix-v1",
+    table: str = "documents",
+) -> str:
+    tc = token_count_sql(text_col)
+    h = h60_sql(f"'{salt}' || CAST(d.{id_col} AS VARCHAR)")
+    return f"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({tc}) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY 1
+),
+rates AS (
+  SELECT source,
+         CASE WHEN SUM(CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)) OVER () > 0
+              THEN LEAST(1.0,
+                CAST(CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS DOUBLE)
+                  / SUM(CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)) OVER ()
+                  * (SUM(n_docs) OVER () * {target_frac})
+                  / n_docs)
+         END AS keep_rate
+  FROM per
+)
+SELECT d.{id_col}, d.source, r.keep_rate
+FROM {table} d JOIN rates r ON d.source = r.source
+WHERE ({h}) % 1000000 < CAST(FLOOR(r.keep_rate * 1000000.0) AS BIGINT)
+"""

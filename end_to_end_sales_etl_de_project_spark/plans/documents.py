@@ -703,3 +703,26 @@ def t05_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", text.normalized_text_pandas("text").alias("text_normalized")
     )
+
+
+@_register("t16_weighted_source_mix", curation.weighted_source_sample_sql())
+def t16_weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sqrt-temperature source rebalancing: per-source keep rates
+    proportional to sqrt(token mass), documents kept by deterministic
+    hash — the alpha=0.5 mix flattening between curation and packing.
+    One aggregation + broadcast rate join + codegen hash filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.weighted_source_sample(docs)
+
+
+@_register(
+    "d09_minhash_estimate_audit",
+    dedup.minhash_estimate_audit_sql("doc_id", "text"),
+)
+def d09_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: MinHash-estimated vs exact Jaccard (and the
+    absolute error) for every LSH candidate pair — the audit behind any
+    signature-agreement threshold. Reuses d03's shingles, signatures,
+    and banding; adds one signature-pair join over the (few) candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_estimate_audit(docs, "doc_id", "text")

@@ -38,22 +38,25 @@ DRIVER_WINDOW_SIZE = 50
 # and tests/test_registry_window.py enforces the union invariant (every
 # registered query has driver evidence from some round or a slot here).
 DRIVER_WINDOW: list[str] = [
-    # -- NEW in round 3 (no driver row yet): curation + formats
-    "t07_repetition",
-    "t08_stratified_sample",
+    # -- NEW in round 4 (no driver row yet): these MUST be in the window
+    "q61_union_by_name",
+    "q62_incremental_agg",
+    "q63_fk_orphans",
+    "q64_numeric_histogram",
+    "e16_rolling_1h",
+    "e17_gap_fill_locf",
+    "t16_weighted_source_mix",
+    "d09_minhash_estimate_audit",
+    # -- round-3 queries staying in for regression cover (r03-green;
+    # t07/t08/t10/t11/t12/q56/q57/e12 rotate out on their r03 rows,
+    # families still represented below)
     "t09_tfidf_top_terms",
-    "t10_pii_redact",
-    "t11_token_packing",
-    "t12_source_cap",
     "d07_decontaminate",
     "c01_curate_corpus",
     "c02_training_manifest",
-    "q56_orc_roundtrip",
-    "q57_jsonl_roundtrip",
     "q58_sorted_layout_readback",
     "e10_value_deciles",
     "e11_ohlc_hourly",
-    "e12_cohort_retention",
     "d08_jaccard_stopshingle",
     "a05_ann_pq",
     "t13_token_rarity",

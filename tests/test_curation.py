@@ -203,3 +203,31 @@ def test_doc_chunks_rejects_gapping_stride(spark):
         text.doc_chunks_sql(chunk_size=64, stride=65)
     with pytest.raises(ValueError, match="stride"):
         text.doc_chunks(docs, chunk_size=64, stride=0)
+
+
+def test_weighted_source_sample_rates(spark):
+    """t16 semantics on a planted skewed corpus: sqrt-temperature
+    upweights the small source (higher keep rate than the head source),
+    rates never exceed 1.0, and the kept count per source tracks
+    rate * n_docs within hash noise."""
+    from end_to_end_sales_etl_de_project_spark.operators.curation import (
+        weighted_source_sample,
+    )
+
+    rows = [(i, "w " * 50, "head") for i in range(400)] + [
+        (1000 + i, "w " * 50, "tail") for i in range(25)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = weighted_source_sample(docs, target_frac=0.5).collect()
+    rate = {}
+    n_kept: dict = {}
+    for r in kept:
+        rate[r["source"]] = r["keep_rate"]
+        n_kept[r["source"]] = n_kept.get(r["source"], 0) + 1
+    assert set(rate) == {"head", "tail"}
+    assert all(0.0 < v <= 1.0 for v in rate.values())
+    # sqrt temperature: tail source keeps a LARGER fraction of itself
+    assert rate["tail"] > rate["head"]
+    # kept counts track rate * n_docs (hash-uniformity, generous bound)
+    assert abs(n_kept["head"] - 400 * rate["head"]) < 60
+    assert abs(n_kept["tail"] - 25 * rate["tail"]) < 15

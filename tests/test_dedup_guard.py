@@ -112,3 +112,31 @@ def test_lsh_pairs_subset_of_exact_jaccard(spark, sf_dir):
     for pair, j in lsh.items():
         assert pair in exact, f"LSH invented pair {pair}"
         assert j == exact[pair], f"jaccard mismatch for {pair}"
+
+
+def test_minhash_estimate_audit_bounds(spark):
+    """d09 estimator laws on planted docs: identical texts estimate and
+    measure Jaccard 1.0 with zero error; estimates are multiples of
+    1/n_hashes inside [0, 1]; abs_err is consistent with its parts."""
+    from end_to_end_sales_etl_de_project_spark.operators.dedup import (
+        minhash_estimate_audit,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    rows = [
+        (1, shared),
+        (2, shared),                       # exact duplicate of 1
+        (3, shared + "different tail words entirely here now"),
+        (4, "unrelated content words only once each time period"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_estimate_audit(docs, "doc_id", "text")
+    rows_out = {(r["doc_a"], r["doc_b"]): r for r in out.collect()}
+    assert rows_out, "no candidate pairs — planted dups not detected"
+    exact = rows_out[(1, 2)]
+    assert exact["est_jaccard"] == 1.0 and exact["jaccard"] == 1.0
+    assert exact["abs_err"] == 0.0
+    for r in rows_out.values():
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert abs(r["est_jaccard"] * 16 - round(r["est_jaccard"] * 16)) < 1e-12
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["jaccard"])) < 1e-15

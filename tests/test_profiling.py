@@ -41,3 +41,60 @@ def test_profile_counts_nulls_and_distincts(spark):
     assert out["ts"]["max_ts"] == dt.datetime(2024, 1, 3, 9, 30)
     # non-ts columns carry null typed min/max and vice versa
     assert out["k"]["min_ts"] is None and out["ts"]["min_value"] is None
+
+
+def test_fk_orphans_planted(spark):
+    """The sf corpora are referentially clean, so the oracle-parity run
+    can only prove zero-orphan agreement — this plants orphans and NULL
+    keys and pins the null-aware counting (NULL keys are never orphans,
+    matching NOT EXISTS semantics)."""
+    from end_to_end_sales_etl_de_project_spark.operators.profiling import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None), (5, 20)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,), (20,)], "pk long")
+    out = {r["fk_name"]: r for r in fk_orphans(
+        [("child->parent", child, "fk", parent, "pk")]
+    ).collect()}
+    r = out["child->parent"]
+    assert r["n_rows"] == 5
+    assert r["n_null_keys"] == 1          # the NULL fk
+    assert r["n_orphans"] == 1            # fk=99 only; NULL is not an orphan
+    # duplicate parent keys must not double-count children (pk dedup'd)
+    assert sum(1 for _ in out) == 1
+
+
+def test_incremental_agg_merge_equals_full(spark):
+    """q62's algebra on a planted frame: partial aggregates folded per
+    side then merged must equal the one-shot aggregate bit-for-bit —
+    true only because money folds in exact decimal."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_sales_etl_de_project_spark.functions.scalar import money
+
+    rows = [("A", 0.1), ("A", 0.2), ("B", 0.3)] * 101 + [("A", 123456.78)]
+    df = spark.createDataFrame(rows, "k string, v double")
+
+    def partials(d):
+        return d.groupBy("k").agg(
+            F.sum(money("v")).alias("p_sum"), F.count(F.lit(1)).alias("p_n")
+        )
+
+    # split on a stable per-row hash (limit() isn't a deterministic split)
+    keyed = df.withColumn("h", F.xxhash64("k", "v"))
+    a = partials(keyed.filter(F.col("h") % 2 == 0))
+    b = partials(keyed.filter(F.col("h") % 2 != 0))
+    merged = (
+        a.unionByName(b)
+        .groupBy("k")
+        .agg(
+            F.sum("p_sum").cast("double").alias("total"),
+            F.sum("p_n").alias("n"),
+        )
+    )
+    full = df.groupBy("k").agg(
+        F.sum(money("v")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))

@@ -114,3 +114,34 @@ def test_change_intervals_partition_the_event_stream(spark, sf_dir):
     totals = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     for user, ivs in by_user.items():
         assert sum(r["n_events"] for r in ivs) == totals[user]
+
+
+def test_gap_fill_locf_invariants(spark, sf_dir):
+    """e17 invariants on real data: per-user spine is dense hourly,
+    gap rows carry n_events=0, and filled_value on a gap equals the
+    most recent non-gap hour's total."""
+    from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+
+    rows = QUERIES["e17_gap_fill_locf"](spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user, "gap-fill returned no rows"
+    checked_gaps = 0
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["hour"])
+        # dense hourly spine
+        for a, b in zip(rs, rs[1:]):
+            assert (b["hour"] - a["hour"]).total_seconds() == 3600, user
+        # first row is the user's first ACTIVE hour — never a gap
+        assert not rs[0]["is_gap"]
+        last_observed = None
+        for r in rs:
+            if r["is_gap"]:
+                assert r["n_events"] == 0
+                assert r["filled_value"] == last_observed
+                checked_gaps += 1
+            else:
+                assert r["n_events"] > 0
+                last_observed = r["filled_value"]
+    assert checked_gaps > 0, "corpus produced no gaps — test is vacuous"
