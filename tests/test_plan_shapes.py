@@ -194,3 +194,48 @@ def test_star_join_broadcasts_every_dim(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
     assert "HashAggregate" in plan and plan.count("HashAggregate") >= 2
+
+
+def test_fk_audit_broadcasts_dims_no_cartesian(spark):
+    """q63: bounded parents (part/supplier/customer) resolve as
+    broadcast joins; nothing degrades to a cartesian/nested-loop."""
+    plan = plan_of(spark, "q63_fk_orphans")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_range_window_single_shuffle(spark):
+    """e16: one Exchange on user_id feeds the RANGE-frame window —
+    a second shuffle would mean the frame isn't riding the partition."""
+    plan = plan_of(spark, "e16_rolling_1h")
+    assert _shuffle_exchanges(plan) == 1, plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_gap_fill_rides_one_partitioning(spark):
+    """e17: hourly rollup, span aggregate, spine join, and LOCF window
+    all key on user_id — the chain must not re-shuffle per stage.
+    Allow the rollup's partial-agg exchange plus the user_id hash
+    partitioning (AQE may report both); anything above that means a
+    stage broke off the shared partitioning."""
+    plan = plan_of(spark, "e17_gap_fill_locf")
+    assert _shuffle_exchanges(plan) <= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_mix_rate_join_is_broadcast(spark):
+    """t16: the per-source rate table (|sources| rows) must broadcast
+    back onto the corpus — a shuffle join here would move the whole
+    corpus to co-locate with 20 rows."""
+    plan = plan_of(spark, "t16_weighted_source_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_histogram_has_partial_aggregation(spark):
+    """q64: the bucket aggregation must map-side combine — the shuffle
+    carries |buckets| rows per task, not |orders|."""
+    plan = plan_of(spark, "q64_numeric_histogram")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert _shuffle_exchanges(plan) == 1, plan
