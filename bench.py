@@ -91,6 +91,9 @@ HEADLINE = [
     "e17_gap_fill_locf",
     "t16_weighted_source_mix",
     "d09_minhash_estimate_audit",
+    "d10_incremental_dedup",
+    "t17_training_shards",
+    "m04_decode_batches",
 ]
 
 

@@ -782,3 +782,70 @@ SELECT d.{id_col}, d.source, r.keep_rate
 FROM {table} d JOIN rates r ON d.source = r.source
 WHERE ({h}) % 1000000 < CAST(FLOOR(r.keep_rate * 1000000.0) AS BIGINT)
 """
+
+
+# ---------------------------------------------------------------------------
+# Training-order materialization: deterministic shuffle into shards
+# ---------------------------------------------------------------------------
+
+
+def training_shards(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    shard_salt: str = "shard-v1",
+    order_salt: str = "order-v1",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding: each doc lands in a
+    hash-assigned shard and gets a dense position from a SECOND,
+    independent hash ordering — the (shard, position) pair a training
+    loader consumes as its reproducible read order. Two independent
+    salts mean shard assignment and intra-shard order are uncorrelated
+    (docs that hash-collide into the same shard are not also adjacent),
+    and changing either salt reshuffles without touching the data.
+
+    Scale shape: one shuffle to the shard partitioning, one
+    partition-local sort per shard for row_number — exactly the
+    ``repartition(n).sortWithinPartitions`` write pattern, expressed as
+    a window so the assignment is a queryable, oracle-checked table.
+    Position density (0..shard_size-1, no gaps) is what lets loaders
+    seek by offset; pinned by test.
+    """
+    from pyspark.sql import Window
+
+    shard = F.pmod(
+        h60(F.concat(F.lit(shard_salt), F.col(id_col).cast("string"))),
+        F.lit(n_shards),
+    )
+    order_key = h60(F.concat(F.lit(order_salt), F.col(id_col).cast("string")))
+    sel = docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        order_key.alias("ok"),
+    )
+    w = Window.partitionBy("shard").orderBy("ok", id_col)
+    return sel.select(
+        id_col,
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("position"),
+    )
+
+
+def training_shards_sql(
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    shard_salt: str = "shard-v1",
+    order_salt: str = "order-v1",
+    table: str = "documents",
+) -> str:
+    sh = h60_sql(f"'{shard_salt}' || CAST({id_col} AS VARCHAR)")
+    ok = h60_sql(f"'{order_salt}' || CAST({id_col} AS VARCHAR)")
+    return f"""
+WITH sel AS (
+  SELECT {id_col}, ({sh}) % {n_shards} AS shard, {ok} AS ok FROM {table}
+)
+SELECT {id_col}, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ok, {id_col}) - 1
+            AS BIGINT) AS position
+FROM sel
+"""

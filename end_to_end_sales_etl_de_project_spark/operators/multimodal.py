@@ -176,3 +176,64 @@ def sample_frames(
             yield pd.DataFrame(cols)
 
     return assets.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
+def decode_batch_plan(
+    assets: DataFrame, batch_size: int = 64, bucket_bytes: int = 1024
+) -> DataFrame:
+    """Decode-batch assignment: group assets into (format, size-bucket)
+    cells and number off fixed-size batches inside each cell — the
+    scheduling table a multimodal pipeline computes BEFORE running the
+    decode UDF, so each Arrow batch holds same-format, similar-size
+    payloads (bounded batch memory, no 4 KB thumbnail waiting on a
+    200 MB video in the same batch).
+
+    Downstream: ``repartition(F.col("format"), F.col("size_bucket"),
+    F.col("batch_id"))`` then ``mapInPandas(decode, ...)`` gives each
+    task whole batches; with ``maxRecordsPerBatch >= batch_size`` the
+    Arrow batch IS the decode batch. Pure window math over (format,
+    size_bucket) — partition-parallel, deterministic, oracle-exact.
+    """
+    from pyspark.sql import Window
+
+    sel = assets.select(
+        "asset_id",
+        F.col("meta.format").alias("format"),
+        F.floor(F.col("meta.n_bytes") / F.lit(bucket_bytes))
+        .cast("bigint")
+        .alias("size_bucket"),
+    )
+    w = Window.partitionBy("format", "size_bucket").orderBy("asset_id")
+    rn = F.row_number().over(w) - 1
+    return sel.select(
+        "asset_id",
+        "format",
+        "size_bucket",
+        F.floor(rn / batch_size).cast("bigint").alias("batch_id"),
+        (rn % batch_size).cast("bigint").alias("position_in_batch"),
+    )
+
+
+def decode_batch_plan_sql(
+    batch_size: int = 64, bucket_bytes: int = 1024, table: str = "documents"
+) -> str:
+    """DuckDB twin over the documents-as-assets mapping (utf-8 payload
+    size, format 'txt')."""
+    return f"""
+WITH sel AS (
+  SELECT doc_id AS asset_id, 'txt' AS format,
+         CAST(FLOOR(CAST(octet_length(encode(text)) AS BIGINT)
+                    / {bucket_bytes}) AS BIGINT) AS size_bucket
+  FROM {table}
+),
+numbered AS (
+  SELECT asset_id, format, size_bucket,
+         ROW_NUMBER() OVER (PARTITION BY format, size_bucket
+                            ORDER BY asset_id) - 1 AS rn
+  FROM sel
+)
+SELECT asset_id, format, size_bucket,
+       CAST(FLOOR(rn / {batch_size}) AS BIGINT) AS batch_id,
+       CAST(rn % {batch_size} AS BIGINT) AS position_in_batch
+FROM numbered
+"""

@@ -726,3 +726,34 @@ def d09_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and banding; adds one signature-pair join over the (few) candidates."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_estimate_audit(docs, "doc_id", "text")
+
+
+@_register(
+    "d10_incremental_dedup", dedup.incremental_dedup_sql("doc_id", "text")
+)
+def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest exact dedup: a hash-split 'new batch' probed
+    against the 'existing corpus' canonicals — decision + canonical id
+    per batch doc. Both sides reduce to (hash → min id) before any
+    join; shuffles carry 8-byte hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(docs, "doc_id", "text")
+
+
+@_register("t17_training_shards", curation.training_shards_sql())
+def t17_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle into loader shards: independent
+    hash salts for shard assignment and intra-shard order, dense
+    positions per shard — the reproducible read-order table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.training_shards(docs)
+
+
+@_register("m04_decode_batches", multimodal.decode_batch_plan_sql())
+def m04_decode_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-batch scheduling over the asset table: (format,
+    size-bucket) cells numbered off into fixed-size batches, so the
+    decode UDF's Arrow batches hold same-format, similar-size payloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.documents_as_assets(docs)
+    return multimodal.decode_batch_plan(assets)

@@ -47,16 +47,16 @@ DRIVER_WINDOW: list[str] = [
     "e17_gap_fill_locf",
     "t16_weighted_source_mix",
     "d09_minhash_estimate_audit",
+    "d10_incremental_dedup",
+    "t17_training_shards",
+    "m04_decode_batches",
     # -- round-3 queries staying in for regression cover (r03-green;
-    # t07/t08/t10/t11/t12/q56/q57/e12 rotate out on their r03 rows,
-    # families still represented below)
-    "t09_tfidf_top_terms",
+    # t07/t08/t09/t10/t11/t12/q56/q57/e10/e11/e12 rotate out on their
+    # r03 rows, families still represented below)
     "d07_decontaminate",
     "c01_curate_corpus",
     "c02_training_manifest",
     "q58_sorted_layout_readback",
-    "e10_value_deciles",
-    "e11_ohlc_hourly",
     "d08_jaccard_stopshingle",
     "a05_ann_pq",
     "t13_token_rarity",

@@ -231,3 +231,26 @@ def test_weighted_source_sample_rates(spark):
     # kept counts track rate * n_docs (hash-uniformity, generous bound)
     assert abs(n_kept["head"] - 400 * rate["head"]) < 60
     assert abs(n_kept["tail"] - 25 * rate["tail"]) < 15
+
+
+def test_training_shards_dense_and_deterministic(spark):
+    """t17 invariants: every doc appears exactly once, positions are
+    dense 0..n-1 per shard, and re-evaluation is bit-identical."""
+    from end_to_end_sales_etl_de_project_spark.operators.curation import (
+        training_shards,
+    )
+
+    docs = spark.range(0, 500).selectExpr("id AS doc_id")
+    out = training_shards(docs, n_shards=4).collect()
+    assert len(out) == 500
+    assert {r["doc_id"] for r in out} == set(range(500))
+    by_shard: dict = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), f"shard {shard} not dense"
+    # shards are roughly balanced (hash uniformity; generous bound)
+    assert all(80 <= len(ps) <= 170 for ps in by_shard.values())
+    again = training_shards(docs, n_shards=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

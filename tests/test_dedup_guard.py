@@ -140,3 +140,38 @@ def test_minhash_estimate_audit_bounds(spark):
         assert 0.0 <= r["est_jaccard"] <= 1.0
         assert abs(r["est_jaccard"] * 16 - round(r["est_jaccard"] * 16)) < 1e-12
         assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["jaccard"])) < 1e-15
+
+
+def test_incremental_dedup_decisions(spark):
+    """d10 on planted duplicates: discover the hash split first, then
+    plant identical texts across and within the sides and pin each
+    decision + canonical resolution."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60
+    from end_to_end_sales_etl_de_project_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    ids = spark.range(0, 200).select(
+        F.col("id"),
+        F.pmod(h60(F.concat(F.lit("ingest-v1"), F.col("id").cast("string"))), F.lit(100)).alias("b"),
+    )
+    sides = {r["id"]: r["b"] for r in ids.collect()}
+    corpus_ids = [i for i, b in sides.items() if b < 80]
+    batch_ids = [i for i, b in sides.items() if b >= 80]
+    assert len(corpus_ids) >= 3 and len(batch_ids) >= 3
+    c0, b0, b1, b2 = corpus_ids[0], batch_ids[0], batch_ids[1], batch_ids[2]
+    b_lo, b_hi = min(b1, b2), max(b1, b2)
+    texts = {i: f"unique text number {i}" for i in sides}
+    texts[b0] = texts[c0]          # cross-side duplicate
+    texts[b_hi] = texts[b_lo]      # within-batch duplicate
+    docs = spark.createDataFrame(sorted(texts.items()), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in incremental_dedup(docs, "doc_id", "text").collect()}
+    assert set(out) == set(batch_ids)  # one row per batch doc, none for corpus
+    assert out[b0]["decision"] == "dup_of_corpus"
+    assert out[b0]["canonical_id"] == c0
+    assert out[b_hi]["decision"] == "dup_in_batch"
+    assert out[b_hi]["canonical_id"] == b_lo
+    assert out[b_lo]["decision"] == "new"
+    assert out[b_lo]["canonical_id"] == b_lo

@@ -84,3 +84,36 @@ def test_frame_sampling_windows_and_checksums(spark):
     assert len(two) == 1
     assert bytes(two[0]["frame_bytes"]) == b"tiny"
     assert two[0]["frame_checksum"] == sum(b"tiny") % (1 << 31)
+
+
+def test_decode_batch_plan_shapes(spark):
+    """m04 invariants: batches never exceed batch_size, positions are
+    dense within each batch, and every batch cell is homogeneous in
+    (format, size_bucket)."""
+    from end_to_end_sales_etl_de_project_spark.operators.multimodal import (
+        decode_batch_plan,
+        documents_as_assets,
+    )
+
+    rows = [(i, "x" * (100 + 37 * (i % 60)), "s") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = decode_batch_plan(documents_as_assets(docs), batch_size=16).collect()
+    assert len(out) == 300
+    cells: dict = {}
+    for r in out:
+        cells.setdefault((r["format"], r["size_bucket"], r["batch_id"]), []).append(
+            r["position_in_batch"]
+        )
+    for key, ps in cells.items():
+        assert len(ps) <= 16, key
+        assert sorted(ps) == list(range(len(ps))), f"batch {key} not dense"
+    # only the LAST batch of a cell may be short: for each (format,bucket),
+    # all but the max batch_id hold exactly batch_size assets
+    by_cell: dict = {}
+    for (fmt, bucket, bid), ps in cells.items():
+        by_cell.setdefault((fmt, bucket), {})[bid] = len(ps)
+    for cell, batches in by_cell.items():
+        last = max(batches)
+        for bid, n in batches.items():
+            if bid != last:
+                assert n == 16, (cell, bid, n)
