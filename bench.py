@@ -94,6 +94,7 @@ HEADLINE = [
     "d10_incremental_dedup",
     "t17_training_shards",
     "m04_decode_batches",
+    "a06_ann_recall_report",
 ]
 
 

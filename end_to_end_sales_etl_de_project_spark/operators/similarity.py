@@ -726,3 +726,73 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recall audit: approximate path measured against the exact baseline
+# ---------------------------------------------------------------------------
+
+
+def ann_recall_report(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+) -> DataFrame:
+    """Per-query recall@k of the multiprobe sign-LSH path against the
+    exact brute-force top-k — quality measurement AS A QUERY, so the
+    recall/cost dial (probe count, signature width) is tuned from a
+    table instead of a notebook. Output: (query_id, n_exact, n_hit,
+    recall).
+
+    Both paths are deterministic (fixed-order float folds, total
+    tie-break), so unlike IVF/PQ recall (random-ish centroid means ⇒
+    rows-only + test bounds), THIS audit is hash-exact against the
+    DuckDB twin. Cost is one brute-force pass over the query set plus
+    the multiprobe lookup it audits — run it on a sampled query set at
+    corpus scale; the corpus is never shuffled by either side.
+    """
+    exact = brute_force_topk(emb, queries, k=k, dim=dim).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_topk_multiprobe(emb, queries, k=k, dim=dim, sig_bits=sig_bits).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
+def ann_recall_report_sql(
+    query_pred: str,
+    k: int = 5,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+    table: str = "embeddings",
+) -> str:
+    bf = brute_force_topk_sql(query_pred, k=k, dim=dim, table=table)
+    mp = lsh_topk_multiprobe_sql(
+        query_pred, k=k, dim=dim, sig_bits=sig_bits, table=table
+    )
+    return f"""
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+FROM ({bf}) e
+LEFT JOIN ({mp}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+"""

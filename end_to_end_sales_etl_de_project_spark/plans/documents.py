@@ -757,3 +757,13 @@ def m04_decode_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = multimodal.documents_as_assets(docs)
     return multimodal.decode_batch_plan(assets)
+
+
+@_register("a06_ann_recall_report", similarity.ann_recall_report_sql(_QUERY_PRED))
+def a06_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the multiprobe LSH path vs exact brute force, per
+    query — the tuning table for the recall/cost dial. Deterministic on
+    both sides, so fully oracle-checked (IVF/PQ recall stays test-bounded)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.ann_recall_report(emb, q)

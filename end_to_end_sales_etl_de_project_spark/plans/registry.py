@@ -9,13 +9,13 @@ Ordering matters: the driver's correctness run checks the FIRST
 ``DRIVER_WINDOW_SIZE`` entries of ``queries()`` in dict-insertion order
 (verified rounds 1-2: each CORRECTNESS file is exactly the first 50
 names). ``DRIVER_WINDOW`` therefore front-loads queries with no driver
-row yet — round 3: the new curation/format queries — then the whole
-LLM-pipeline surface (r02-green, the north-star operators stay under
-regression cover) and one representative per core operator family.
-Rotated-out core queries are double-green from r01+r02 and still run in
-the local parity suite (tests/test_oracle_parity.py covers ALL oracles
-at sf0.001). Union over rounds: every registered query has at least one
-driver correctness row.
+row yet — round 4: the 12 new operators — then the LLM-pipeline surface
+and one representative per operator family for regression cover.
+Rotated-out queries are green in at least one prior round and still run
+in the local parity suite (tests/test_oracle_parity.py covers ALL
+oracles at sf0.001). Union over rounds: every registered query has at
+least one driver correctness row
+(tests/test_registry_window.py enforces this).
 """
 
 from __future__ import annotations
@@ -50,6 +50,7 @@ DRIVER_WINDOW: list[str] = [
     "d10_incremental_dedup",
     "t17_training_shards",
     "m04_decode_batches",
+    "a06_ann_recall_report",
     # -- round-3 queries staying in for regression cover (r03-green;
     # t07/t08/t09/t10/t11/t12/q56/q57/e10/e11/e12 rotate out on their
     # r03 rows, families still represented below)
@@ -59,7 +60,6 @@ DRIVER_WINDOW: list[str] = [
     "q58_sorted_layout_readback",
     "d08_jaccard_stopshingle",
     "a05_ann_pq",
-    "t13_token_rarity",
     "e13_change_intervals",
     "q59_data_profile",
     # -- events: windows / sessionization / temporal joins (no r01 row)
