@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -190,6 +191,117 @@ def change_interval_stream(events: DataFrame) -> DataFrame:
             update_intervals,
             outputStructType=INTERVAL_OUTPUT_SCHEMA,
             stateStructType=INTERVAL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+ROLLING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("n_1h", LongType()),
+        StructField("value_1h", DoubleType()),
+    ]
+)
+
+ROLLING_STATE_SCHEMA = StructType(
+    [
+        StructField("secs", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
+        StructField("cents", ArrayType(LongType())),
+    ]
+)
+
+
+def rolling_window_stream(events: DataFrame, window_s: int = 3600) -> DataFrame:
+    """Streaming twin of the batch ``e16_rolling_1h`` RANGE-frame
+    window: per event, the trailing-``window_s`` count and exact money
+    sum for its user — the per-event rolling baseline behind rate
+    limits and anomaly scores, which Structured Streaming's built-in
+    (bucketed) windows cannot express. State per user is the deque of
+    per-SECOND aggregates inside the trailing window (≤ window_s+1
+    entries — bounded, independent of event rate within a second).
+
+    Events are folded second-at-a-time: all events of one event-time
+    second enter the deque BEFORE any of them emits, reproducing the
+    batch RANGE frame's peers-inclusive semantics, and money
+    accumulates as integer cents (HALF_UP, the batch decimal cast's
+    rounding) — so emitted rows equal the batch twin's bit-for-bit.
+    Correct under in-order delivery per key, with the second-boundary
+    caveat: a micro-batch split mid-second would emit the first part
+    of that second without its later peers (same in-order caveat as
+    ``change_interval_stream``; an event-time buffer is the general
+    fix).
+    """
+
+    def update_rolling(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        import pandas as pd  # noqa: F811 — resolved on the worker
+        from decimal import Decimal as _Decimal
+        from decimal import ROUND_HALF_UP as _ROUND_HALF_UP
+
+        (user_id,) = key
+        if state.exists:
+            secs, ns, cents = (list(x) for x in state.get)
+        else:
+            secs, ns, cents = [], [], []
+        rows: list = []
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                rows.append(r)
+        rows.sort(key=lambda r: (pd.Timestamp(r.ts).value, r.event_id))
+        out: dict[str, list] = {
+            k: [] for k in ("event_id", "user_id", "ts", "n_1h", "value_1h")
+        }
+        i = 0
+        while i < len(rows):
+            sec = pd.Timestamp(rows[i].ts).value // 1_000_000_000
+            j, n, c = i, 0, 0
+            while (
+                j < len(rows)
+                and pd.Timestamp(rows[j].ts).value // 1_000_000_000 == sec
+            ):
+                n += 1
+                c += int(
+                    _Decimal(str(rows[j].value)).quantize(
+                        _Decimal("0.01"), rounding=_ROUND_HALF_UP
+                    )
+                    * 100
+                )
+                j += 1
+            if secs and secs[-1] == sec:
+                ns[-1] += n
+                cents[-1] += c
+            else:
+                secs.append(sec)
+                ns.append(n)
+                cents.append(c)
+            while secs and secs[0] < sec - window_s:
+                secs.pop(0)
+                ns.pop(0)
+                cents.pop(0)
+            tot_n, tot_c = sum(ns), sum(cents)
+            for kk in range(i, j):
+                out["event_id"].append(rows[kk].event_id)
+                out["user_id"].append(user_id)
+                out["ts"].append(pd.Timestamp(rows[kk].ts))
+                out["n_1h"].append(tot_n)
+                out["value_1h"].append(tot_c / 100.0)
+            i = j
+        state.update((secs, ns, cents))
+        yield pd.DataFrame(out)
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_rolling,
+            outputStructType=ROLLING_OUTPUT_SCHEMA,
+            stateStructType=ROLLING_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -287,3 +287,24 @@ def test_change_interval_stream_emits_closed_runs(spark, sf_dir, events_src):
     )
     assert len(got) > 0, "no closed intervals — vacuous test"
     assert got == _canon(closed_batch)
+
+
+def test_rolling_window_stream_equals_batch(spark, sf_dir, events_src):
+    """Per-event trailing-1h stateful stream must equal the batch e16
+    RANGE-frame window bit-for-bit (peers-inclusive seconds, exact
+    cents)."""
+    from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+    from end_to_end_sales_etl_de_project_spark.streaming.stateful import (
+        rolling_window_stream,
+    )
+
+    stream = read_events_stream(spark, events_src)
+    result = run_to_memory_sink(
+        rolling_window_stream(stream), "rolling_test", "append"
+    )
+    batch = QUERIES["e16_rolling_1h"](spark, sf_dir).select(
+        "event_id", "user_id", "ts", "n_1h", "value_1h"
+    )
+    got = _canon(result)
+    assert len(got) > 0
+    assert got == _canon(batch)
