@@ -239,3 +239,34 @@ def test_histogram_has_partial_aggregation(spark):
     plan = plan_of(spark, "q64_numeric_histogram")
     assert plan.count("HashAggregate") >= 2, plan
     assert _shuffle_exchanges(plan) == 1, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """At 100 TB the fact is partition-laid-out (q34/q58's layout) and
+    dim-filtered joins must prune partitions at RUNTIME from the dim
+    side — scanning all partitions because the filter is on the dim
+    would read the whole table. Pin Spark's dynamicpruning expression
+    on the fact scan's PartitionFilters."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF, "orders")
+    fact_dir = str(tmp_path / "dpp-fact")
+    orders.withColumn(
+        "month", F.substring(F.col("o_orderdate").cast("string"), 1, 7)
+    ).write.mode("overwrite").partitionBy("month").parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("1995-01", "jan"), ("1995-02", "feb")], "month string, label string"
+    )
+    joined = spark.read.parquet(fact_dir).join(
+        dim.filter(F.col("label") == "jan"), "month"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan
