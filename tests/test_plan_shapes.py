@@ -270,3 +270,41 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
         joined.explain("formatted")
     plan = buf.getvalue()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Big-big joins with a selective build side get a runtime bloom
+    filter (might_contain) injected on the probe side — rows that can't
+    match are dropped BEFORE the shuffle. Thresholds are lowered to
+    make the tiny test corpus eligible; at production scale the
+    defaults (10 MB creation side / 10 GB probe scan) fire on their
+    own. Pin that the session keeps the optimization reachable."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders").filter(F.col("o_orderstatus") == "F")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        assert "might_contain" in buf.getvalue().lower(), buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
