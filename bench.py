@@ -95,6 +95,7 @@ HEADLINE = [
     "t17_training_shards",
     "m04_decode_batches",
     "a06_ann_recall_report",
+    "q65_sole_late_supplier",
 ]
 
 

@@ -1973,3 +1973,74 @@ def q64_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: multi-correlated EXISTS / NOT EXISTS
+# ---------------------------------------------------------------------------
+
+_Q65_ORACLE = """
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey AS ok, l.l_suppkey AS sk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+),
+allsup AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier s ON l1.sk = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM allsup m WHERE m.ok = l1.ok AND m.sk <> l1.sk)
+  AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.ok = l1.ok AND l3.sk <> l1.sk)
+GROUP BY s.s_name
+"""
+
+
+@_register("q65_sole_late_supplier", _Q65_ORACLE)
+def q65_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's correlated-subquery shape on this schema: per
+    supplier, the number of finished multi-supplier orders where THIS
+    supplier shipped late (>60 days after the order date) and no other
+    supplier on the order did. The EXISTS becomes a left-semi join and
+    the NOT EXISTS a left-anti join — both null-safe by construction
+    and both equi-joins on the order key with a residual inequality, so
+    the whole chain rides the l_orderkey partitioning; supplier
+    broadcasts onto the (small) aggregated survivor set.
+
+    Q21 is the classic optimizer stress test (DISTINCT + double
+    correlation); expressing it as semi/anti joins is exactly what
+    Catalyst's subquery decorrelation would do, stated explicitly.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    allsup = li.select(
+        F.col("l_orderkey").alias("ok_m"), F.col("l_suppkey").alias("sk_m")
+    ).distinct()
+    late3 = late.select(F.col("ok").alias("ok_3"), F.col("sk").alias("sk_3"))
+    sole_late = (
+        late.join(
+            allsup,
+            (F.col("ok") == F.col("ok_m")) & (F.col("sk") != F.col("sk_m")),
+            "left_semi",
+        )
+        .join(
+            late3,
+            (F.col("ok") == F.col("ok_3")) & (F.col("sk") != F.col("sk_3")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(supplier), F.col("sk") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

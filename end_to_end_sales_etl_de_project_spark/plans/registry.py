@@ -51,6 +51,7 @@ DRIVER_WINDOW: list[str] = [
     "t17_training_shards",
     "m04_decode_batches",
     "a06_ann_recall_report",
+    "q65_sole_late_supplier",
     # -- round-3 queries staying in for regression cover (r03-green;
     # t07/t08/t09/t10/t11/t12/q56/q57/e10/e11/e12 rotate out on their
     # r03 rows, families still represented below)
@@ -60,7 +61,6 @@ DRIVER_WINDOW: list[str] = [
     "q58_sorted_layout_readback",
     "d08_jaccard_stopshingle",
     "a05_ann_pq",
-    "e13_change_intervals",
     "q59_data_profile",
     # -- events: windows / sessionization / temporal joins (no r01 row)
     "e01_tumbling_hourly",
