@@ -96,6 +96,7 @@ HEADLINE = [
     "m04_decode_batches",
     "a06_ann_recall_report",
     "q65_sole_late_supplier",
+    "q67_salted_join",
 ]
 
 

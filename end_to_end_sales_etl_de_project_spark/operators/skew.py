@@ -52,3 +52,42 @@ def salted_sum(
         partial.groupBy(*group_keys)
         .agg(F.sum("__partial").cast("double").alias(out_col))
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join: the SMALL side is replicated ``n_salts``
+    times (one copy per salt value) and the BIG side scatters each row
+    to one salt — so a hot key's rows spread over ``n_salts`` tasks
+    instead of hammering one. This is the standard manual remedy when
+    the skewed side is too large to broadcast and AQE's skew-join split
+    (which this engine also enables) can't help — e.g. a single key
+    holding >spark.sql.adaptive.advisoryPartitionSizeInBytes after
+    splitting, or a non-AQE engine boundary.
+
+    Join OUTPUT is provably independent of the salt assignment (every
+    big row still meets every matching small row exactly once), so the
+    oracle for a salted join is the PLAIN join — correctness of the
+    rewrite is hash-checked, not argued. ``salt_source`` defaults to a
+    deterministic hash of ALL big-side columns: it must vary per ROW
+    (hashing only the join key would re-collapse a hot key's rows into
+    one salt, defeating the spread; identical full rows landing on the
+    same salt is fine — they're interchangeable).
+    """
+    if salt_source is None:
+        salt_source = F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns], F.lit(41)), F.lit(n_salts)
+        )
+    salted_big = big.withColumn("__salt", salt_source.cast("int"))
+    replicated_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_big.join(replicated_small, on=
+        (F.col(big_key) == F.col(small_key)) & (salted_big["__salt"] == replicated_small["__salt"])
+    ).drop("__salt")

@@ -2044,3 +2044,62 @@ def q65_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+_Q66_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@_register("q66_except_all", _Q66_ORACLE)
+def q66_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): multiplicity-aware difference —
+    a customer with 3 open and 1 filled order survives twice, which
+    the set-semantics q22 cannot express. Plans as one aggregation of
+    counts per side + a generate for the surviving multiplicity; no
+    sort, no cartesian."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.exceptAll(filled_c)
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe salted join — oracle is the PLAIN join (salt-invariance proof)
+# ---------------------------------------------------------------------------
+
+_Q67_ORACLE = """
+SELECT l.l_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       MIN(o.o_orderpriority) AS priority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY l.l_orderkey
+"""
+
+
+@_register("q67_salted_join", _Q67_ORACLE)
+def q67_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted fact⋈dim join: orders is replicated 8× (one copy
+    per salt), lineitem scatters per-row — a hot order key's lineitems
+    spread over 8 tasks instead of one straggler. The oracle is the
+    PLAIN join's aggregate: the hash match proves the salted rewrite is
+    output-invariant, which is the entire safety argument for applying
+    it at 100 TB when a key outgrows even AQE's skew split."""
+    from end_to_end_sales_etl_de_project_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=8)
+    return joined.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(money("l_extendedprice")).cast("double").alias("total_price"),
+        F.min("o_orderpriority").alias("priority"),
+    )

@@ -52,6 +52,8 @@ DRIVER_WINDOW: list[str] = [
     "m04_decode_batches",
     "a06_ann_recall_report",
     "q65_sole_late_supplier",
+    "q66_except_all",
+    "q67_salted_join",
     # -- round-3 queries staying in for regression cover (r03-green;
     # t07/t08/t09/t10/t11/t12/q56/q57/e10/e11/e12 rotate out on their
     # r03 rows, families still represented below)
@@ -66,10 +68,8 @@ DRIVER_WINDOW: list[str] = [
     "e01_tumbling_hourly",
     "e03_session_window",
     "e14_interarrival_native",
-    "e04_user_activity_rollup",
     "e05_asof_join",
     "e06_range_join",
-    "e15_funnel",
     "e08_interarrival_stats",
     # -- documents: text analysis (no r01 row)
     "t01_text_stats",

@@ -81,3 +81,30 @@ def test_incentive_invariants(spark, rows):
         # NB: a group CAN have zero paid incentive when 1% of the top
         # total rounds below a cent (e.g. 0.30 → 0.003 → 0.00) — the
         # reference's semantics, so no "at least one winner" assertion.
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The default salt must vary PER ROW within a join key — salting
+    by the key alone would re-collapse the hot key onto one task. Plant
+    a hot key and check its rows land on several salts, and that the
+    join result equals the plain join."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_sales_etl_de_project_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(400)] + [(2, 9999, 1.0)],
+        "k long, row_id long, v double",
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold")], "sk long, label string")
+    out = salted_join(big, small, "k", "sk", n_salts=8)
+    plain = big.join(small, big["k"] == small["sk"])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    # the spread itself: recompute the operator's default salt expression
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns], F.lit(41)), F.lit(8)
+    ).cast("int")
+    n_salts_hot = (
+        big.filter(F.col("k") == 1).select(salt.alias("s")).distinct().count()
+    )
+    assert n_salts_hot >= 6, f"hot key only spread over {n_salts_hot} salts"
