@@ -97,6 +97,7 @@ HEADLINE = [
     "a06_ann_recall_report",
     "q65_sole_late_supplier",
     "q67_salted_join",
+    "e18_rolling_zscore",
 ]
 
 

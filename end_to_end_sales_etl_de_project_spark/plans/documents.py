@@ -767,3 +767,53 @@ def a06_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
     return similarity.ann_recall_report(emb, q)
+
+
+def _t18_oracle() -> str:
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60_sql
+
+    h = h60_sql("chunk_text")
+    return f"""
+WITH chunks AS ({text.doc_chunks_sql()}),
+hashed AS (
+  SELECT doc_id, chunk_id, {h} AS ch FROM chunks
+),
+canon AS (
+  SELECT ch, MIN(doc_id * 1000000 + chunk_id) AS canon_key,
+         CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM hashed GROUP BY 1
+)
+SELECT h.doc_id, h.chunk_id,
+       (h.doc_id * 1000000 + h.chunk_id) = c.canon_key AS is_canonical,
+       c.n_copies
+FROM hashed h JOIN canon c ON h.ch = c.ch
+"""
+
+
+@_register("t18_chunk_dedup", _t18_oracle())
+def t18_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup: the t14 context-length chunks are
+    hashed and resolved to a canonical (doc, chunk) per distinct text —
+    pretraining pipelines dedup at chunk level too, because boilerplate
+    repeats INSIDE documents that are globally unique. One explode (the
+    chunker) + one hash groupBy; shuffles carry 8-byte hashes and a
+    packed (doc,chunk) key, never chunk text."""
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60
+    from end_to_end_sales_etl_de_project_spark.operators.text import doc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = doc_chunks(docs).select(
+        "doc_id", "chunk_id", h60(F.col("chunk_text")).alias("ch")
+    )
+    canon = chunks.groupBy("ch").agg(
+        F.min(F.col("doc_id") * 1000000 + F.col("chunk_id")).alias("canon_key"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return chunks.join(canon, "ch").select(
+        "doc_id",
+        "chunk_id",
+        (
+            (F.col("doc_id") * 1000000 + F.col("chunk_id")) == F.col("canon_key")
+        ).alias("is_canonical"),
+        "n_copies",
+    )

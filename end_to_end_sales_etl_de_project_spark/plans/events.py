@@ -712,3 +712,71 @@ def e17_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("total_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling anomaly z-score (trailing-window moments per event)
+# ---------------------------------------------------------------------------
+
+_E18_ORACLE = """
+SELECT event_id, user_id, ts, value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS mean_1h,
+       CASE WHEN (CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                    / COUNT(*) OVER w
+                  - (CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                       / COUNT(*) OVER w)
+                    * (CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                         / COUNT(*) OVER w)) > 0
+            THEN (value - CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                            / COUNT(*) OVER w)
+                 / SQRT(CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                          / COUNT(*) OVER w
+                        - (CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                             / COUNT(*) OVER w)
+                          * (CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                               / COUNT(*) OVER w))
+       END AS z_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+@_register("e18_rolling_zscore", _E18_ORACLE)
+def e18_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event anomaly score: how far this event's value sits from
+    its user's trailing-1h mean, in trailing-1h standard deviations —
+    the rolling baseline behind fraud/abuse/outage detectors. Same
+    single user_id shuffle as e16; the two decimal window sums (value,
+    value²) ride the SAME frame, so the whole score is one window pass.
+
+    Determinism: both moments fold in exact decimal (value² carries 4
+    decimals — still exact); the variance is then a FIXED-ORDER IEEE
+    expression (E[x²] − mean·mean), sqrt is correctly rounded per
+    IEEE-754, and the oracle spells out the identical operation tree —
+    hash-exact. Degenerate windows (zero variance, e.g. a single
+    event) yield NULL via the var>0 guard in both engines.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    vdec = F.col("value").cast("decimal(18,2)")
+    n = F.count(F.lit(1)).over(w)
+    mean = F.sum(vdec).over(w).cast("double") / n
+    ex2 = F.sum(vdec * vdec).over(w).cast("double") / n
+    var = ex2 - mean * mean
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        mean.alias("mean_1h"),
+        F.when(var > 0, (F.col("value") - mean) / F.sqrt(var)).alias("z_1h"),
+    )

@@ -54,6 +54,8 @@ DRIVER_WINDOW: list[str] = [
     "q65_sole_late_supplier",
     "q66_except_all",
     "q67_salted_join",
+    "e18_rolling_zscore",
+    "t18_chunk_dedup",
     # -- round-3 queries staying in for regression cover (r03-green;
     # t07/t08/t09/t10/t11/t12/q56/q57/e10/e11/e12 rotate out on their
     # r03 rows, families still represented below)
@@ -63,11 +65,9 @@ DRIVER_WINDOW: list[str] = [
     "q58_sorted_layout_readback",
     "d08_jaccard_stopshingle",
     "a05_ann_pq",
-    "q59_data_profile",
     # -- events: windows / sessionization / temporal joins (no r01 row)
     "e01_tumbling_hourly",
     "e03_session_window",
-    "e14_interarrival_native",
     "e05_asof_join",
     "e06_range_join",
     "e08_interarrival_stats",
