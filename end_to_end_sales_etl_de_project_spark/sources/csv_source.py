@@ -197,3 +197,28 @@ def read_sales_csv_permissive(
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
     return good, bad
+
+
+def read_jsonl_permissive(
+    spark: SparkSession, paths: list[str], schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level malformed-record routing for JSON-Lines — the same
+    contract as :func:`read_sales_csv_permissive` on the interchange
+    format LLM-data pipelines ingest most. PERMISSIVE JSON parsing
+    keeps schema-valid rows and captures the raw line of anything
+    unparseable (truncated writes, encoding damage, wrong-typed
+    fields) in ``_corrupt_record``; returns (good_rows, bad_rows).
+    Explicit schema — no inference pass over 100 TB.
+    """
+    read_schema = T.StructType(
+        [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = spark.read.json(
+        paths,
+        schema=read_schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()  # same materialization requirement as the CSV path
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad

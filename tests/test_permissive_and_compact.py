@@ -48,3 +48,39 @@ def test_ledger_compaction_preserves_state(spark, tmp_path):
     # and the ledger still works post-compaction
     to_process, done = ledger.split_processed(["a.csv", "c.csv", "d.csv"])
     assert to_process == ["c.csv", "d.csv"] and done == ["a.csv"]
+
+
+def test_jsonl_permissive_routes_bad_rows(spark, tmp_path):
+    """One corrupt line must not quarantine the file: schema-valid rows
+    parse, the truncated/wrong-typed/garbage lines surface verbatim in
+    the bad stream."""
+    from pyspark.sql import types as T
+
+    from end_to_end_sales_etl_de_project_spark.sources.csv_source import (
+        read_jsonl_permissive,
+    )
+
+    p = tmp_path / "batch.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok-row", "score": 2.5}\n'
+        'not json at all\n'
+        '{"id": 3, "name": "also-ok", "score": 0.0}\n'
+        '{"id": "wrong-type", "name": "bad", "score": 1.0}\n'
+        '{"id": 5, "name": "trunca'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    good, bad = read_jsonl_permissive(spark, [str(p)], schema)
+    good_rows = {r["id"]: r for r in good.collect()}
+    bad_rows = [r["_corrupt_record"] for r in bad.collect()]
+    assert set(good_rows) == {1, 3}
+    assert good_rows[1]["name"] == "ok-row" and good_rows[1]["score"] == 2.5
+    assert len(bad_rows) == 3
+    assert any("not json at all" in b for b in bad_rows)
+    assert any("trunca" in b for b in bad_rows)
+    assert any("wrong-type" in b for b in bad_rows)
