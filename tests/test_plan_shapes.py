@@ -308,3 +308,14 @@ def test_runtime_bloom_filter_join_pruning(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_session_keeps_adaptive_and_skew_handling_on(spark):
+    """The 100 TB session promises: AQE re-planning, skew-join
+    splitting, and partition coalescing must stay enabled — a conf
+    regression here silently degrades every shuffle-heavy plan."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    )
