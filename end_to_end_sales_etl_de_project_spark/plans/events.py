@@ -780,3 +780,63 @@ def e18_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_1h"),
         F.when(var > 0, (F.col("value") - mean) / F.sqrt(var)).alias("z_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group quantile values (discrete — no interpolation)
+# ---------------------------------------------------------------------------
+
+_E19_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       MIN(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN value END) AS p25,
+       MIN(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN value END) AS p50,
+       MIN(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN value END) AS p75,
+       MIN(CASE WHEN rn = CAST(CEIL(0.90 * n) AS BIGINT) THEN value END) AS p90
+FROM ranked
+GROUP BY event_type
+"""
+
+
+@_register("e19_exact_quantiles", _E19_ORACLE)
+def e19_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type quantile VALUES by the discrete (type-7-free)
+    definition: the element at rank ceil(p·n) of the sorted values. No
+    interpolation ⇒ no cross-engine float blending ⇒ hash-exact, unlike
+    percentile_cont. One window pass (rank + count ride the same sort)
+    and one conditional aggregation; complements e10 (bucket stats) and
+    q32 (approximate sketches) with the exact quantile extraction.
+
+    Scale note: a full sort per group is the price of EXACT quantiles —
+    at 100 TB use q32's approx_percentile unless exactness is the
+    point (SLA attestation, billing tiers)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        target = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        return F.min(F.when(F.col("rn") == target, F.col("value"))).alias(name)
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        pick(0.25, "p25"),
+        pick(0.50, "p50"),
+        pick(0.75, "p75"),
+        pick(0.90, "p90"),
+    )
