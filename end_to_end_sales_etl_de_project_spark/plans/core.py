@@ -2103,3 +2103,57 @@ def q67_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(money("l_extendedprice")).cast("double").alias("total_price"),
         F.min("o_orderpriority").alias("priority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join: two-ledger reconciliation
+# ---------------------------------------------------------------------------
+
+_Q68_ORACLE = """
+WITH booked AS (
+  SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS booked_total
+  FROM orders GROUP BY 1
+),
+shipped AS (
+  SELECT substr(CAST(l_shipdate AS VARCHAR), 1, 7) AS month,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS shipped_total
+  FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(b.month, s.month) AS month,
+       b.booked_total,
+       s.shipped_total,
+       COALESCE(b.booked_total, 0.0) - COALESCE(s.shipped_total, 0.0) AS delta
+FROM booked b FULL OUTER JOIN shipped s ON b.month = s.month
+"""
+
+
+@_register("q68_full_outer_reconcile", _Q68_ORACLE)
+def q68_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-ledger reconciliation via FULL OUTER join — months booked
+    (orders) vs months shipped (lineitem), with one-sided months
+    surfacing as NULLs and a signed delta. The audit every finance
+    pipeline runs between systems of record; the full outer is the one
+    join type the rest of the surface didn't exercise. Both sides
+    aggregate FIRST (map-side combinable, |months| rows), so the outer
+    join is control-plane sized no matter how big the facts are."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    booked = orders.groupBy(
+        month_key("o_orderdate").alias("b_month")
+    ).agg(F.sum(money("o_totalprice")).cast("double").alias("booked_total"))
+    shipped = li.groupBy(
+        month_key("l_shipdate").alias("s_month")
+    ).agg(F.sum(money("l_extendedprice")).cast("double").alias("shipped_total"))
+    return (
+        booked.join(shipped, booked.b_month == shipped.s_month, "full_outer")
+        .select(
+            F.coalesce(F.col("b_month"), F.col("s_month")).alias("month"),
+            "booked_total",
+            "shipped_total",
+            (
+                F.coalesce(F.col("booked_total"), F.lit(0.0))
+                - F.coalesce(F.col("shipped_total"), F.lit(0.0))
+            ).alias("delta"),
+        )
+    )
