@@ -218,25 +218,31 @@ def doc_fingerprint_sql(expr: str, k: int = 4) -> str:
     return f"list_min(list_transform({word_shingles_sql(expr, k)}, s -> {h60_sql('s')}))"
 
 
-def quality_bucket(col: Column | str) -> Column:
+def quality_bucket(
+    col: Column | str, min_words: int = 10, max_punct: float = 0.2
+) -> Column:
     """Routing bucket of the composite quality filter (length +
     punctuation density) — the drop/keep decision a curation pipeline
     acts on. Shared by the t03 scoring query and the c01 curation
-    capstone so both stages apply identical thresholds."""
+    capstone so both stages apply identical thresholds; the thresholds
+    are parameters so policy changes can be impact-analyzed (c04)
+    before they ship."""
     c = F.col(col) if isinstance(col, str) else col
     words = word_count(c)
     punct_ratio = punct_count(c) / F.length(c).cast("double")
     return (
-        F.when(words < 10, "too_short")
-        .when(punct_ratio > 0.2, "too_puncty")
+        F.when(words < min_words, "too_short")
+        .when(punct_ratio > max_punct, "too_puncty")
         .otherwise("ok")
     )
 
 
-def quality_bucket_sql(expr: str) -> str:
+def quality_bucket_sql(
+    expr: str, min_words: int = 10, max_punct: float = 0.2
+) -> str:
     return (
-        f"CASE WHEN {word_count_sql(expr)} < 10 THEN 'too_short' "
-        f"WHEN {punct_count_sql(expr)} / CAST(length({expr}) AS DOUBLE) > 0.2 "
+        f"CASE WHEN {word_count_sql(expr)} < {min_words} THEN 'too_short' "
+        f"WHEN {punct_count_sql(expr)} / CAST(length({expr}) AS DOUBLE) > {max_punct} "
         f"THEN 'too_puncty' ELSE 'ok' END"
     )
 

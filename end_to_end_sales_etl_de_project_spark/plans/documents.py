@@ -817,3 +817,41 @@ def t18_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_canonical"),
         "n_copies",
     )
+
+
+def _c04_oracle_clean() -> str:
+    a = text.quality_bucket_sql("text")
+    b = text.quality_bucket_sql("text", min_words=20, max_punct=0.15)
+    tc = text.token_count_sql("text")
+    return f"""
+SELECT ({a}) AS bucket_current, ({b}) AS bucket_proposed,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({tc}) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@_register("c04_policy_diff", _c04_oracle_clean())
+def c04_policy_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-policy impact analysis: the transition matrix between
+    the CURRENT gate (10 words / 0.20 punct) and a PROPOSED stricter
+    gate (20 / 0.15) — how many docs (and tokens) each policy change
+    moves between keep/drop buckets. The report a data team reads
+    BEFORE shipping a filter change; one pass, one map-side-combinable
+    aggregation on the derived bucket pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            text.quality_bucket("text").alias("bucket_current"),
+            text.quality_bucket("text", min_words=20, max_punct=0.15).alias(
+                "bucket_proposed"
+            ),
+            text.token_count("text").cast("bigint").alias("toks"),
+        )
+        .groupBy("bucket_current", "bucket_proposed")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+        )
+    )

@@ -58,6 +58,7 @@ DRIVER_WINDOW: list[str] = [
     "t18_chunk_dedup",
     "e19_exact_quantiles",
     "q68_full_outer_reconcile",
+    "c04_policy_diff",
     # -- round-3 queries staying in for regression cover (r03-green;
     # t07/t08/t09/t10/t11/t12/q56/q57/e10/e11/e12 rotate out on their
     # r03 rows, families still represented below)
@@ -75,7 +76,6 @@ DRIVER_WINDOW: list[str] = [
     "e08_interarrival_stats",
     # -- documents: text analysis (no r01 row)
     "t01_text_stats",
-    "t06_corpus_split",
     # -- documents: dedup family (no r01 row; d06 new this round)
     "d01_dedup_exact",
     "d02_ngram_jaccard",
