@@ -98,6 +98,7 @@ HEADLINE = [
     "q65_sole_late_supplier",
     "q67_salted_join",
     "e18_rolling_zscore",
+    "a07_quantization_audit",
 ]
 
 

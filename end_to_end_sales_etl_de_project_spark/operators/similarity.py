@@ -796,3 +796,75 @@ LEFT JOIN ({mp}) a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization audit (embedding storage compression)
+# ---------------------------------------------------------------------------
+
+
+def quantization_audit(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = DIM
+) -> DataFrame:
+    """Per-vector audit of symmetric int8 quantization — the 4x (fp32)
+    / 8x (fp64) storage compression every large embedding store applies
+    before ANN serving: scale = 127/max|x|, q_i = floor(x_i·scale+0.5),
+    reported with the max absolute and mean squared dequantization
+    error. The table that decides whether int8 (or a per-block variant)
+    is safe for YOUR corpus before 100 TB of vectors get rewritten.
+
+    Pure per-row array math: max|x| is an order-insensitive fold (max
+    is exact), the error terms use floor-based rounding (identical in
+    both engines — float round() is banker's in some engines, so it is
+    avoided), and the MSE folds left-to-right exactly as the unrolled
+    SQL twin's + chain associates. Zero vectors yield NULLs via the
+    max|x|>0 guard in both engines. No shuffle, codegen-resident.
+    """
+    x = F.slice(F.col(vec_col), 1, dim)
+    absx = F.transform(x, lambda v: F.abs(v.cast("double")))
+    max_abs = F.aggregate(absx, F.lit(0.0), lambda a, v: F.greatest(a, v))
+    scale = F.lit(127.0) / max_abs
+    err = F.transform(
+        x,
+        lambda v: F.abs(
+            v.cast("double")
+            - F.floor(v.cast("double") * scale + F.lit(0.5)) / scale
+        ),
+    )
+    max_err = F.aggregate(err, F.lit(0.0), lambda a, v: F.greatest(a, v))
+    mse = F.aggregate(err, F.lit(0.0), lambda a, v: a + v * v) / F.lit(float(dim))
+    guard = max_abs > 0
+    return emb.select(
+        "vec_id",
+        max_abs.alias("max_abs"),
+        F.when(guard, scale).alias("scale"),
+        F.when(guard, max_err).alias("max_abs_err"),
+        F.when(guard, mse).alias("mse"),
+    )
+
+
+def quantization_audit_sql(
+    vec_col: str = "embedding", dim: int = DIM, table: str = "embeddings"
+) -> str:
+    g = ", ".join(f"ABS(CAST({vec_col}[{i + 1}] AS DOUBLE))" for i in range(dim))
+    max_abs = f"GREATEST({g})"
+
+    def e(i: int) -> str:
+        xi = f"CAST({vec_col}[{i + 1}] AS DOUBLE)"
+        return (
+            f"ABS({xi} - FLOOR({xi} * (127.0 / max_abs) + 0.5)"
+            f" / (127.0 / max_abs))"
+        )
+
+    max_err = "GREATEST(" + ", ".join(e(i) for i in range(dim)) + ")"
+    mse = " + ".join(f"{e(i)} * {e(i)}" for i in range(dim))
+    return f"""
+WITH m AS (
+  SELECT vec_id, {vec_col}, {max_abs} AS max_abs FROM {table}
+)
+SELECT vec_id, max_abs,
+       CASE WHEN max_abs > 0 THEN 127.0 / max_abs END AS scale,
+       CASE WHEN max_abs > 0 THEN {max_err} END AS max_abs_err,
+       CASE WHEN max_abs > 0 THEN ({mse}) / {float(dim)} END AS mse
+FROM m
+"""

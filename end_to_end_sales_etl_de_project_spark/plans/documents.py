@@ -855,3 +855,12 @@ def c04_policy_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("toks").alias("n_tokens"),
         )
     )
+
+
+@_register("a07_quantization_audit", similarity.quantization_audit_sql())
+def a07_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization error audit per embedding: scale, max abs
+    error, MSE — the safety table read before compressing the vector
+    store 4-8x for ANN serving. Pure per-row array math, hash-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantization_audit(emb)
