@@ -864,3 +864,31 @@ def a07_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     store 4-8x for ANN serving. Pure per-row array math, hash-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.quantization_audit(emb)
+
+
+def _d11_oracle() -> str:
+    # the d03 CTE skeleton re-rooted on the t14 chunk table: chunks
+    # become documents with a packed (doc, chunk) bigint id
+    inner = dedup.minhash_lsh_pairs_sql("cid", "chunk_text", table="chunks")
+    chunks_cte = (
+        "chunks AS (SELECT doc_id * 1000000 + chunk_id AS cid, chunk_text"
+        f" FROM ({text.doc_chunks_sql()}))"
+    )
+    return inner.replace("WITH sh0 AS", f"WITH {chunks_cte},\nsh0 AS", 1)
+
+
+@_register("d11_chunk_neardup", _d11_oracle())
+def d11_chunk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity NEAR-dup: MinHash-LSH over the t14 context
+    windows — catches paraphrased/shifted boilerplate that chunk-exact
+    dedup (t18) misses and document-level LSH (d03) dilutes (a shared
+    paragraph inside two long, otherwise-different docs doesn't move
+    doc-level Jaccard, but its chunks collide here). Same linear
+    pipeline as d03 — shingle → sign → band → verify — applied after
+    the chunk explode; pair ids are packed (doc·10⁶+chunk) bigints."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text.doc_chunks(docs).select(
+        (F.col("doc_id") * 1000000 + F.col("chunk_id")).alias("cid"),
+        "chunk_text",
+    )
+    return dedup.minhash_lsh_pairs(chunks, "cid", "chunk_text")
