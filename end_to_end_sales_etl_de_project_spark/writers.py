@@ -102,3 +102,47 @@ def write_jdbc(
     exception propagates to the orchestrator, which leaves the ledger
     in START so the crash check catches the next run."""
     df.write.jdbc(url=url, table=table, mode=mode, properties=properties or {})
+
+
+def delete_keys_parquet(
+    spark,
+    path: str,
+    keys_df: DataFrame,
+    key_col: str,
+) -> int:
+    """Targeted-row deletion by key — the right-to-be-forgotten /
+    retention-expiry rewrite: every row whose ``key_col`` appears in
+    ``keys_df`` is dropped and the table is atomically swapped (same
+    staged-sibling + two-rename protocol as :func:`compact_parquet`;
+    a crash before the swap leaves the original untouched). Returns
+    the number of rows deleted.
+
+    Scale shape: the delete set is deduplicated and joined ANTI against
+    the table — broadcast when small (the common case: a deletion batch
+    is thousands of keys against billions of rows), never a row-by-row
+    rewrite. Partition-level file pruning (only rewriting files that
+    contain a doomed key) is the next refinement on a real lakehouse —
+    the per-file min/max footer stats q58 exercises are exactly what
+    makes it possible; this utility rewrites the whole directory, which
+    is the correct baseline and the only safe option for unpartitioned
+    layouts.
+    """
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    current = spark.read.parquet(path)
+    doomed = keys_df.select(F.col(key_col).alias("__dk")).distinct()
+    kept = current.join(
+        F.broadcast(doomed), current[key_col] == F.col("__dk"), "left_anti"
+    )
+    n_before = current.count()
+    staged = f"{path}.staged-{uuid.uuid4().hex[:8]}"
+    bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
+    kept.write.mode("overwrite").parquet(staged)
+    n_after = spark.read.parquet(staged).count()
+    os.rename(path, bak)
+    os.rename(staged, path)
+    shutil.rmtree(bak)
+    return n_before - n_after

@@ -51,3 +51,25 @@ def test_uncompacted_control_fans_out(spark, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(out).select("grp", "id").collect())
     b = sorted(tuple(r) for r in _df(spark).select("grp", "id").collect())
     assert a == b
+
+
+def test_delete_keys_parquet_removes_only_doomed(spark, tmp_path):
+    """GDPR-delete rewrite: doomed keys vanish, everything else
+    survives byte-identical, and the swap leaves no staged/backup
+    litter behind."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_sales_etl_de_project_spark.writers import delete_keys_parquet
+
+    path = str(tmp_path / "tbl")
+    spark.range(0, 100).withColumn("v", F.col("id") * 2).write.parquet(path)
+    doomed = spark.createDataFrame([(3,), (7,), (7,), (999,)], "id long")
+    n_deleted = delete_keys_parquet(spark, path, doomed, "id")
+    assert n_deleted == 2  # 999 absent, 7 listed twice but one row
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert set(rows) == set(range(100)) - {3, 7}
+    assert all(rows[i] == 2 * i for i in rows)
+    litter = [n for n in os.listdir(tmp_path) if "staged" in n or "bak" in n]
+    assert not litter, litter
