@@ -8,7 +8,13 @@ micro-batches and emits the updated profile each time a user appears —
 a CDC-style running rollup.
 
 State is partitioned by the group key, so it scales horizontally with
-executors; per-group state is O(1). Timeouts evict idle users.
+executors; per-group state is O(1) (the rolling-window operator's is
+O(window seconds)). All operators here run ``NoTimeout``: the key
+population in this corpus is bounded (users), so state never needs
+eviction. For unbounded key spaces (e.g. session ids) switch to
+``GroupStateTimeout.EventTimeTimeout`` + ``state.setTimeoutTimestamp``
+and emit/clear on ``state.hasTimedOut`` — the operators' fold logic is
+unchanged; only the eviction branch is added.
 """
 
 from __future__ import annotations
