@@ -868,3 +868,119 @@ SELECT vec_id, max_abs,
        CASE WHEN max_abs > 0 THEN ({mse}) / {float(dim)} END AS mse
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source embedding drift (exact, quantized-integer domain)
+# ---------------------------------------------------------------------------
+
+
+def source_drift_report(
+    emb: DataFrame,
+    docs: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Dataset-shift audit: per source, the cosine between that
+    source's mean embedding and the corpus mean — the table that flags
+    a crawler change or a poisoned source before training on it.
+
+    Float mean vectors are NOT cross-engine deterministic (per-dim
+    double sums over an unordered shuffle), so the audit runs in the
+    QUANTIZED domain instead: vectors are int8-quantized on a single
+    GLOBAL scale (127/corpus-max|x|, one exact scalar), per-dim sums of
+    those integers are exact bigints in any order, and cosine is
+    scale-invariant — so cos(sum_src, sum_all) IS cos(mean_src,
+    mean_all) of the quantized vectors, computed as one fixed-order
+    fold. Fully hash-exact, and the quantization error it inherits is
+    precisely what a07 measures. One aggregation with 64 conditional
+    sums per side; the 1-row corpus aggregate broadcasts.
+    """
+    x = F.slice(F.col(vec_col), 1, dim)
+    absx = F.transform(x, lambda v: F.abs(v.cast("double")))
+    row_max = F.aggregate(absx, F.lit(0.0), lambda a, v: F.greatest(a, v))
+    gmax = emb.agg(F.max(row_max).alias("gmax"))
+    scale = F.lit(127.0) / F.col("gmax")
+    joined = emb.join(docs.select("doc_id", "source"),
+                      emb.vec_id == F.col("doc_id")).crossJoin(F.broadcast(gmax))
+    q = [
+        F.floor(x[i].cast("double") * scale + F.lit(0.5)).cast("bigint").alias(f"q{i}")
+        for i in range(dim)
+    ]
+    quantized = joined.select("source", *q)
+    per_src = quantized.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[F.sum(f"q{i}").alias(f"s{i}") for i in range(dim)],
+    )
+    total = quantized.agg(
+        *[F.sum(f"q{i}").alias(f"t{i}") for i in range(dim)]
+    )
+    both = per_src.crossJoin(F.broadcast(total))
+    dot = sum(
+        (F.col(f"s{i}").cast("double") * F.col(f"t{i}").cast("double")
+         for i in range(1, dim)),
+        F.col("s0").cast("double") * F.col("t0").cast("double"),
+    )
+    ns = sum(
+        (F.col(f"s{i}").cast("double") * F.col(f"s{i}").cast("double")
+         for i in range(1, dim)),
+        F.col("s0").cast("double") * F.col("s0").cast("double"),
+    )
+    nt = sum(
+        (F.col(f"t{i}").cast("double") * F.col(f"t{i}").cast("double")
+         for i in range(1, dim)),
+        F.col("t0").cast("double") * F.col("t0").cast("double"),
+    )
+    cos = dot / (F.sqrt(ns) * F.sqrt(nt))
+    return both.select(
+        "source",
+        "n_vecs",
+        cos.alias("cos_to_corpus"),
+        (F.lit(1.0) - cos).alias("drift"),
+    )
+
+
+def source_drift_report_sql(
+    vec_col: str = "embedding",
+    dim: int = DIM,
+    emb_table: str = "embeddings",
+    doc_table: str = "documents",
+) -> str:
+    row_max = "GREATEST(" + ", ".join(
+        f"ABS(CAST({vec_col}[{i + 1}] AS DOUBLE))" for i in range(dim)
+    ) + ")"
+    qexpr = [
+        f"CAST(FLOOR(CAST({vec_col}[{i + 1}] AS DOUBLE) * (127.0 / g.gmax) + 0.5)"
+        f" AS BIGINT) AS q{i}"
+        for i in range(dim)
+    ]
+    ssums = ", ".join(f"SUM(q{i}) AS s{i}" for i in range(dim))
+    tsums = ", ".join(f"SUM(q{i}) AS t{i}" for i in range(dim))
+    dot = " + ".join(
+        f"CAST(p.s{i} AS DOUBLE) * CAST(t.t{i} AS DOUBLE)" for i in range(dim)
+    )
+    ns = " + ".join(
+        f"CAST(p.s{i} AS DOUBLE) * CAST(p.s{i} AS DOUBLE)" for i in range(dim)
+    )
+    nt = " + ".join(
+        f"CAST(t.t{i} AS DOUBLE) * CAST(t.t{i} AS DOUBLE)" for i in range(dim)
+    )
+    cos = f"({dot}) / (SQRT({ns}) * SQRT({nt}))"
+    return f"""
+WITH g AS (SELECT MAX({row_max}) AS gmax FROM {emb_table}),
+quantized AS (
+  SELECT d.source, {", ".join(qexpr)}
+  FROM {emb_table} e
+  JOIN {doc_table} d ON e.vec_id = d.doc_id
+  CROSS JOIN g
+),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vecs, {ssums}
+  FROM quantized GROUP BY source
+),
+total AS (SELECT {tsums} FROM quantized)
+SELECT p.source, p.n_vecs,
+       {cos} AS cos_to_corpus,
+       1.0 - ({cos}) AS drift
+FROM per_src p CROSS JOIN total t
+"""

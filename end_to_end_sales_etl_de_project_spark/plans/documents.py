@@ -892,3 +892,14 @@ def d11_chunk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_text",
     )
     return dedup.minhash_lsh_pairs(chunks, "cid", "chunk_text")
+
+
+@_register("a08_source_drift", similarity.source_drift_report_sql())
+def a08_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding drift vs the corpus mean — exact in the
+    globally-scaled quantized-integer domain (float means aren't
+    cross-engine deterministic; integer sums are). The dataset-shift
+    flag read before a source's next crawl lands in training."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    return similarity.source_drift_report(emb, docs)

@@ -61,6 +61,7 @@ DRIVER_WINDOW: list[str] = [
     "c04_policy_diff",
     "a07_quantization_audit",
     "d11_chunk_neardup",
+    "a08_source_drift",
     # -- round-3 queries staying in for regression cover (r03-green;
     # t07/t08/t09/t10/t11/t12/q56/q57/e10/e11/e12 rotate out on their
     # r03 rows, families still represented below)
@@ -82,7 +83,6 @@ DRIVER_WINDOW: list[str] = [
     "d01_dedup_exact",
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
-    "d06_neardup_resolve",
     # -- similarity search (no r01 row; a04 new this round)
     "a01_ann_bruteforce",
     "a02_ann_lsh",
