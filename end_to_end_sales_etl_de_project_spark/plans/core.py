@@ -2157,3 +2157,43 @@ def q68_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV quoting robustness: delimiters and quotes INSIDE field values
+# ---------------------------------------------------------------------------
+
+_Q69_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority || ',"' || o_orderstatus AS tricky,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+FROM orders
+"""
+
+
+@_register("q69_csv_quoted_roundtrip", _Q69_ORACLE)
+def q69_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV quoting under the correctness gate: a synthesized column
+    carrying BOTH the delimiter and the quote character round-trips
+    through write→read (RFC-4180 quote doubling). The oracle recomputes
+    the value from parquet, so any mis-quoting, mis-escaping, or
+    column shift on read hash-mismatches. This is the failure mode
+    that silently corrupts real CSV interchange — free-text fields
+    with embedded commas/quotes."""
+    import hashlib
+    import tempfile
+
+    out = f"{tempfile.gettempdir()}/engine-csvq-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat(
+            F.col("o_orderpriority"), F.lit(',"'), F.col("o_orderstatus")
+        ).alias("tricky"),
+        money("o_totalprice").alias("total_price"),
+    )
+    orders.write.mode("overwrite").option("header", True).csv(out)
+    schema = "o_orderkey long, tricky string, total_price decimal(18,2)"
+    return (
+        spark.read.csv(out, header=True, schema=schema)
+        .withColumn("total_price", F.col("total_price").cast("double"))
+    )

@@ -62,6 +62,7 @@ DRIVER_WINDOW: list[str] = [
     "a07_quantization_audit",
     "d11_chunk_neardup",
     "a08_source_drift",
+    "q69_csv_quoted_roundtrip",
     # -- round-3 queries staying in for regression cover (r03-green;
     # t07/t08/t09/t10/t11/t12/q56/q57/e10/e11/e12 rotate out on their
     # r03 rows, families still represented below)
@@ -90,7 +91,6 @@ DRIVER_WINDOW: list[str] = [
     "c03_dataset_mix",
     # -- late round-3 additions (q51/q55 rotate out on their r02 rows)
     "q60_star_join",
-    "m03_frame_sample",
     "t14_doc_chunking",
     "t15_boilerplate_ngrams",
     # -- core representatives (all driver-green in r01+r02; regression
