@@ -99,6 +99,7 @@ HEADLINE = [
     "q67_salted_join",
     "e18_rolling_zscore",
     "a07_quantization_audit",
+    "a09_knn_graph",
 ]
 
 

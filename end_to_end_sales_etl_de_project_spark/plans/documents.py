@@ -903,3 +903,19 @@ def a08_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     return similarity.source_drift_report(emb, docs)
+
+
+@_register(
+    "a09_knn_graph",
+    similarity.lsh_topk_multiprobe_sql("TRUE", k=3),
+)
+def a09_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus kNN GRAPH: every vector's top-3 neighbors via multiprobe
+    sign-LSH — the input structure for graph clustering, SemDeDup-style
+    semantic dedup, and connectivity audits. Same equi-join machinery
+    as a03 with the query side = the whole corpus: cost scales with
+    bucket occupancy, never |corpus|² (the brute-force graph would be
+    quadratic — exactly what the banding exists to avoid). Deterministic
+    ⇒ the full graph is hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk_multiprobe(emb, emb, k=3)

@@ -63,6 +63,7 @@ DRIVER_WINDOW: list[str] = [
     "d11_chunk_neardup",
     "a08_source_drift",
     "q69_csv_quoted_roundtrip",
+    "a09_knn_graph",
     # -- round-3 queries staying in for regression cover (r03-green;
     # t07/t08/t09/t10/t11/t12/q56/q57/e10/e11/e12 rotate out on their
     # r03 rows, families still represented below)
@@ -85,7 +86,6 @@ DRIVER_WINDOW: list[str] = [
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
     # -- similarity search (no r01 row; a04 new this round)
-    "a01_ann_bruteforce",
     "a02_ann_lsh",
     "a03_ann_lsh_multiprobe",
     "c03_dataset_mix",
