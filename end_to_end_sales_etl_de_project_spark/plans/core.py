@@ -2197,3 +2197,52 @@ def q69_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.csv(out, header=True, schema=schema)
         .withColumn("total_price", F.col("total_price").cast("double"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching (MDM blocking + edit distance)
+# ---------------------------------------------------------------------------
+
+_Q70_ORACLE = """
+SELECT a.c_nationkey AS nation_key,
+       CAST(COUNT(*) AS BIGINT) AS n_near_pairs,
+       CAST(MIN(levenshtein(a.c_name, b.c_name)) AS BIGINT) AS min_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+GROUP BY 1
+"""
+
+
+@_register("q70_fuzzy_name_match", _Q70_ORACLE)
+def q70_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching, the MDM/record-linkage shape: BLOCK
+    (equi-join on a coarse key — here the nation — so candidate pairs
+    are per-block, never corpus²), then score candidates with edit
+    distance and keep near-matches. Both engines implement classic
+    Levenshtein, so the fuzzy threshold itself is hash-checked. At
+    100 TB the block key does the heavy lifting (phonetic code, sorted
+    n-gram key, ZIP) — the join stays an equi-join; the quadratic cost
+    is confined to block size, exactly like the LSH bucket discipline
+    in d03."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_nationkey").alias("nation_key"),
+        F.col("c_custkey").alias("k_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = cust.select(
+        F.col("c_nationkey").alias("nation_b"),
+        F.col("c_custkey").alias("k_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, (F.col("nation_key") == F.col("nation_b")) & (F.col("k_a") < F.col("k_b")))
+        .filter(dist <= 2)
+        .groupBy("nation_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_near_pairs"),
+            F.min(dist).cast("bigint").alias("min_dist"),
+        )
+    )
