@@ -919,3 +919,76 @@ def a09_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ⇒ the full graph is hash-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk_multiprobe(emb, emb, k=3)
+
+
+def _t19_oracle() -> str:
+    toks = text.tokens_sql("text")
+    return f"""
+WITH toked AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+bigrams AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM toked, UNNEST(range(1, len(toks))) AS t(i)
+),
+bi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_bigram
+  FROM bigrams GROUP BY 1, 2
+),
+uni AS (
+  SELECT w1, CAST(SUM(n_bigram) AS BIGINT) AS n_w1 FROM bi GROUP BY 1
+),
+scored AS (
+  SELECT b.w1, b.w2, b.n_bigram, u.n_w1,
+         CAST(b.n_bigram AS DOUBLE) / u.n_w1 AS p_w2_given_w1,
+         ROW_NUMBER() OVER (ORDER BY b.n_bigram DESC, b.w1, b.w2) AS rnk
+  FROM bi b JOIN uni u ON b.w1 = u.w1
+)
+SELECT w1, w2, n_bigram, n_w1, p_w2_given_w1, CAST(rnk AS BIGINT) AS rnk
+FROM scored WHERE rnk <= 100
+"""
+
+
+@_register("t19_bigram_lm", _t19_oracle())
+def t19_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus bigrams with conditional probability p(w2|w1) —
+    the count-based n-gram LM table behind classic quality scoring and
+    repetition detection. The conditional denominator is the sum of
+    the word's OUTGOING bigram counts (not its unigram count), so
+    probabilities per w1 sum to exactly 1 over observed successors.
+
+    Plan: one explode to adjacent token pairs (zip of the array with
+    its own tail — no self-join), two map-side-combinable counts, one
+    broadcast-sized join of bigram→unigram totals, and a global top-k
+    (TakeOrdered) with a total tie-break. Counts exact, one IEEE
+    division ⇒ hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(text.tokens("text").alias("toks"))
+    pairs = toked.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
+    uni = bi.groupBy("w1").agg(F.sum("n_bigram").alias("n_w1"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n_bigram"), "w1", "w2")
+    return (
+        bi.join(uni, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            "n_w1",
+            (F.col("n_bigram").cast("double") / F.col("n_w1")).alias(
+                "p_w2_given_w1"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 100)
+    )

@@ -65,6 +65,7 @@ DRIVER_WINDOW: list[str] = [
     "q69_csv_quoted_roundtrip",
     "a09_knn_graph",
     "q70_fuzzy_name_match",
+    "t19_bigram_lm",
     # -- round-3 queries staying in for regression cover (r03-green;
     # t07/t08/t09/t10/t11/t12/q56/q57/e10/e11/e12 rotate out on their
     # r03 rows, families still represented below)
@@ -92,7 +93,6 @@ DRIVER_WINDOW: list[str] = [
     "c03_dataset_mix",
     # -- late round-3 additions (q51/q55 rotate out on their r02 rows)
     "q60_star_join",
-    "t15_boilerplate_ngrams",
     # -- core representatives (all driver-green in r01+r02; regression
     # cover — everything rotated out for the round-3 newcomers is
     # double-green and its operator family stays represented)
