@@ -46,3 +46,24 @@ def test_registry_complete():
     # every oracle has a query; registry holds the full surface
     assert set(ORACLES) <= set(QUERIES)
     assert len(QUERIES) >= 89
+
+
+def test_bench_headline_names_resolve():
+    """A renamed query must not silently shrink the benchmark — every
+    headline name resolves, and headline stays deduplicated."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, missing
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_entry_contract_stable(spark):
+    """Driver t1 smoke contract: entry() runs, yields rows, and its
+    schema is identical across invocations (the driver hashes it)."""
+    import __spark_entry__ as E
+
+    a = E.entry(spark)
+    b = E.entry(spark)
+    assert a.schema == b.schema
+    assert len(a.take(1)) == 1
