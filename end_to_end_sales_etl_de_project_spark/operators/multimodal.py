@@ -237,3 +237,57 @@ SELECT asset_id, format, size_bucket,
        CAST(rn % {batch_size} AS BIGINT) AS position_in_batch
 FROM numbered
 """
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resized_checksum", T.LongType()),
+    ]
+)
+
+
+def resize_assets(
+    assets: DataFrame, factor: int = 4, decode_stub: bool = True
+) -> DataFrame:
+    """Downscale pass over opaque payloads via ``mapInPandas`` — the
+    1:1 resize/transcode shape (decode → scale → re-encode) between
+    ingest and feature extraction. With the stub, "resizing" keeps
+    every ``factor``-th byte (a deterministic stand-in with the real
+    op's size semantics: output ≈ input/factor, never empty for a
+    non-empty payload); a real pipeline swaps the slice for
+    PIL.thumbnail / ffmpeg -s at the marked seam. Output carries the
+    new size and checksum so downstream loss is detectable; payload
+    bytes never leave the executor; the UDF is a closure."""
+
+    def resize_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resizing requires an image/video library; "
+                    "this environment ships none (stub only)"
+                )
+            cols: dict[str, list] = {k: [] for k in (
+                "asset_id", "format", "orig_bytes", "resized",
+                "resized_bytes", "resized_checksum",
+            )}
+            for aid, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
+                b = bytes(payload)
+                small = b[::factor] if b else b
+                cols["asset_id"].append(aid)
+                cols["format"].append(meta["format"])
+                cols["orig_bytes"].append(len(b))
+                cols["resized"].append(small)
+                cols["resized_bytes"].append(len(small))
+                cols["resized_checksum"].append(sum(small) % (1 << 31))
+            yield pd.DataFrame(cols)
+
+    return assets.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)

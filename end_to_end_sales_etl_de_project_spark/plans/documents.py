@@ -992,3 +992,13 @@ def t19_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 100)
     )
+
+
+@_register("m05_resize_assets", None)  # binary output: rows-only check
+def m05_resize_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed resize/transcode pass over the asset table (1:1
+    mapInPandas, Arrow-batched closure). Binary payloads don't hash
+    cross-engine ⇒ rows-only; byte semantics pinned in
+    tests/test_multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.resize_assets(multimodal.documents_as_assets(docs))

@@ -117,3 +117,24 @@ def test_decode_batch_plan_shapes(spark):
         for bid, n in batches.items():
             if bid != last:
                 assert n == 16, (cell, bid, n)
+
+
+def test_resize_assets_stub_semantics(spark):
+    """m05: every-factor-th-byte stand-in — sizes, content, and
+    checksums all pinned; empty payload survives as empty."""
+    from end_to_end_sales_etl_de_project_spark.operators.multimodal import (
+        documents_as_assets,
+        resize_assets,
+    )
+
+    rows = [(1, "abcdefgh" * 4, "s"), (2, "xy", "s"), (3, "", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["asset_id"]: r for r in resize_assets(
+        documents_as_assets(docs), factor=4
+    ).collect()}
+    one = out[1]
+    assert one["orig_bytes"] == 32 and one["resized_bytes"] == 8
+    assert bytes(one["resized"]) == ("abcdefgh" * 4).encode()[::4]
+    assert one["resized_checksum"] == sum(bytes(one["resized"])) % (1 << 31)
+    assert out[2]["resized_bytes"] == 1  # 2 bytes, every 4th -> first only
+    assert out[3]["orig_bytes"] == 0 and out[3]["resized_bytes"] == 0
