@@ -840,3 +840,72 @@ def e19_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.75, "p75"),
         pick(0.90, "p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-event audit (watermark-delay sizing)
+# ---------------------------------------------------------------------------
+
+_E20_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, ts,
+         MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS high_water
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE high_water IS NOT NULL AND ts < high_water)
+            AS BIGINT) AS n_out_of_order,
+       CAST(COUNT(*) FILTER (WHERE high_water IS NOT NULL
+                             AND ts < high_water - INTERVAL 600 SECOND)
+            AS BIGINT) AS n_late_10m,
+       CAST(MAX(CASE WHEN high_water IS NOT NULL AND ts < high_water
+                     THEN CAST(FLOOR(epoch(high_water)) AS BIGINT)
+                          - CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS max_lateness_s
+FROM seq
+GROUP BY user_id
+"""
+
+
+@_register("e20_late_event_audit", _E20_ORACLE)
+def e20_late_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay sizing from the data: per key, how far events
+    arrive behind that key's event-time high-water mark (arrival order
+    = event_id). ``n_late_10m`` is exactly the rows a 10-minute
+    watermark would drop; ``max_lateness_s`` is the delay that would
+    drop none — the two numbers that decide the lateness/latency
+    trade-off BEFORE a streaming job ships. One shuffle on user_id;
+    the running max and the rollup ride the same partitioning."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hw = F.max("ts").over(w)
+    seq = ev.select(
+        "user_id",
+        "ts",
+        hw.alias("high_water"),
+    )
+    out_of_order = F.col("high_water").isNotNull() & (
+        F.col("ts") < F.col("high_water")
+    )
+    late_10m = F.col("high_water").isNotNull() & (
+        F.col("ts") < F.col("high_water") - F.expr("INTERVAL 600 SECONDS")
+    )
+    lateness = F.when(
+        out_of_order,
+        F.col("high_water").cast("long") - F.col("ts").cast("long"),
+    ).otherwise(F.lit(0))
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(out_of_order, 1)).alias("n_out_of_order"),
+        F.count(F.when(late_10m, 1)).alias("n_late_10m"),
+        F.max(lateness).cast("bigint").alias("max_lateness_s"),
+    )

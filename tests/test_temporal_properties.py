@@ -145,3 +145,55 @@ def test_gap_fill_locf_invariants(spark, sf_dir):
                 assert r["n_events"] > 0
                 last_observed = r["filled_value"]
     assert checked_gaps > 0, "corpus produced no gaps — test is vacuous"
+
+
+def test_late_event_audit_planted(spark):
+    """The sf corpus arrives in event-time order (e20 reports zeros),
+    so this plants out-of-order arrivals and pins the lateness math:
+    arrival order is event_id, lateness is against the running
+    high-water mark, and the 10-minute bucket only counts true
+    stragglers."""
+    import datetime as dt
+
+    from end_to_end_sales_etl_de_project_spark.plans.events import (
+        e20_late_event_audit,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def row(eid, offset_s, user=1):
+        return (eid, t0 + dt.timedelta(seconds=offset_s), user, "view", 1.0, "{}")
+
+    rows = [
+        row(1, 0),
+        row(2, 1000),
+        row(3, 400),    # 600s behind high-water 1000 — out-of-order, not >600
+        row(4, 2000),
+        row(5, 100),    # 1900s behind high-water 2000 — late beyond 10m
+        (6, t0, 2, "view", 1.0, "{}"),  # user 2: single event, never late
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    import end_to_end_sales_etl_de_project_spark.sources.tables as tables
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark, sf_dir, name: ev
+        # plans module binds load_table at import; patch via its globals
+        import end_to_end_sales_etl_de_project_spark.plans.events as pe
+        pe_orig = pe.load_table
+        pe.load_table = lambda spark, sf_dir, name: ev
+        try:
+            out = {r["user_id"]: r for r in e20_late_event_audit(spark, "unused").collect()}
+        finally:
+            pe.load_table = pe_orig
+    finally:
+        tables.load_table = orig
+    u1 = out[1]
+    assert u1["n_events"] == 5
+    assert u1["n_out_of_order"] == 2          # events 3 and 5
+    assert u1["n_late_10m"] == 1              # only event 5 (1900s > 600s)
+    assert u1["max_lateness_s"] == 1900
+    u2 = out[2]
+    assert u2["n_out_of_order"] == 0 and u2["max_lateness_s"] == 0
