@@ -100,6 +100,9 @@ HEADLINE = [
     "e18_rolling_zscore",
     "a07_quantization_audit",
     "a09_knn_graph",
+    "q70_fuzzy_name_match",
+    "t19_bigram_lm",
+    "e20_late_event_audit",
 ]
 
 

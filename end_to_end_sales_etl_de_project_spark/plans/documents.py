@@ -978,6 +978,10 @@ def t19_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.orderBy(F.desc("n_bigram"), "w1", "w2")
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject — no
+    # single-partition window over the full bigram table, which at
+    # corpus scale is the classic global-row_number anti-pattern);
+    # the rank column is then a window over just the 100 survivors
     return (
         bi.join(uni, "w1")
         .select(
@@ -989,8 +993,9 @@ def t19_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "p_w2_given_w1"
             ),
         )
+        .orderBy(F.desc("n_bigram"), "w1", "w2")
+        .limit(100)
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 100)
     )
 
 
