@@ -2261,3 +2261,49 @@ def q70_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(dist).cast("bigint").alias("min_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) curve key: 2-D data-skipping layout
+# ---------------------------------------------------------------------------
+
+def _z16_sql(a: str, b: str) -> str:
+    terms = []
+    for i in range(16):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_Q71_ORACLE = f"""
+SELECT o_orderkey,
+       CAST({_z16_sql('(o_custkey & 65535)',
+                      '(CAST(FLOOR(o_totalprice / 100.0) AS BIGINT) & 65535)')}
+            AS BIGINT) AS z_key
+FROM orders
+"""
+
+
+@_register("q71_zorder_key", _Q71_ORACLE)
+def q71_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order curve key over (customer, price-bucket) — the
+    2-D generalization of q58's sorted layout: writing the fact
+    range-partitioned and sorted by this key gives file-level min/max
+    pruning for BOTH dimensions at once (a single-column sort prunes
+    only its own column). This is what Delta/Iceberg OPTIMIZE ZORDER
+    computes; here it is plain bit-interleave arithmetic — exact
+    integers, hash-checked — that feeds the exact repartitionByRange +
+    sortWithinPartitions write q58 already exercises. Pure projection,
+    zero shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.col("o_custkey").bitwiseAND(F.lit(65535))
+    b = (
+        F.floor(F.col("o_totalprice") / F.lit(100.0))
+        .cast("bigint")
+        .bitwiseAND(F.lit(65535))
+    )
+    z = F.lit(0).cast("bigint")
+    for i in range(16):
+        z = z + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return orders.select("o_orderkey", z.cast("bigint").alias("z_key"))

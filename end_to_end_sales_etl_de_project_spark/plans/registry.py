@@ -69,6 +69,7 @@ DRIVER_WINDOW: list[str] = [
     "m05_resize_assets",
     "e20_late_event_audit",
     "e21_hourly_active_users",
+    "q71_zorder_key",
     # -- round-3 queries staying in for regression cover (r03-green;
     # t07/t08/t09/t10/t11/t12/q56/q57/e10/e11/e12 rotate out on their
     # r03 rows, families still represented below)
@@ -81,7 +82,6 @@ DRIVER_WINDOW: list[str] = [
     # -- events: windows / sessionization / temporal joins (no r01 row)
     "e01_tumbling_hourly",
     "e03_session_window",
-    "e05_asof_join",
     "e08_interarrival_stats",
     # -- documents: text analysis (no r01 row)
     "t01_text_stats",
