@@ -221,7 +221,10 @@ FROM ranked WHERE rank <= {top_n}
 
 
 def curate_corpus(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """The full curation decision per document — what an LLM-data
     pipeline runs end-to-end before training:
@@ -245,6 +248,13 @@ def curate_corpus(
     (localCheckpoint), exactly where a production curation pipeline
     checkpoints between stages. Measured 7.6 s → ~4 s at sf0.1; on a
     real cluster use a reliable checkpoint dir instead.
+
+    ``hashed_shingles``: the corpus's materialized (doc, shingle-md5)
+    index (k=3, e.g. the session memo in plans/documents.py). The
+    near-dup stage only needs the SURVIVORS' shingles, and survivors ⊆
+    corpus — so the full-corpus artifact is reused by filtering it to
+    survivor ids instead of re-tokenizing the survivor texts inside
+    this plan (signatures + verify each re-read that subtree).
     """
     base = docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
     ok = base.filter(quality_bucket("text") == "ok")
@@ -259,7 +269,12 @@ def curate_corpus(
         .localCheckpoint(eager=True)
     )
     survivors = exact.filter(F.col("doc") == F.col("canon_doc")).select("doc", "text")
-    pairs = dedup.minhash_lsh_pairs(survivors, "doc", "text")
+    surv_shingles = None
+    if hashed_shingles is not None:
+        surv_shingles = hashed_shingles.join(survivors.select("doc"), "doc")
+    pairs = dedup.minhash_lsh_pairs(
+        survivors, "doc", "text", hashed_shingles=surv_shingles
+    )
     comps = dedup.neardup_components(survivors, pairs, "doc").select(
         F.col("doc_id").alias("doc"), "is_canonical"
     )
@@ -288,6 +303,7 @@ def training_manifest(
     text_col: str = "text",
     budget: int = 2048,
     k: int = 5,
+    hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus in, training manifest out — the end-to-end composition a
     training run consumes:
@@ -307,7 +323,7 @@ def training_manifest(
     inventory, packing), so it is materialized once, same rationale as
     the checkpoint in :func:`contamination_report`.
     """
-    decisions = curate_corpus(docs, id_col, text_col)
+    decisions = curate_corpus(docs, id_col, text_col, hashed_shingles=hashed_shingles)
     kept = (
         decisions.filter(F.col("stage") == "kept")
         .select(id_col, "split")
