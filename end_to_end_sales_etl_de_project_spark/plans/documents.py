@@ -1059,11 +1059,44 @@ def t19_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("m05_resize_assets", None)  # binary output: rows-only check
+# The resized payload is BINARY and can't hash cross-engine, but the stub
+# transform is deterministic (keep every 4th byte of the utf-8 payload),
+# so its SIZE + CHECKSUM are exactly recomputable in SQL: the corpus is
+# pure ASCII (verified: octet_length(encode(text)) == length(text) at
+# every SF), hence byte i == ascii(char i) and the every-4th-byte slice
+# is a stepped generate_series over character positions. The audit
+# columns are the oracle; the payload itself is pinned byte-for-byte in
+# tests/test_multimodal.py.
+_M05_ORACLE = """
+WITH b AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+-- DuckDB's generate_series can't take lateral column bounds, so the
+-- stepped positions come from a fixed ceiling (16384 >> max doc length,
+-- a longer doc would surface as a hash mismatch, never silently) and an
+-- inequality join prunes to each doc's length
+pos AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 16384, 4) t(i)),
+ck AS (
+  SELECT b.doc_id,
+         CAST(SUM(ascii(substr(b.text, pos.i, 1))) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM b JOIN pos ON pos.i <= b.n
+  GROUP BY 1
+)
+SELECT b.doc_id AS asset_id, 'txt' AS format, b.n AS orig_bytes,
+       CAST(COALESCE(ck.k, 0) AS BIGINT) AS resized_bytes,
+       CAST(COALESCE(ck.s, 0) % 2147483648 AS BIGINT) AS resized_checksum
+FROM b LEFT JOIN ck ON b.doc_id = ck.doc_id
+"""
+
+
+@_register("m05_resize_assets", _M05_ORACLE)
 def m05_resize_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed resize/transcode pass over the asset table (1:1
-    mapInPandas, Arrow-batched closure). Binary payloads don't hash
-    cross-engine ⇒ rows-only; byte semantics pinned in
-    tests/test_multimodal.py."""
+    mapInPandas, Arrow-batched closure), surfaced as its audit view:
+    per-asset original/resized sizes + checksum. The binary payload
+    stays executor-side (projected away here — it wouldn't hash
+    cross-engine); byte semantics pinned in tests/test_multimodal.py."""
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.resize_assets(multimodal.documents_as_assets(docs))
+    out = multimodal.resize_assets(multimodal.documents_as_assets(docs))
+    return out.select(
+        "asset_id", "format", "orig_bytes", "resized_bytes", "resized_checksum"
+    )
