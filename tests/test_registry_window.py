@@ -13,6 +13,7 @@ from end_to_end_sales_etl_de_project_spark.plans.registry import (
     DRIVER_WINDOW_SIZE,
     ORACLES,
     QUERIES,
+    ROWS_ONLY_ALLOWLIST,
 )
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -24,6 +25,7 @@ def _verified_in_past_rounds() -> set[str]:
         "CORRECTNESS_r01.json",
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
     ):
         path = os.path.join(_REPO, fname)
         if os.path.exists(path):
@@ -46,6 +48,17 @@ def test_registry_complete():
     # every oracle has a query; registry holds the full surface
     assert set(ORACLES) <= set(QUERIES)
     assert len(QUERIES) >= 89
+
+
+def test_rows_only_is_a_closed_allowlist():
+    """Every registered query must carry a DuckDB oracle unless it is on
+    the documented rows-only allowlist (and the allowlist must not rot:
+    an entry that GAINS an oracle must be removed from it)."""
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only == set(ROWS_ONLY_ALLOWLIST), (
+        f"undocumented rows-only queries: {sorted(rows_only - ROWS_ONLY_ALLOWLIST)}; "
+        f"stale allowlist entries: {sorted(ROWS_ONLY_ALLOWLIST - rows_only)}"
+    )
 
 
 def test_bench_headline_names_resolve():
