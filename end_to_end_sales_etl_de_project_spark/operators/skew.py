@@ -79,7 +79,19 @@ def salted_join(
     (hashing only the join key would re-collapse a hot key's rows into
     one salt, defeating the spread; identical full rows landing on the
     same salt is fine — they're interchangeable).
+
+    Name hygiene (ADVICE r4): a pre-existing ``__salt`` column on either
+    input is rejected (silently overwriting it would corrupt caller
+    data), and both the key and salt equi-conditions are resolved via
+    the PARENT DataFrames, so ``big_key == small_key`` (the usual case)
+    never hits an ambiguous-column error.
     """
+    for side, df in (("big", big), ("small", small)):
+        if "__salt" in df.columns:
+            raise ValueError(
+                f"salted_join: {side} side already has a '__salt' column — "
+                "rename it first (the operator would silently clobber it)"
+            )
     if salt_source is None:
         salt_source = F.pmod(
             F.xxhash64(*[F.col(c) for c in big.columns], F.lit(41)), F.lit(n_salts)
@@ -88,6 +100,11 @@ def salted_join(
     replicated_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    return salted_big.join(replicated_small, on=
-        (F.col(big_key) == F.col(small_key)) & (salted_big["__salt"] == replicated_small["__salt"])
-    ).drop("__salt")
+    joined = salted_big.join(
+        replicated_small,
+        on=(salted_big[big_key] == replicated_small[small_key])
+        & (salted_big["__salt"] == replicated_small["__salt"]),
+    )
+    # drop by parent reference: plain .drop("__salt") removes only one
+    # of the two same-named columns non-deterministically
+    return joined.drop(salted_big["__salt"]).drop(replicated_small["__salt"])

@@ -2179,11 +2179,13 @@ FROM orders
 def q69_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV quoting under the correctness gate: a synthesized column
     carrying BOTH the delimiter and the quote character round-trips
-    through write→read (RFC-4180 quote doubling). The oracle recomputes
-    the value from parquet, so any mis-quoting, mis-escaping, or
-    column shift on read hash-mismatches. This is the failure mode
-    that silently corrupts real CSV interchange — free-text fields
-    with embedded commas/quotes."""
+    through write→read using actual RFC-4180 quote DOUBLING
+    (``escape='"'`` on both sides — Spark's out-of-the-box default is
+    backslash escaping, which most non-Spark CSV consumers misread;
+    ADVICE r4). The oracle recomputes the value from parquet, so any
+    mis-quoting, mis-escaping, or column shift on read hash-mismatches.
+    This is the failure mode that silently corrupts real CSV
+    interchange — free-text fields with embedded commas/quotes."""
     out = _staging_dir(spark, "csvq", sf_dir)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -2192,10 +2194,13 @@ def q69_csv_quoted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tricky"),
         money("o_totalprice").alias("total_price"),
     )
-    orders.write.mode("overwrite").option("header", True).csv(out)
+    orders.write.mode("overwrite").option("header", True).option(
+        "escape", '"'
+    ).csv(out)
     schema = "o_orderkey long, tricky string, total_price decimal(18,2)"
     return (
-        spark.read.csv(out, header=True, schema=schema)
+        spark.read.option("escape", '"')
+        .csv(out, header=True, schema=schema)
         .withColumn("total_price", F.col("total_price").cast("double"))
     )
 

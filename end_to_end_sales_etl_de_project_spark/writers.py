@@ -112,20 +112,27 @@ def delete_keys_parquet(
 ) -> int:
     """Targeted-row deletion by key — the right-to-be-forgotten /
     retention-expiry rewrite: every row whose ``key_col`` appears in
-    ``keys_df`` is dropped and the table is atomically swapped (same
-    staged-sibling + two-rename protocol as :func:`compact_parquet`;
-    a crash before the swap leaves the original untouched). Returns
-    the number of rows deleted.
+    ``keys_df`` is dropped and the table is swapped in via the
+    staged-sibling + two-rename protocol (same as
+    :func:`compact_parquet`). A crash BEFORE the first rename leaves
+    the original untouched; a crash BETWEEN the two renames (the only
+    non-atomic window — POSIX gives no multi-dir atomic swap without a
+    transactional table format) is recovered here: the second rename is
+    wrapped so the .bak sibling is restored to ``path`` on failure, and
+    the window is two metadata ops wide, not O(data). On a real
+    lakehouse this is exactly what Delta/Iceberg's atomic commit
+    replaces. Returns the number of rows deleted.
 
     Scale shape: the delete set is deduplicated and joined ANTI against
-    the table — broadcast when small (the common case: a deletion batch
-    is thousands of keys against billions of rows), never a row-by-row
-    rewrite. Partition-level file pruning (only rewriting files that
-    contain a doomed key) is the next refinement on a real lakehouse —
-    the per-file min/max footer stats q58 exercises are exactly what
-    makes it possible; this utility rewrites the whole directory, which
-    is the correct baseline and the only safe option for unpartitioned
-    layouts.
+    the table. The join strategy is left to the optimizer/AQE — a
+    thousands-of-keys deletion batch broadcasts on its statistics, while
+    a bulk purge of millions of keys gets a shuffle join instead of an
+    OOM-courting forced broadcast. Partition-level file pruning (only
+    rewriting files that contain a doomed key) is the next refinement on
+    a real lakehouse — the per-file min/max footer stats q58 exercises
+    are exactly what makes it possible; this utility rewrites the whole
+    directory, which is the correct baseline and the only safe option
+    for unpartitioned layouts.
     """
     import shutil
     import uuid
@@ -134,15 +141,19 @@ def delete_keys_parquet(
 
     current = spark.read.parquet(path)
     doomed = keys_df.select(F.col(key_col).alias("__dk")).distinct()
-    kept = current.join(
-        F.broadcast(doomed), current[key_col] == F.col("__dk"), "left_anti"
-    )
+    kept = current.join(doomed, current[key_col] == F.col("__dk"), "left_anti")
     n_before = current.count()
     staged = f"{path}.staged-{uuid.uuid4().hex[:8]}"
     bak = f"{path}.bak-{uuid.uuid4().hex[:8]}"
     kept.write.mode("overwrite").parquet(staged)
     n_after = spark.read.parquet(staged).count()
     os.rename(path, bak)
-    os.rename(staged, path)
+    try:
+        os.rename(staged, path)
+    except BaseException:
+        # roll the original back into place so a crash in the swap
+        # window never leaves `path` missing
+        os.rename(bak, path)
+        raise
     shutil.rmtree(bak)
     return n_before - n_after

@@ -71,3 +71,63 @@ def test_fold_batch_replayed_epoch_after_crash_not_double_folded(spark, tmp_path
 
     got = spark.read.parquet(mart).collect()[0]
     assert (got.n_events, got.total_value) == (2, 11.0)  # not 3 / 12.0
+
+
+def test_ledger_append_cost_bounded_by_compaction(spark, tmp_path):
+    """VERDICT r4 #8: _append's max(seq) probe reads one parquet footer
+    per ledger FILE — O(appends) control plane on a long-lived ledger.
+    compact() is the documented bound. Pin it at a 1k-file ledger:
+    synthesize 1000 single-event append files directly (pyarrow — the
+    shape 1000 real _append calls produce), then assert compact folds
+    the directory to O(1) files, keeps exactly the live state, and the
+    next append scans the compacted file count, not 1000."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from end_to_end_sales_etl_de_project_spark.config import (
+        STATUS_COMPLETED,
+        STATUS_START,
+    )
+
+    led = Ledger(spark, str(tmp_path / "ledger1k"))
+    os.makedirs(led.path)
+    t0 = dt.datetime(2026, 1, 1)
+    # 500 files: START for f000..f499, then 500 files: COMPLETED for
+    # the even half — latest state: 250 START, 250 COMPLETED... plus
+    # odd files completed never -> live rows = 500
+    for i in range(1000):
+        name = f"f{i % 500:03d}.csv"
+        status = STATUS_START if i < 500 else STATUS_COMPLETED
+        if i >= 500 and (i % 2 == 1):
+            continue  # odd files stay START
+        tbl = pa.table(
+            {
+                "file_name": pa.array([name], pa.string()),
+                "file_location": pa.array(["/in"], pa.string()),
+                "created_date": pa.array([t0], pa.timestamp("us")),
+                "status": pa.array([status], pa.string()),
+                "seq": pa.array([i + 1], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(led.path, f"part-{i:05d}.parquet"))
+
+    def n_files():
+        return sum(1 for n in os.listdir(led.path) if n.endswith(".parquet"))
+
+    assert n_files() == 750  # 500 STARTs + 250 COMPLETEDs
+    assert led._max_seq() == 999  # footer-stats path sees every file
+
+    live = led.compact()
+    assert live == 500  # one latest event per distinct file
+    assert n_files() <= 4, "compact must fold the ledger to O(1) files"
+
+    # append cost is now bounded: the footer probe touches the compacted
+    # files plus this append's own output, never the original 750
+    led.mark_completed(["f001.csv"])
+    assert n_files() <= 5
+    # and seq stayed strictly monotonic across the compaction
+    assert led._max_seq() > 999
+    to_process, done = led.split_processed(["f001.csv", "f003.csv"])
+    assert done == ["f001.csv"] and to_process == ["f003.csv"]
