@@ -103,6 +103,19 @@ HEADLINE = [
     "q70_fuzzy_name_match",
     "t19_bigram_lm",
     "e20_late_event_audit",
+    # round-5 widening: families with correctness rows but no bench
+    # visibility until now (VERDICT r4 #6)
+    "q66_except_all",
+    "q68_full_outer_reconcile",
+    "q69_csv_quoted_roundtrip",
+    "q71_zorder_key",
+    "e19_exact_quantiles",
+    "e21_hourly_active_users",
+    "t18_chunk_dedup",
+    "d11_chunk_neardup",
+    "a08_source_drift",
+    "c02_training_manifest",
+    "c04_policy_diff",
 ]
 
 

@@ -167,10 +167,9 @@ def test_sorted_layout_files_have_disjoint_ranges(spark):
     import pyarrow.parquet as pq
 
     QUERIES["q58_sorted_layout_readback"](spark, SF).collect()  # materialize the write
-    import hashlib
-    import tempfile
+    from end_to_end_sales_etl_de_project_spark.plans.core import _staging_dir
 
-    out = f"{tempfile.gettempdir()}/engine-sortrt-{hashlib.md5(SF.encode()).hexdigest()[:8]}"
+    out = _staging_dir(spark, "sortrt", SF)
     spans = []
     for f in glob.glob(f"{out}/*.parquet"):
         md = pq.ParquetFile(f).metadata
