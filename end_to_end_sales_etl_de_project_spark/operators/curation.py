@@ -27,7 +27,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from end_to_end_sales_etl_de_project_spark.functions.hashing import h60, h60_sql
@@ -35,6 +35,8 @@ from end_to_end_sales_etl_de_project_spark.operators import dedup
 from end_to_end_sales_etl_de_project_spark.operators.text import (
     corpus_split,
     corpus_split_sql,
+    positional_shingles_from_tokens,
+    positional_shingles_sql_from_toks,
     quality_bucket,
     quality_bucket_sql,
     shingles_from_tokens,
@@ -139,6 +141,118 @@ SELECT t.doc AS {id_col},
        CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
        COALESCE(h.n_contaminated, 0) > 0 AS is_contaminated
 FROM tests t LEFT JOIN hits h USING (doc)
+"""
+
+
+def contamination_spans(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Span-level decontamination report: per TEST document, the
+    longest CONSECUTIVE run of k-gram positions whose shingle also
+    occurs in the TRAIN split, plus run count and total contaminated
+    positions. :func:`contamination_report` answers "how much of this
+    doc overlaps training data"; this answers "is the overlap one long
+    verbatim passage or scattered common phrases" — the distinction
+    real decontamination policies act on (a 50-gram verbatim span is
+    memorization; fifty isolated matches are boilerplate).
+
+    Shape: positional (non-distinct) shingles on the test side only
+    (the small split), the deduplicated train inventory on the other,
+    equi-join on the 8-byte shingle hash, then gaps-and-islands
+    (pos - row_number) per doc over just the CONTAMINATED positions.
+    All counters are integers ⇒ hash-exact.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        corpus_split(text_col).alias("split"),
+        tokens(text_col).alias("toks"),
+    )
+    test = base.filter(F.col("split") == "test")
+    test_docs = test.select(
+        "doc",
+        F.greatest(F.size("toks") - (k - 1), F.lit(0)).cast("bigint").alias("n_windows"),
+    )
+    test_pos = (
+        test.select(
+            "doc",
+            F.posexplode(positional_shingles_from_tokens(F.col("toks"), k)).alias(
+                "pos", "s"
+            ),
+        )
+        .select("doc", "pos", h60(F.col("s")).alias("h"))
+    )
+    train_set = (
+        base.filter(F.col("split") == "train")
+        .select(F.explode(shingles_from_tokens(F.col("toks"), k)).alias("s"))
+        .select(h60(F.col("s")).alias("h"))
+        .distinct()
+    )
+    contam = test_pos.join(train_set, "h", "left_semi")
+    w = Window.partitionBy("doc").orderBy("pos")
+    runs = contam.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    per_run = runs.groupBy("doc", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    per_doc = per_run.groupBy("doc").agg(
+        F.sum("run_len").cast("bigint").alias("n_contaminated_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("longest_run"),
+    )
+    return test_docs.join(per_doc, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        "n_windows",
+        F.coalesce("n_contaminated_pos", F.lit(0)).cast("bigint").alias(
+            "n_contaminated_pos"
+        ),
+        F.coalesce("n_runs", F.lit(0)).cast("bigint").alias("n_runs"),
+        F.coalesce("longest_run", F.lit(0)).cast("bigint").alias("longest_run"),
+    )
+
+
+def contamination_spans_sql(
+    id_col: str = "doc_id", text_col: str = "text", k: int = 5, table: str = "documents"
+) -> str:
+    split = corpus_split_sql(text_col)
+    pos_sh = positional_shingles_sql_from_toks("toks", k)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc, {split} AS split, {tokens_sql(text_col)} AS toks
+  FROM {table}
+),
+test AS (SELECT doc, toks FROM base WHERE split = 'test'),
+test_sh AS (SELECT doc, {pos_sh} AS shl FROM test),
+test_pos AS (
+  SELECT doc, CAST(i AS BIGINT) - 1 AS pos, {h60_sql('shl[i]')} AS h
+  FROM test_sh, UNNEST(range(1, len(shl) + 1)) AS t(i)
+),
+train_set AS (
+  SELECT DISTINCT {h60_sql('s')} AS h
+  FROM (
+    SELECT unnest(list_distinct({pos_sh})) AS s
+    FROM (SELECT toks FROM base WHERE split = 'train')
+  )
+),
+contam AS (SELECT doc, pos FROM test_pos JOIN train_set USING (h)),
+runs AS (
+  SELECT doc, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos) AS grp
+  FROM contam
+),
+per_run AS (SELECT doc, grp, COUNT(*) AS run_len FROM runs GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc,
+         SUM(run_len) AS n_contaminated_pos,
+         COUNT(*) AS n_runs,
+         MAX(run_len) AS longest_run
+  FROM per_run GROUP BY 1
+),
+tests AS (
+  SELECT doc, greatest(len(toks) - {k - 1}, 0) AS n_windows FROM test
+)
+SELECT t.doc AS {id_col},
+       CAST(t.n_windows AS BIGINT) AS n_windows,
+       CAST(COALESCE(p.n_contaminated_pos, 0) AS BIGINT) AS n_contaminated_pos,
+       CAST(COALESCE(p.n_runs, 0) AS BIGINT) AS n_runs,
+       CAST(COALESCE(p.longest_run, 0) AS BIGINT) AS longest_run
+FROM tests t LEFT JOIN per_doc p USING (doc)
 """
 
 
@@ -304,6 +418,7 @@ def training_manifest(
     budget: int = 2048,
     k: int = 5,
     hashed_shingles: DataFrame | None = None,
+    kept: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus in, training manifest out — the end-to-end composition a
     training run consumes:
@@ -322,20 +437,31 @@ def training_manifest(
     The kept set feeds three consumers (train inventory, test
     inventory, packing), so it is materialized once, same rationale as
     the checkpoint in :func:`contamination_report`.
+
+    ``kept``: an already-materialized curated-keeper table
+    (doc, split, text, toks) — e.g. the session's curated-corpus
+    artifact (plans/documents.py). A production pipeline persists the
+    curation stage's output and the manifest builder READS it rather
+    than re-running curation; passing it here skips the
+    curate-and-checkpoint stage. ``docs``/``hashed_shingles`` are only
+    consulted when ``kept`` is None.
     """
-    decisions = curate_corpus(docs, id_col, text_col, hashed_shingles=hashed_shingles)
-    kept = (
-        decisions.filter(F.col("stage") == "kept")
-        .select(id_col, "split")
-        .join(docs.select(id_col, text_col), id_col)
-        .select(
-            F.col(id_col).alias("doc"),
-            "split",
-            F.col(text_col).alias("text"),
-            tokens(text_col).alias("toks"),
+    if kept is None:
+        decisions = curate_corpus(
+            docs, id_col, text_col, hashed_shingles=hashed_shingles
         )
-        .localCheckpoint(eager=True)
-    )
+        kept = (
+            decisions.filter(F.col("stage") == "kept")
+            .select(id_col, "split")
+            .join(docs.select(id_col, text_col), id_col)
+            .select(
+                F.col(id_col).alias("doc"),
+                "split",
+                F.col(text_col).alias("text"),
+                tokens(text_col).alias("toks"),
+            )
+            .localCheckpoint(eager=True)
+        )
     sh = kept.select(
         "doc", "split", F.explode(shingles_from_tokens(F.col("toks"), k)).alias("s")
     ).select("doc", "split", h60(F.col("s")).alias("h"))

@@ -201,6 +201,29 @@ def word_shingles_sql(expr: str, k: int) -> str:
     )
 
 
+def positional_shingles_from_tokens(toks: Column, k: int) -> Column:
+    """ALL k-gram shingles of a pre-materialized token array, in
+    document order and WITHOUT dedup — the positional variant of
+    :func:`shingles_from_tokens` for span-level analyses where the
+    i-th shingle's offset matters (contamination span detection).
+    ``posexplode`` over this array yields (position, shingle) rows."""
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, (i + 1).cast("int"), k), " ")
+    )
+    return F.when(F.size(toks) >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
+def positional_shingles_sql_from_toks(toks_expr: str, k: int) -> str:
+    """DuckDB twin of :func:`positional_shingles_from_tokens` over an
+    already-aliased token-list expression (no dedup, document order)."""
+    parts = " || ' ' || ".join(f"{toks_expr}[i + {j}]" for j in range(k))
+    return (
+        f"list_transform(range(1, greatest(len({toks_expr}) - {k - 1}, 0) + 1), "
+        f"i -> {parts})"
+    )
+
+
 def doc_fingerprint_from_tokens(toks: Column, k: int = 4) -> Column:
     """:func:`doc_fingerprint` over a pre-materialized token array —
     use with a two-step projection in hot paths (see

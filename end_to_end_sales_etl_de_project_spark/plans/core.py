@@ -2313,3 +2313,61 @@ def q71_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         z = z + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
         z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
     return orders.select("o_orderkey", z.cast("bigint").alias("z_key"))
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 dimension build (batch change-capture)
+# ---------------------------------------------------------------------------
+
+_Q72_ORACLE = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey,
+         LAG(o_orderpriority) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+chg AS (
+  SELECT * FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority
+)
+SELECT o_custkey AS customer_id,
+       o_orderpriority AS segment,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER w AS valid_to,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       LEAD(o_orderdate) OVER w IS NULL AS is_current
+FROM chg
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@_register("q72_scd2_segments", _Q72_ORACLE)
+def q72_scd2_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from a change log: treat
+    each customer's order stream as observations of their priority
+    segment and emit one versioned row per segment CHANGE with
+    [valid_from, valid_to) ranges, a version number, and the
+    is_current flag — the standard warehouse dimension-history shape
+    (the streaming twin in streaming/stateful.py maintains the same
+    table incrementally).
+
+    Plan: both window passes (change detection, then range stitching)
+    share one hash partitioning on the customer key and the same sort
+    order, so the whole build costs a single shuffle; the change filter
+    between them only shrinks rows. All columns are dates/ints/strings
+    ⇒ hash-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        orders.select("o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey")
+        .withColumn("prev", F.lag("o_orderpriority").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")))
+    )
+    valid_to = F.lead("o_orderdate").over(w)
+    return chg.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderpriority").alias("segment"),
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -941,3 +941,55 @@ def e21_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_buyers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average (ordered fold)
+# ---------------------------------------------------------------------------
+
+_E22_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(ts) AS last_ts,
+       list_reduce(list(value ORDER BY ts, event_id),
+                   (acc, x) -> acc * 0.5 + x * 0.5) AS ewma_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@_register("e22_ewma", _E22_ORACLE)
+def e22_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event value (alpha = 0.5): s1 = x1,
+    s_i = 0.5*x_i + 0.5*s_{i-1} — the classic smoothed-load / trend
+    signal that needs an ORDERED fold, which plain aggregation can't
+    express. One groupBy collects the (ts, event_id, value) sequence,
+    ``array_sort`` fixes the order (event_id is unique ⇒ a total
+    order), and ``F.aggregate`` folds it sequentially JVM-side.
+
+    Hash-exact across engines because alpha = 0.5 makes each step's
+    multiplies EXACT in binary floating point (halving never rounds),
+    leaving one rounding per addition — and the fold order is pinned
+    identically on both sides (DuckDB's ``list_reduce`` seeds the
+    accumulator with the first element, mirrored here via
+    element_at(.., 1) + slice-from-2).
+
+    Scale: shuffle on user_id only; per-key state is that user's event
+    history (bounded for human-scale entities — for unbounded keys the
+    streaming twin with windowed state is the right tool)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+        ).alias("seq"),
+    )
+    vals = F.transform(F.col("seq"), lambda s: s.getField("value"))
+    tail = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    ewma = F.aggregate(
+        tail,
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return seq.select("user_id", "n_events", "last_ts", ewma.alias("ewma_value"))

@@ -42,6 +42,10 @@ DRIVER_WINDOW_SIZE = 50
 # invariant (every registered query has driver evidence from some round
 # or a slot here) plus the rows-only allowlist.
 DRIVER_WINDOW: list[str] = [
+    # -- NEW operators added in round 5 (no driver row yet)
+    "e22_ewma",
+    "q72_scd2_segments",
+    "t20_contamination_spans",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -87,12 +91,9 @@ DRIVER_WINDOW: list[str] = [
     "q38_grouping_sets",
     "q39_window_distribution",
     "q41_exact_moment_stats",
-    "q42_union_distinct",
     "q43_not_in_subquery",
     "q44_dedup_keep_latest",
-    "q47_like_patterns",
     "q48_range_frame",
-    "q49_array_agg",
     # -- oldest r02-era rows
     "a04_ann_ivf",
     "e02_sliding_hourly_30m",

@@ -254,3 +254,39 @@ def test_training_shards_dense_and_deterministic(spark):
     assert all(80 <= len(ps) <= 170 for ps in by_shard.values())
     again = training_shards(docs, n_shards=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_contamination_spans_planted(spark):
+    """One long verbatim passage (12 tokens => 8 consecutive 5-gram
+    positions) plus one isolated shared 5-gram must yield exactly two
+    runs with longest_run == 8 — and a clean test doc must report
+    all-zero counters."""
+    passage = " ".join(f"p{i}" for i in range(12))
+    gram = "g0 g1 g2 g3 g4"
+
+    def pick(base: str, want: str) -> str:
+        cands = [(i, f"{base} fill{i}") for i in range(64)]
+        df = spark.createDataFrame(cands, "i long, text string")
+        got = {
+            r["i"]: r["split"]
+            for r in df.select("i", text.corpus_split("text").alias("split")).collect()
+        }
+        for i, t in cands:
+            if got[i] == want:
+                return t
+        raise AssertionError(f"no candidate landed in split {want!r}")
+
+    t_doc = pick(f"ta tb tc {passage} va vb vc vd ve {gram} xa xb xc", "test")
+    tr_doc = pick(f"ra rb {passage} rc rd {gram} re", "train")
+    clean = pick("ca cb cc cd ce cf cg ch", "test")
+    docs = spark.createDataFrame(
+        [(1, t_doc), (2, tr_doc), (3, clean)], "doc_id long, text string"
+    )
+    rep = {r["doc_id"]: r for r in curation.contamination_spans(docs).collect()}
+    assert set(rep) == {1, 3}  # test-split docs only
+    assert rep[1]["longest_run"] == 8
+    assert rep[1]["n_runs"] == 2
+    assert rep[1]["n_contaminated_pos"] == 9
+    assert rep[3]["n_contaminated_pos"] == 0
+    assert rep[3]["n_runs"] == 0
+    assert rep[3]["longest_run"] == 0
