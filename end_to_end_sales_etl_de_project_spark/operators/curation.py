@@ -44,6 +44,8 @@ from end_to_end_sales_etl_de_project_spark.operators.text import (
     token_count_sql,
     tokens,
     tokens_sql,
+    word_count,
+    word_count_sql,
     word_shingles_sql,
 )
 
@@ -990,4 +992,79 @@ SELECT {id_col}, shard,
        CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ok, {id_col}) - 1
             AS BIGINT) AS position
 FROM sel
+"""
+
+
+# ---------------------------------------------------------------------------
+# Curriculum phases (histogram-quantile bucketing)
+# ---------------------------------------------------------------------------
+
+
+def curriculum_phases(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Curriculum-learning phase assignment: docs bucketed into 4
+    phases by length quartile (short/easy first — the standard
+    length-based curriculum), with EXACT discrete quartile cutoffs
+    (value at rank ceil(p·n), e19's definition) so the assignment is
+    reproducible bit-for-bit.
+
+    Scale shape — the histogram-quantile trick: the corpus pass is a
+    map-side-combinable ``groupBy(n_words).count()`` (cardinality
+    bounded by distinct doc lengths, thousands at most — NOT corpus
+    size), the cumulative walk runs over that tiny histogram, and the
+    three cutoffs ride a 1-row broadcast back onto the corpus as a
+    codegen'd CASE. No global sort of the corpus, no single-partition
+    window over data-sized input (the textbook ntile() would do
+    exactly that). Ties at a cutoff all land in the lower phase.
+    """
+    sized = docs.select(
+        F.col(id_col), word_count(text_col).cast("bigint").alias("n_words")
+    )
+    hist = sized.groupBy("n_words").agg(F.count(F.lit(1)).alias("cnt"))
+    # single-partition window over the HISTOGRAM (bounded cardinality)
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("n_words"))
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy()))
+
+    def cut(p: float, name: str):
+        target = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        return F.min(
+            F.when(F.col("cum") >= target, F.col("n_words"))
+        ).alias(name)
+
+    cuts = cum.agg(cut(0.25, "c25"), cut(0.50, "c50"), cut(0.75, "c75"))
+    phase = (
+        F.lit(1)
+        + F.when(F.col("n_words") > F.col("c25"), 1).otherwise(0)
+        + F.when(F.col("n_words") > F.col("c50"), 1).otherwise(0)
+        + F.when(F.col("n_words") > F.col("c75"), 1).otherwise(0)
+    )
+    return sized.crossJoin(F.broadcast(cuts)).select(
+        F.col(id_col), "n_words", phase.cast("bigint").alias("phase")
+    )
+
+
+def curriculum_phases_sql(
+    id_col: str = "doc_id", text_col: str = "text", table: str = "documents"
+) -> str:
+    wc = word_count_sql(text_col)
+    return f"""
+WITH sized AS (SELECT {id_col}, {wc} AS n_words FROM {table}),
+hist AS (SELECT n_words AS v, COUNT(*) AS cnt FROM sized GROUP BY 1),
+cum AS (
+  SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, SUM(cnt) OVER () AS n FROM hist
+),
+cuts AS (
+  SELECT
+    MIN(CASE WHEN cum >= CAST(CEIL(0.25 * n) AS BIGINT) THEN v END) AS c25,
+    MIN(CASE WHEN cum >= CAST(CEIL(0.50 * n) AS BIGINT) THEN v END) AS c50,
+    MIN(CASE WHEN cum >= CAST(CEIL(0.75 * n) AS BIGINT) THEN v END) AS c75
+  FROM cum
+)
+SELECT {id_col}, CAST(n_words AS BIGINT) AS n_words,
+       CAST(1 + (CASE WHEN n_words > c25 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_words > c50 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_words > c75 THEN 1 ELSE 0 END) AS BIGINT) AS phase
+FROM sized, cuts
 """

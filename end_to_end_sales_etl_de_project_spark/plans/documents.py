@@ -1148,3 +1148,114 @@ def t20_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands over just the contaminated positions."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.contamination_spans(docs)
+
+
+@_register("d12_fuzzy_decontaminate", dedup.fuzzy_decontaminate_sql())
+def d12_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination: test docs near-duplicating a train doc
+    (MinHash-LSH candidates, exact-Jaccard verified ≥ 0.5) — catches
+    paraphrases/re-wraps that verbatim n-gram overlap (d07/t20)
+    misses. One signature pass, bucket join restricted to test×train
+    sides; reads the session shingle index."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.fuzzy_decontaminate(
+        docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
+    )
+
+
+@_register("c05_curriculum_phases", curation.curriculum_phases_sql())
+def c05_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-quartile curriculum phases (easy→hard) with exact
+    discrete cutoffs via the histogram-quantile trick: the corpus pass
+    is a map-side-combinable count per distinct length; only the tiny
+    histogram is windowed; cutoffs broadcast back as a CASE."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.curriculum_phases(docs)
+
+
+def _t21_oracle() -> str:
+    toks = text.tokens_sql("text")
+    return f"""
+WITH toked AS (SELECT doc_id, {toks} AS toks FROM documents),
+pairs AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS w1, toks[i + 1] AS w2
+  FROM toked, UNNEST(range(1, len(toks))) AS t(i)
+),
+bi AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM pairs GROUP BY 1, 2),
+uni AS (SELECT w1, SUM(n_bigram) AS n_w1 FROM bi GROUP BY 1),
+lm AS (
+  SELECT b.w1, b.w2, CAST(b.n_bigram AS DOUBLE) / u.n_w1 AS p
+  FROM bi b JOIN uni u USING (w1)
+),
+scored AS (
+  SELECT pr.doc_id, pr.pos, l.p
+  FROM pairs pr JOIN lm l ON pr.w1 = l.w1 AND pr.w2 = l.w2
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, MIN(p) AS min_p,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)),
+                     (acc, x) -> acc + x) AS total
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       total / n_bigrams AS avg_p, min_p
+FROM agg
+"""
+
+
+@_register("t21_doc_lm_score", _t21_oracle())
+def t21_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fluency score under the corpus bigram LM (t19's model,
+    un-truncated): average and minimum conditional probability
+    p(w_i | w_{i-1}) over the doc's bigram sequence — the count-based
+    stand-in for perplexity filtering (low avg ⇒ unusual/garbled text,
+    low min pinpoints the weirdest transition).
+
+    Determinism: probabilities are exact count ratios (one IEEE
+    division each); the per-doc SUM of doubles is order-sensitive, so
+    it is folded in PINNED position order on both engines
+    (array_sort(struct(pos,p)) + F.aggregate here, list(p ORDER BY
+    pos) + list_reduce in DuckDB) — zero-init addition is exact, so
+    seeding with 0.0 matches DuckDB's prepend.
+
+    Scale: the LM is two map-side-combinable counts; decorating the
+    positional bigram stream is an equi-join on (w1,w2) (hot bigrams =
+    AQE skew territory, same as t13's token join); per-doc state is
+    bounded by doc length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", text.tokens("text").alias("toks"))
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    pairs = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, n1),
+                F.slice(F.col("toks"), 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("pos0", "bg"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "bg.w1", "bg.w2"
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
+    uni = bi.groupBy("w1").agg(F.sum("n_bigram").alias("n_w1"))
+    lm = bi.join(uni, "w1").select(
+        "w1", "w2", (F.col("n_bigram").cast("double") / F.col("n_w1")).alias("p")
+    )
+    scored = pairs.join(lm, ["w1", "w2"])
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.min("p").alias("min_p"),
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("p")))).alias("seq"),
+    )
+    total = F.aggregate(
+        F.transform(F.col("seq"), lambda s: s.getField("p")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        (total / F.col("n_bigrams")).alias("avg_p"),
+        "min_p",
+    )

@@ -46,6 +46,9 @@ DRIVER_WINDOW: list[str] = [
     "e22_ewma",
     "q72_scd2_segments",
     "t20_contamination_spans",
+    "d12_fuzzy_decontaminate",
+    "c05_curriculum_phases",
+    "t21_doc_lm_score",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -81,9 +84,6 @@ DRIVER_WINDOW: list[str] = [
     "q22_except",
     "q23_intersect",
     "q25_window_analytics",
-    "q26_date_functions",
-    "q27_string_functions",
-    "q28_null_handling",
     "q29_having",
     "q30_sql_subqueries",
     "q36_local_supplier_volume",

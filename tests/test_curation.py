@@ -290,3 +290,38 @@ def test_contamination_spans_planted(spark):
     assert rep[3]["n_contaminated_pos"] == 0
     assert rep[3]["n_runs"] == 0
     assert rep[3]["longest_run"] == 0
+
+
+def test_fuzzy_decontaminate_planted(spark):
+    """A test-split doc that paraphrases a train-split doc (one word
+    changed out of 60) must be flagged with jaccard >= 0.5; unrelated
+    docs must not pair."""
+    from end_to_end_sales_etl_de_project_spark.operators import dedup
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    para = base.replace("tok30", "changed", 1)
+
+    def pick(base_text: str, want: str) -> str:
+        cands = [(i, f"{base_text} fill{i}") for i in range(64)]
+        df = spark.createDataFrame(cands, "i long, text string")
+        got = {
+            r["i"]: r["split"]
+            for r in df.select("i", text.corpus_split("text").alias("split")).collect()
+        }
+        for i, t in cands:
+            if got[i] == want:
+                return t
+        raise AssertionError(f"no candidate landed in split {want!r}")
+
+    # suffix fill tokens differ, but 57+ of ~61 3-gram shingles shared
+    train_doc = pick(base, "train")
+    test_doc = pick(para, "test")
+    other = pick(" ".join(f"zzz{i}" for i in range(30)), "test")
+    docs = spark.createDataFrame(
+        [(1, train_doc), (2, test_doc), (3, other)], "doc_id long, text string"
+    )
+    rows = dedup.fuzzy_decontaminate(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["test_doc"], r["train_doc"]) == (2, 1)
+    assert r["jaccard"] >= 0.5
