@@ -116,6 +116,15 @@ HEADLINE = [
     "a08_source_drift",
     "c02_training_manifest",
     "c04_policy_diff",
+    # round-5 new operators
+    "e22_ewma",
+    "q72_scd2_segments",
+    "t20_contamination_spans",
+    "d12_fuzzy_decontaminate",
+    "c05_curriculum_phases",
+    "t21_doc_lm_score",
+    "a10_semantic_dedup",
+    "q73_market_basket_lift",
 ]
 
 

@@ -2371,3 +2371,91 @@ def q72_scd2_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("version"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (within-order part-pair lift)
+# ---------------------------------------------------------------------------
+
+_Q73_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT ok) AS n FROM items),
+part_n AS (SELECT pk, COUNT(*) AS n_p FROM items GROUP BY 1),
+pair_n AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_both
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.part_a, p.part_b, p.n_both,
+         pa.n_p AS n_a, pb.n_p AS n_b,
+         CAST(p.n_both * n.n AS DOUBLE) / (pa.n_p * pb.n_p) AS lift
+  FROM pair_n p
+  JOIN part_n pa ON p.part_a = pa.pk
+  JOIN part_n pb ON p.part_b = pb.pk
+  CROSS JOIN n_orders n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_both DESC, part_a, part_b) AS rnk
+  FROM scored
+)
+SELECT part_a, part_b, CAST(n_both AS BIGINT) AS n_both,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, lift,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 100
+"""
+
+
+@_register("q73_market_basket_lift", _Q73_ORACLE)
+def q73_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top-100 within-order part pairs by
+    support, with exact lift = P(a,b)·N / (P(a)·P(b)) — the
+    co-occurrence table behind cross-sell and complement analysis.
+
+    Scale shape: the pair generator is a SELF-JOIN ON THE ORDER KEY, so
+    fanout is bounded by basket size squared (TPC-H baskets are ≤7
+    items ⇒ ≤21 pairs/order), never corpus-quadratic; supports are
+    map-side-combinable counts; the order-count scalar rides a 1-row
+    broadcast; top-k is TakeOrdered (no global sort materialization).
+    Lift is exact integer products with ONE IEEE division ⇒ hash-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = items.agg(F.count_distinct("ok").alias("n"))
+    part_n = items.groupBy("pk").agg(F.count(F.lit(1)).alias("n_p"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pair_n = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    pa = part_n.select(F.col("pk").alias("part_a"), F.col("n_p").alias("n_a"))
+    pb = part_n.select(F.col("pk").alias("part_b"), F.col("n_p").alias("n_b"))
+    scored = (
+        pair_n.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_both") * F.col("n")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("n_both"), "part_a", "part_b")
+    return (
+        scored.orderBy(F.desc("n_both"), "part_a", "part_b")
+        .limit(100)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .select("part_a", "part_b", "n_both", "n_a", "n_b", "lift", "rnk")
+    )

@@ -1259,3 +1259,31 @@ def t21_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (total / F.col("n_bigrams")).alias("avg_p"),
         "min_p",
     )
+
+
+def _a10_oracle() -> str:
+    pairs = (
+        "SELECT id_a AS doc_a, id_b AS doc_b FROM ("
+        + similarity.embedding_neardup_pairs_sql(_D05_THRESHOLD)
+        + ") z"
+    )
+    comp = dedup.neardup_components_sql(pairs, "vec_id", table="embeddings")
+    return f"SELECT doc_id AS vec_id, component, is_canonical FROM ({comp}) t"
+
+
+@_register("a10_semantic_dedup", _a10_oracle())
+def a10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup: embedding-cosine near-dup pairs
+    (d05's sign-LSH-bucketed candidates, exact cosine ≥ threshold)
+    resolved into connected components with one canonical keeper per
+    cluster — the embedding-space analogue of d06, collapsing
+    transitive paraphrase chains that pairwise lists can't act on.
+    Same min-label propagation (driver sees one counter per round);
+    oracle is the recursive transitive-closure twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_neardup_pairs(emb, _D05_THRESHOLD).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return dedup.neardup_components(emb, pairs, "vec_id").select(
+        F.col("doc_id").alias("vec_id"), "component", "is_canonical"
+    )

@@ -49,6 +49,8 @@ DRIVER_WINDOW: list[str] = [
     "d12_fuzzy_decontaminate",
     "c05_curriculum_phases",
     "t21_doc_lm_score",
+    "a10_semantic_dedup",
+    "q73_market_basket_lift",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -84,7 +86,6 @@ DRIVER_WINDOW: list[str] = [
     "q22_except",
     "q23_intersect",
     "q25_window_analytics",
-    "q29_having",
     "q30_sql_subqueries",
     "q36_local_supplier_volume",
     "q37_product_revenue",
@@ -98,7 +99,6 @@ DRIVER_WINDOW: list[str] = [
     "a04_ann_ivf",
     "e02_sliding_hourly_30m",
     "e07_sessionize_lag",
-    "e09_json_extract",
 ]
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a

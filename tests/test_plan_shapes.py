@@ -318,3 +318,49 @@ def test_session_keeps_adaptive_and_skew_handling_on(spark):
     assert (
         spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
     )
+
+
+def test_scd2_single_shuffle(spark):
+    """q72: change detection and range stitching share one hash
+    partitioning on the customer key — a second exchange means the
+    window specs diverged."""
+    plan = plan_of(spark, "q72_scd2_segments")
+    assert _shuffle_exchanges(plan) <= 1, plan
+
+
+def test_ewma_single_shuffle_no_python(spark):
+    """e22: the ordered fold is one groupBy (partial+final) — one
+    shuffle, no Python eval in the plan (the fold runs in JVM
+    higher-order functions)."""
+    plan = plan_of(spark, "e22_ewma")
+    assert _shuffle_exchanges(plan) <= 1, plan
+    assert "Python" not in plan, plan
+
+
+def test_curriculum_cutoffs_ride_broadcast(spark):
+    """c05: the corpus never sorts globally — the quantile walk runs
+    over the length histogram and the three cutoffs come back as a
+    1-row broadcast (BroadcastNestedLoopJoin against the corpus is the
+    scalar-subquery shape, not a data-sized cartesian)."""
+    plan = plan_of(spark, "c05_curriculum_phases")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_decontaminate_no_cross_join(spark):
+    """d12: candidates come from the band-bucket equi-join restricted
+    to test x train sides; any cartesian/broadcast-NL node would mean
+    the blocking collapsed to all-pairs."""
+    plan = plan_of(spark, "d12_fuzzy_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_spans_no_cross_join(spark):
+    """t20: positional test shingles join the deduped train inventory
+    on the 8-byte hash; the island grouping windows only contaminated
+    positions."""
+    plan = plan_of(spark, "t20_contamination_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
