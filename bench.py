@@ -125,6 +125,7 @@ HEADLINE = [
     "t21_doc_lm_score",
     "a10_semantic_dedup",
     "q73_market_basket_lift",
+    "e23_quantiles_histogram",
 ]
 
 

@@ -993,3 +993,43 @@ def e22_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
     )
     return seq.select("user_id", "n_events", "last_ts", ewma.alias("ewma_value"))
+
+
+@_register("e23_quantiles_histogram", _E19_ORACLE)
+def e23_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e19's exact discrete quantiles by the HISTOGRAM plan — the scale
+    path: instead of row_number over a full per-group sort of the
+    corpus (e19's price for exactness), aggregate to a (type, value)
+    count histogram first (map-side combinable; cardinality is bounded
+    by distinct values, not events), window only the histogram, and
+    pick the value whose cumulative-count interval contains rank
+    ceil(p·n). Identical output to e19 — ties in `value` can't change
+    WHICH value sits at a rank — so both share one oracle; the bench
+    shows the plan delta (same pattern as q01/q01g and e08/e14 twins).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("value")
+    wp = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "value",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wp).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        target = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        hit = (F.col("cum") - F.col("cnt") < target) & (target <= F.col("cum"))
+        return F.min(F.when(hit, F.col("value"))).alias(name)
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        pick(0.25, "p25"),
+        pick(0.50, "p50"),
+        pick(0.75, "p75"),
+        pick(0.90, "p90"),
+    )

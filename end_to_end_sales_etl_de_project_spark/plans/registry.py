@@ -51,6 +51,7 @@ DRIVER_WINDOW: list[str] = [
     "t21_doc_lm_score",
     "a10_semantic_dedup",
     "q73_market_basket_lift",
+    "e23_quantiles_histogram",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -98,7 +99,6 @@ DRIVER_WINDOW: list[str] = [
     # -- oldest r02-era rows
     "a04_ann_ivf",
     "e02_sliding_hourly_30m",
-    "e07_sessionize_lag",
 ]
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a

@@ -364,3 +364,27 @@ def test_contamination_spans_no_cross_join(spark):
     plan = plan_of(spark, "t20_contamination_spans")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_basket_pairs_join_on_order_key(spark):
+    """q73: pair generation is an equi-join on the order key (fanout
+    bounded by basket size); only the 1-row order-count broadcast may
+    nest-loop."""
+    import re
+
+    plan = plan_of(spark, "q73_market_basket_lift")
+    assert "CartesianProduct" not in plan
+    bnl_nodes = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, flags=re.M)
+    assert len(bnl_nodes) <= 1, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_histogram_quantiles_never_sort_the_corpus(spark):
+    """e23: the only sort feeds the histogram window (input = the
+    aggregated (type, value) counts) — the corpus itself is aggregated
+    before any window, unlike e19's full per-group sort."""
+    plan = plan_of(spark, "e23_quantiles_histogram")
+    # partial+final aggregation of the corpus happens BEFORE the window
+    assert plan.count("HashAggregate") >= 2, plan
+    # exactly one shuffle for the histogram + one for final per-type agg
+    assert _shuffle_exchanges(plan) <= 2, plan
