@@ -126,6 +126,8 @@ HEADLINE = [
     "a10_semantic_dedup",
     "q73_market_basket_lift",
     "e23_quantiles_histogram",
+    "q74_unpivot",
+    "e24_attribution_last_touch",
 ]
 
 

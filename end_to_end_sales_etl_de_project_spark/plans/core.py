@@ -2459,3 +2459,45 @@ def q73_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .select("part_a", "part_b", "n_both", "n_a", "n_b", "lift", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (the inverse of q20's pivot)
+# ---------------------------------------------------------------------------
+
+_Q74_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric, sum_qty AS value FROM base
+UNION ALL
+SELECT l_returnflag, l_linestatus, 'sum_price', sum_price FROM base
+UNION ALL
+SELECT l_returnflag, l_linestatus, 'n_rows', n_rows FROM base
+"""
+
+
+@_register("q74_unpivot", _Q74_ORACLE)
+def q74_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide metric columns to tall (metric, value) rows,
+    the inverse reshape of q20's pivot (feeding generic metric sinks /
+    chart layers). Spark's native ``unpivot`` plans one Expand over the
+    aggregated base (3 rows out per input row, no re-scan per metric —
+    the UNION-of-selects the oracle spells out would re-read the
+    source; counts are exact below 2^53 so the double cast is lossless)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum("l_quantity").alias("sum_qty"),
+        money_sum("l_extendedprice").alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return base.unpivot(
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_price", "n_rows"],
+        "metric",
+        "value",
+    )

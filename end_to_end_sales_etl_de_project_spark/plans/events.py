@@ -1033,3 +1033,56 @@ def e23_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.75, "p75"),
         pick(0.90, "p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution (last touch within a lookback window)
+# ---------------------------------------------------------------------------
+
+_E24_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000  # 7 days in microseconds
+
+_E24_ORACLE = f"""
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       CASE WHEN r.ts IS NOT NULL
+                 AND epoch_us(l.ts) - epoch_us(r.ts) <= {_E24_LOOKBACK_US}
+            THEN r.event_type ELSE 'direct' END AS channel,
+       CASE WHEN r.ts IS NOT NULL
+                 AND epoch_us(l.ts) - epoch_us(r.ts) <= {_E24_LOOKBACK_US}
+            THEN r.ts END AS touch_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type <> 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@_register("e24_attribution_last_touch", _E24_ORACLE)
+def e24_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION: each purchase credited to the user's
+    most recent prior non-purchase event (the touch), falling back to
+    'direct' when none exists inside the 7-day lookback — the revenue-
+    attribution primitive of marketing analytics. Same single keyed
+    window shuffle as the as-of join (operators/temporal_joins.py);
+    the lookback test runs in exact integer MICROseconds on both
+    engines (second-truncated unix timestamps would disagree with
+    DuckDB's fractional epoch at the boundary)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_type"
+    )
+    joined = asof_join(
+        purchases, touches, on="ts", by="user_id", right_cols=["ts", "event_type"]
+    )
+    within = F.col("ts_right").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("ts_right") <= F.lit(_E24_LOOKBACK_US)
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(within, F.col("event_type_right")).otherwise("direct").alias("channel"),
+        F.when(within, F.col("ts_right")).alias("touch_ts"),
+    )

@@ -52,6 +52,8 @@ DRIVER_WINDOW: list[str] = [
     "a10_semantic_dedup",
     "q73_market_basket_lift",
     "e23_quantiles_histogram",
+    "q74_unpivot",
+    "e24_attribution_last_touch",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -90,8 +92,6 @@ DRIVER_WINDOW: list[str] = [
     "q30_sql_subqueries",
     "q36_local_supplier_volume",
     "q37_product_revenue",
-    "q38_grouping_sets",
-    "q39_window_distribution",
     "q41_exact_moment_stats",
     "q43_not_in_subquery",
     "q44_dedup_keep_latest",
