@@ -312,3 +312,79 @@ def rolling_window_stream(events: DataFrame, window_s: int = 3600) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (ordered-fold twin of batch e22)
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("ewma_value", DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("ewma", DoubleType())]
+)
+
+
+def ewma_stream(events: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Streaming twin of batch ``e22_ewma``: per event, the running
+    exponentially-weighted average of the user's values —
+    s_i = (1-alpha)·s_{i-1} + alpha·x_i, s_1 = x_1 — maintained as TWO
+    scalars of per-user state (the whole point of EWMA at scale: the
+    batch twin's collected sequence becomes O(1) state here).
+
+    At alpha = 0.5 every multiply is exact in binary floating point, so
+    the stream's row for a user's latest event equals the batch fold
+    bit-for-bit (pinned by the batch≡stream test). Same in-order-per-key
+    caveat as the other stateful operators; the fold itself sorts each
+    micro-batch by (event-time, event_id)."""
+
+    def update_ewma(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        import pandas as pd  # noqa: F811 — resolved on the worker
+
+        (user_id,) = key
+        if state.exists:
+            n, s = state.get
+        else:
+            n, s = 0, 0.0
+        rows: list = []
+        for pdf in pdfs:
+            rows.extend(pdf.itertuples())
+        rows.sort(key=lambda r: (pd.Timestamp(r.ts).value, r.event_id))
+        out: dict[str, list] = {
+            k: [] for k in ("event_id", "user_id", "ts", "n_events", "ewma_value")
+        }
+        for r in rows:
+            v = float(r.value)
+            # identical operation order to the batch/oracle fold:
+            # acc*(1-alpha) + x*alpha, seeded with the first value
+            s = v if n == 0 else s * (1.0 - alpha) + v * alpha
+            n += 1
+            out["event_id"].append(r.event_id)
+            out["user_id"].append(user_id)
+            out["ts"].append(pd.Timestamp(r.ts))
+            out["n_events"].append(n)
+            out["ewma_value"].append(s)
+        state.update((n, s))
+        yield pd.DataFrame(out)
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_ewma,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -308,3 +308,31 @@ def test_rolling_window_stream_equals_batch(spark, sf_dir, events_src):
     got = _canon(result)
     assert len(got) > 0
     assert got == _canon(batch)
+
+
+def test_ewma_stream_matches_batch_fold(spark, sf_dir, events_src):
+    """The stream's row at each user's LAST event must equal batch
+    e22_ewma bit-for-bit (alpha=0.5 folds are exact halvings — any
+    drift means the fold order diverged)."""
+    from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+    from end_to_end_sales_etl_de_project_spark.streaming.stateful import ewma_stream
+
+    stream = read_events_stream(spark, events_src)
+    result = run_to_memory_sink(ewma_stream(stream), "ewma_test", "append")
+    rows = result.collect()
+    assert rows
+    last = {}
+    for r in rows:
+        k = r["user_id"]
+        if k not in last or (r["ts"], r["event_id"]) > (last[k]["ts"], last[k]["event_id"]):
+            last[k] = r
+    batch = {
+        r["user_id"]: r
+        for r in QUERIES["e22_ewma"](spark, sf_dir).collect()
+    }
+    assert set(last) == set(batch)
+    for k, r in last.items():
+        b = batch[k]
+        assert r["n_events"] == b["n_events"], k
+        assert r["ts"] == b["last_ts"], k
+        assert r["ewma_value"] == b["ewma_value"], (k, r["ewma_value"], b["ewma_value"])
