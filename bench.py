@@ -128,6 +128,7 @@ HEADLINE = [
     "e23_quantiles_histogram",
     "q74_unpivot",
     "e24_attribution_last_touch",
+    "a11_ann_filtered",
 ]
 
 

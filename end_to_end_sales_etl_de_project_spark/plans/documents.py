@@ -1287,3 +1287,46 @@ def a10_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_components(emb, pairs, "vec_id").select(
         F.col("doc_id").alias("vec_id"), "component", "is_canonical"
     )
+
+
+def _a11_oracle(k: int = 5) -> str:
+    from end_to_end_sales_etl_de_project_spark.operators.similarity import (
+        DIM,
+        _dot_sql,
+        _norm_sql,
+    )
+
+    dot = _dot_sql("q.embedding", "n.embedding", DIM, one_based=True)
+    qn = _norm_sql("q.embedding", DIM, one_based=True)
+    nn = _norm_sql("n.embedding", DIM, one_based=True)
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         ({dot}) / (({qn}) * ({nn})) AS cosine
+  FROM embeddings q, embeddings n
+  WHERE ({_QUERY_PRED}) AND n.label = 3 AND q.vec_id <> n.vec_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
+@_register("a11_ann_filtered", _a11_oracle())
+def a11_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: exact top-5 restricted to neighbors with
+    label = 3 — the metadata-predicate + similarity combination that
+    trips real vector stores (post-filtering an unfiltered top-k
+    under-returns when survivors < k; a selective filter guts recall).
+    Here the predicate is applied BEFORE the similarity join
+    (pre-filtering), so each query still gets k true neighbors from the
+    filtered universe and the label predicate pushes into the parquet
+    scan — at 100 TB the filter prunes the corpus before any vector
+    math runs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb.filter(F.col("label") == 3), emb.filter(F.col("vec_id") < 8)
+    )

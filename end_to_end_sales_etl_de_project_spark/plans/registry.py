@@ -54,6 +54,7 @@ DRIVER_WINDOW: list[str] = [
     "e23_quantiles_histogram",
     "q74_unpivot",
     "e24_attribution_last_touch",
+    "a11_ann_filtered",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -88,7 +89,6 @@ DRIVER_WINDOW: list[str] = [
     "q21_cube",
     "q22_except",
     "q23_intersect",
-    "q25_window_analytics",
     "q30_sql_subqueries",
     "q36_local_supplier_volume",
     "q37_product_revenue",

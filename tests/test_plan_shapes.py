@@ -388,3 +388,11 @@ def test_histogram_quantiles_never_sort_the_corpus(spark):
     assert plan.count("HashAggregate") >= 2, plan
     # exactly one shuffle for the histogram + one for final per-type agg
     assert _shuffle_exchanges(plan) <= 2, plan
+
+
+def test_filtered_ann_pushes_label_to_scan(spark):
+    """a11: the metadata predicate must reach the neighbor-side parquet
+    scan (pre-filtering) — filtering after the similarity join would
+    do the vector math on the whole corpus."""
+    plan = plan_of(spark, "a11_ann_filtered")
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label,3)" in plan, plan
