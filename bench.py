@@ -129,6 +129,7 @@ HEADLINE = [
     "q74_unpivot",
     "e24_attribution_last_touch",
     "a11_ann_filtered",
+    "t22_tokenizer_fertility",
 ]
 
 

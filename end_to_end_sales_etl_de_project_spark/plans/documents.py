@@ -1330,3 +1330,48 @@ def a11_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(
         emb.filter(F.col("label") == 3), emb.filter(F.col("vec_id") < 8)
     )
+
+
+_T22_ORACLE = f"""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       CAST(SUM({text.token_count_sql('text')}) AS BIGINT) AS n_tokens,
+       CAST(SUM({text.word_count_sql('text')}) AS BIGINT) AS n_words,
+       CAST(SUM({text.token_count_sql('text')}) AS DOUBLE)
+         / SUM({text.word_count_sql('text')}) AS fertility,
+       CAST(SUM(length(text)) AS DOUBLE)
+         / SUM({text.token_count_sql('text')}) AS chars_per_token
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@_register("t22_tokenizer_fertility", _T22_ORACLE)
+def t22_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per (lang, source): BPE-ish tokens per
+    word and chars per token — the efficiency metric multilingual
+    pipelines track (a high-fertility language pays more sequence
+    length per word; a tokenizer change shifts these ratios corpus-
+    wide). Per-row regex counts inside codegen, one map-side-combinable
+    aggregation, two exact-integer sums per ratio with ONE division
+    each ⇒ hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.sum(text.token_count("text")).cast("bigint").alias("n_tokens"),
+        F.sum(text.word_count("text")).cast("bigint").alias("n_words"),
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_chars",
+        "n_tokens",
+        "n_words",
+        (F.col("n_tokens").cast("double") / F.col("n_words")).alias("fertility"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
+            "chars_per_token"
+        ),
+    )

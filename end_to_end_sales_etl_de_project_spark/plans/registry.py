@@ -55,6 +55,7 @@ DRIVER_WINDOW: list[str] = [
     "q74_unpivot",
     "e24_attribution_last_touch",
     "a11_ann_filtered",
+    "t22_tokenizer_fertility",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -89,7 +90,6 @@ DRIVER_WINDOW: list[str] = [
     "q21_cube",
     "q22_except",
     "q23_intersect",
-    "q30_sql_subqueries",
     "q36_local_supplier_volume",
     "q37_product_revenue",
     "q41_exact_moment_stats",
