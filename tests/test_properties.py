@@ -108,3 +108,64 @@ def test_salted_join_spreads_hot_key(spark):
         big.filter(F.col("k") == 1).select(salt.alias("s")).distinct().count()
     )
     assert n_salts_hot >= 6, f"hot key only spread over {n_salts_hot} salts"
+
+
+def test_scd2_interval_laws(spark, sf_dir):
+    """q72 SCD-2 invariants: per customer, versions are dense from 1,
+    exactly one current row, valid ranges chain (valid_to of version v
+    == valid_from of version v+1), and consecutive versions never
+    repeat a segment."""
+    from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q72_scd2_segments"](spark, sf_dir).collect()
+    by_cust: dict = {}
+    for r in rows:
+        by_cust.setdefault(r["customer_id"], []).append(r)
+    assert by_cust
+    for cust, vs in by_cust.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [v["version"] for v in vs] == list(range(1, len(vs) + 1)), cust
+        assert sum(1 for v in vs if v["is_current"]) == 1, cust
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None, cust
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"], cust
+            assert a["segment"] != b["segment"], cust
+
+
+def test_ewma_bounds_and_single_event_identity(spark, sf_dir):
+    """e22 invariants: a user's EWMA lies within [min, max] of their
+    values (convex combination), and a single-event user's EWMA is
+    exactly that event's value."""
+    from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+    from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    ewma = {r["user_id"]: r for r in QUERIES["e22_ewma"](spark, sf_dir).collect()}
+    bounds = {
+        r["user_id"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert set(ewma) == set(bounds)
+    for u, r in ewma.items():
+        assert bounds[u]["lo"] <= r["ewma_value"] <= bounds[u]["hi"], u
+        if r["n_events"] == 1:
+            assert r["ewma_value"] in (bounds[u]["lo"], bounds[u]["hi"]), u
+
+
+def test_curriculum_phase_boundaries(spark, sf_dir):
+    """c05 invariants: phases are monotone in n_words (no phase-p doc
+    is longer than any phase-(p+1) doc) and every phase is non-empty on
+    the corpus."""
+    from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+
+    rows = QUERIES["c05_curriculum_phases"](spark, sf_dir).collect()
+    by_phase: dict = {}
+    for r in rows:
+        by_phase.setdefault(r["phase"], []).append(r["n_words"])
+    assert set(by_phase) == {1, 2, 3, 4}
+    for p in (1, 2, 3):
+        assert max(by_phase[p]) <= min(by_phase[p + 1]), p
