@@ -130,6 +130,7 @@ HEADLINE = [
     "e24_attribution_last_touch",
     "a11_ann_filtered",
     "t22_tokenizer_fertility",
+    "c06_dedup_impact",
 ]
 
 

