@@ -131,6 +131,7 @@ HEADLINE = [
     "a11_ann_filtered",
     "t22_tokenizer_fertility",
     "c06_dedup_impact",
+    "e25_hourly_leaderboard",
 ]
 
 

@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from end_to_end_sales_etl_de_project_spark.functions.scalar import money
+from end_to_end_sales_etl_de_project_spark.functions.scalar import money, money_sum
 from end_to_end_sales_etl_de_project_spark.operators.temporal_joins import (
     asof_join,
     range_join_bucketed,
@@ -1085,4 +1085,56 @@ def e24_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(within, F.col("event_type_right")).otherwise("direct").alias("channel"),
         F.when(within, F.col("ts_right")).alias("touch_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hourly leaderboard (windowed top-k over aggregates)
+# ---------------------------------------------------------------------------
+
+_E25_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS window_start, user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spent,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                               ORDER BY spent DESC, user_id) AS rnk
+  FROM hourly
+)
+SELECT window_start, user_id, spent, n_events, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@_register("e25_hourly_leaderboard", _E25_ORACLE)
+def e25_hourly_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour top-3 purchasers by exact spend — the windowed
+    leaderboard shape (dashboards, abuse detection). The rank window
+    runs over the ALREADY-AGGREGATED (hour, user) rows — cardinality
+    bounded by active users per hour, not events — so the corpus pays
+    only one map-side-combinable aggregation; spend sums in DECIMAL
+    (order-independent ⇒ rank ties can't flip across partitionings)
+    with a total tie-break."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), F.col("user_id")
+        )
+        .agg(
+            money_sum("value").alias("spent"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("spent"), "user_id")
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "user_id", "spent", "n_events", "rnk")
     )

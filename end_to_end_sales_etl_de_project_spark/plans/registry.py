@@ -57,6 +57,7 @@ DRIVER_WINDOW: list[str] = [
     "a11_ann_filtered",
     "t22_tokenizer_fertility",
     "c06_dedup_impact",
+    "e25_hourly_leaderboard",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -94,7 +95,6 @@ DRIVER_WINDOW: list[str] = [
     "q36_local_supplier_volume",
     "q37_product_revenue",
     "q41_exact_moment_stats",
-    "q44_dedup_keep_latest",
     "q48_range_frame",
     # -- oldest r02-era rows
     "a04_ann_ivf",
