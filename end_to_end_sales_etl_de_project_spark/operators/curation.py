@@ -388,6 +388,11 @@ def curate_corpus(
     surv_shingles = None
     if hashed_shingles is not None:
         surv_shingles = hashed_shingles.join(survivors.select("doc"), "doc")
+        hk = getattr(hashed_shingles, "_shingle_k", None)
+        if hk is not None:
+            # carry the width stamp through the survivor restriction so
+            # the downstream k-mismatch guard keeps working
+            surv_shingles._shingle_k = hk
     pairs = dedup.minhash_lsh_pairs(
         survivors, "doc", "text", hashed_shingles=surv_shingles
     )

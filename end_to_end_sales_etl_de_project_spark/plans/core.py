@@ -937,6 +937,9 @@ FROM orders
 
 
 
+_STAGING_REAPED = False
+
+
 def _staging_dir(spark: SparkSession, tag: str, sf_dir: str) -> str:
     """Per-(query, corpus, SESSION) scratch dir for write-then-read
     plans. The session component (applicationId) keeps concurrent
@@ -945,14 +948,35 @@ def _staging_dir(spark: SparkSession, tag: str, sf_dir: str) -> str:
     two queries in one session (e.g. the orders and nation ORC
     roundtrips) from clobbering each other between lazy-plan
     construction and execution. Dirs are overwritten per call, bounded
-    at one per (tag, corpus, session)."""
-    import hashlib
-    import tempfile
+    at one per (tag, corpus, session).
 
+    Because the session key makes the dir population unbounded across
+    processes, the first call per process reaps engine-* dirs older
+    than 6 hours (age-based, so a CONCURRENT session's minutes-old dirs
+    are never touched — deleting by \"not my session\" would reintroduce
+    exactly the race the session key removed)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    global _STAGING_REAPED
+    tmp = tempfile.gettempdir()
+    if not _STAGING_REAPED:
+        _STAGING_REAPED = True
+        cutoff = time.time() - 6 * 3600
+        for d in glob.glob(f"{tmp}/engine-*"):
+            try:
+                if os.path.isdir(d) and os.path.getmtime(d) < cutoff:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass  # concurrent reaper/cleanup — another process won
     key = hashlib.md5(
         f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
     ).hexdigest()[:12]
-    return f"{tempfile.gettempdir()}/engine-{tag}-{key}"
+    return f"{tmp}/engine-{tag}-{key}"
 
 
 @_register("q33_csv_roundtrip", _Q33_ORACLE)

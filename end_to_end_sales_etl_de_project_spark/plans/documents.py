@@ -78,6 +78,10 @@ def _shingle_index(
             sh = dedup.shingle_table(docs, "doc_id", "text", k)
             hashed = sh.select("doc", h60(F.col("shingle")).alias("shingle"))
             _SHINGLE_INDEX[key] = hashed.localCheckpoint(eager=True)
+        # stamp the shingle width on the artifact so consumers that
+        # take an explicit k can refuse a mismatched index instead of
+        # silently computing k'-gram Jaccard against a k-gram oracle
+        _SHINGLE_INDEX[key]._shingle_k = k
     return _SHINGLE_INDEX[key]
 
 

@@ -1050,7 +1050,14 @@ SELECT l.event_id, l.user_id, l.ts, l.value,
                  AND epoch_us(l.ts) - epoch_us(r.ts) <= {_E24_LOOKBACK_US}
             THEN r.ts END AS touch_ts
 FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type <> 'purchase') r
+ASOF LEFT JOIN (
+  -- pre-reduce to ONE touch per (user, ts): DuckDB's ASOF choice among
+  -- equal-timestamp right rows is unspecified, while the Spark as-of
+  -- join's documented tie rule is max-payload — collapsing ties with
+  -- MAX(event_type) on BOTH engines removes the ambiguity entirely
+  SELECT user_id, ts, MAX(event_type) AS event_type
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+) r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
@@ -1069,8 +1076,13 @@ def e24_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    touches = ev.filter(F.col("event_type") != "purchase").select(
-        "user_id", "ts", "event_type"
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        # one touch per (user, ts): removes the equal-timestamp tie the
+        # two engines' as-of implementations would resolve differently
+        # (see the oracle's mirrored GROUP BY)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("event_type"))
     )
     joined = asof_join(
         purchases, touches, on="ts", by="user_id", right_cols=["ts", "event_type"]

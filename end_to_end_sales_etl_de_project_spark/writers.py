@@ -150,10 +150,18 @@ def delete_keys_parquet(
     os.rename(path, bak)
     try:
         os.rename(staged, path)
-    except BaseException:
+    except BaseException as swap_err:
         # roll the original back into place so a crash in the swap
-        # window never leaves `path` missing
-        os.rename(bak, path)
-        raise
+        # window never leaves `path` missing; drop the staged copy (a
+        # full rewritten table) so failed swaps don't accumulate them
+        try:
+            os.rename(bak, path)
+        except OSError as rollback_err:
+            raise RuntimeError(
+                f"delete_keys_parquet: swap AND rollback failed — the "
+                f"original table survives at {bak!r}; restore it manually"
+            ) from rollback_err
+        shutil.rmtree(staged, ignore_errors=True)
+        raise swap_err
     shutil.rmtree(bak)
     return n_before - n_after

@@ -175,3 +175,19 @@ def test_incremental_dedup_decisions(spark):
     assert out[b_hi]["canonical_id"] == b_lo
     assert out[b_lo]["decision"] == "new"
     assert out[b_lo]["canonical_id"] == b_lo
+
+
+def test_prehashed_index_k_mismatch_fails_loudly(spark):
+    """A session shingle index stamped k=3 must be refused by any
+    consumer requesting a different k — the override would otherwise be
+    silently ignored and verified against the wrong-width oracle."""
+    import pytest
+
+    from end_to_end_sales_etl_de_project_spark.plans.documents import _shingle_index
+
+    idx = _shingle_index(spark, "/root/testdata/sf0.001", 3)
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="built at k=3"):
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=5, hashed_shingles=idx)
+    with pytest.raises(ValueError, match="built at k=3"):
+        dedup.fuzzy_decontaminate(docs, k=5, hashed_shingles=idx)
