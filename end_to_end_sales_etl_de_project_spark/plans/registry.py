@@ -9,12 +9,13 @@ Ordering matters: the driver's correctness run checks the FIRST
 ``DRIVER_WINDOW_SIZE`` entries of ``queries()`` in dict-insertion order
 (verified rounds 1-2: each CORRECTNESS file is exactly the first 50
 names). ``DRIVER_WINDOW`` therefore front-loads queries with no driver
-row yet — round 4: the 12 new operators — then the LLM-pipeline surface
-and one representative per operator family for regression cover.
-Rotated-out queries are green in at least one prior round and still run
-in the local parity suite (tests/test_oracle_parity.py covers ALL
-oracles at sf0.001). Union over rounds: every registered query has at
-least one driver correctness row
+row yet — round 5: the 15 new operators plus every query whose code
+path changed this round (session-memoized shingle/curation artifacts,
+per-session staging dirs, the m05 oracle promotion) — then r01-era
+evidence refresh. Rotated-out queries are green in at least one prior
+round and still run in the local parity suite
+(tests/test_oracle_parity.py covers ALL oracles at sf0.001). Union over
+rounds: every registered query has at least one driver correctness row
 (tests/test_registry_window.py enforces this).
 """
 
