@@ -132,6 +132,8 @@ HEADLINE = [
     "t22_tokenizer_fertility",
     "c06_dedup_impact",
     "e25_hourly_leaderboard",
+    "q75_small_qty_revenue",
+    "q76_large_orders",
 ]
 
 

@@ -2525,3 +2525,103 @@ def q74_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: small-quantity revenue vs per-part average
+# ---------------------------------------------------------------------------
+
+_Q75_ORACLE = """
+WITH lim AS (
+  SELECT l_partkey,
+         0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                / COUNT(*)) AS qty_lim
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN lim a ON l.l_partkey = a.l_partkey
+WHERE p.p_brand = 'Brand#1' AND l.l_quantity < a.qty_lim
+"""
+
+
+@_register("q75_small_qty_revenue", _Q75_ORACLE)
+def q75_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-average-quantity line items
+    of one brand — the correlated scalar subquery (per-part 0.2×avg
+    threshold) decorrelated into a groupBy + equi-join, which is
+    exactly how Catalyst rewrites it at scale (the per-part limit table
+    is |parts|-sized, the fact is never re-scanned per row).
+    Determinism: avg = decimal-sum→double / count (one division), one
+    multiply, one compare; final sum in DECIMAL, one division by 7."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lim = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (money_sum("l_quantity") / F.count(F.lit(1)))
+        ).alias("qty_lim")
+    )
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#1")),
+                li.l_partkey == part.p_partkey)
+        .join(lim, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            (money_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-quantity orders
+# ---------------------------------------------------------------------------
+
+_Q76_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250
+)
+SELECT c.c_name, o.o_custkey AS customer_id, o.o_orderkey, o.o_orderdate,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+       b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@_register("q76_large_orders", _Q76_ORACLE)
+def q76_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds 250,
+    decorated with customer — the HAVING-on-aggregate then join-back
+    pattern. The quantity rollup is map-side combinable and the HAVING
+    prunes to a tiny key set BEFORE either join (at 100 TB the big-
+    order keys broadcast into orders; the exact threshold sums in
+    DECIMAL so the survivor set can't flip with partitioning)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(money_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            F.col("o_custkey").alias("customer_id"),
+            "o_orderkey",
+            "o_orderdate",
+            money("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )

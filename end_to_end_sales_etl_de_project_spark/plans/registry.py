@@ -59,6 +59,8 @@ DRIVER_WINDOW: list[str] = [
     "t22_tokenizer_fertility",
     "c06_dedup_impact",
     "e25_hourly_leaderboard",
+    "q75_small_qty_revenue",
+    "q76_large_orders",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -89,14 +91,12 @@ DRIVER_WINDOW: list[str] = [
     "q16_join_anti",
     "q17_join_left_agg",
     "q18_rollup",
-    "q20_pivot",
     "q21_cube",
     "q22_except",
     "q23_intersect",
     "q36_local_supplier_volume",
     "q37_product_revenue",
     "q41_exact_moment_stats",
-    "q48_range_frame",
     # -- oldest r02-era rows
     "a04_ann_ivf",
     "e02_sliding_hourly_30m",
