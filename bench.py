@@ -134,6 +134,11 @@ HEADLINE = [
     "e25_hourly_leaderboard",
     "q75_small_qty_revenue",
     "q76_large_orders",
+    "q77_disjunctive_join",
+    "q78_revenue_share",
+    "q79_churned_rich_customers",
+    "q80_top_revenue_supplier",
+    "q81_cumulative_distinct",
 ]
 
 

@@ -2625,3 +2625,297 @@ def q76_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-column join predicate
+# ---------------------------------------------------------------------------
+
+_Q77_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@_register("q77_disjunctive_join", _Q77_ORACLE)
+def q77_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of (brand, size,
+    quantity) predicate groups that mix columns from both join sides —
+    the pattern that defeats naive single-column pushdown.
+
+    Scale shape: the projection of the OR onto part-only columns
+    ((brand,size) disjuncts) is applied BEFORE the broadcast, so the
+    build side ships only candidate parts; the projection onto
+    lineitem-only columns (qty in the union of ranges) prunes the probe
+    side at the scan. The residual mixed OR evaluates post-join in
+    codegen. Catalyst cannot infer these projections from the mixed OR
+    itself, so the plan states them — at 100 TB the difference is
+    broadcasting 3/25ths of ``part`` vs all of it.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    part_side = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50))
+    )
+    mixed = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 40))
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_quantity").between(1, 40))
+        .join(F.broadcast(part.filter(part_side)),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .filter(mixed)
+        .agg(
+            F.sum(money("l_extendedprice") * (one - money("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: group share over a global-total threshold
+# ---------------------------------------------------------------------------
+
+_Q78_ORACLE = """
+WITH pr AS (
+  SELECT l_partkey AS part_id,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS part_revenue
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM lineitem
+)
+SELECT part_id, part_revenue, part_revenue / t.total AS share
+FROM pr CROSS JOIN tot t
+WHERE part_revenue > 0.0005 * t.total
+"""
+
+
+@_register("q78_revenue_share", _Q78_ORACLE)
+def q78_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds a FRACTION OF THE
+    GLOBAL TOTAL — the HAVING-against-a-scalar-subquery pattern.
+
+    Scale shape: one map-side-combinable groupBy builds the per-part
+    rollup; the global total is the SAME rollup re-aggregated (not a
+    second fact scan — at 100 TB re-scanning the fact for a 1-row
+    scalar doubles the I/O), then rides a 1-row broadcast into the
+    threshold filter. Determinism: both sums are exact DECIMAL; the
+    threshold is one IEEE multiply and the share one division.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("part_id")).agg(
+        money_sum("l_extendedprice").alias("part_revenue")
+    )
+    # total = exact sum of the per-part DECIMAL sums == global decimal
+    # sum (decimal addition is associative), so pr is scanned, not li
+    tot = li.groupBy().agg(money_sum("l_extendedprice").alias("total"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_revenue") > F.lit(0.0005) * F.col("total"))
+        .select(
+            "part_id",
+            "part_revenue",
+            (F.col("part_revenue") / F.col("total")).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: churned high-balance customers (anti-join + scalar avg)
+# ---------------------------------------------------------------------------
+
+_Q79_ORACLE = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+),
+churned AS (
+  SELECT c.c_mktsegment, c.c_acctbal
+  FROM customer c CROSS JOIN avg_bal a
+  WHERE c.c_acctbal > a.ab
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM churned GROUP BY 1
+"""
+
+
+@_register("q79_churned_rich_customers", _Q79_ORACLE)
+def q79_churned_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-segment count/balance of above-average-
+    balance customers with NO recent orders — scalar-subquery average +
+    decorrelated NOT EXISTS anti-join.
+
+    Scale shape: the average rides a 1-row broadcast; the anti-join's
+    build side is ``orders`` FILTERED TO THE RECENT WINDOW first (the
+    date predicate reaches the parquet scan), so the hash set holds
+    recent custkeys only — the decorrelation Catalyst performs on the
+    SQL form, stated directly. Determinism: avg = exact decimal sum /
+    count (one division); the output sum is decimal-exact.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .groupBy()
+        .agg(
+            (money_sum("c_acctbal") / F.count(F.lit(1))).alias("ab")
+        )
+    )
+    recent = orders.filter(F.col("o_orderdate") >= "2001-01-01").select("o_custkey")
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            money_sum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top-revenue supplier(s) via max-scalar, ties kept
+# ---------------------------------------------------------------------------
+
+_Q80_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_id,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+),
+mx AS (SELECT MAX(total_revenue) AS m FROM rev)
+SELECT s.s_suppkey AS supplier_id, s.s_name, r.total_revenue
+FROM rev r
+JOIN supplier s ON r.supplier_id = s.s_suppkey
+CROSS JOIN mx WHERE r.total_revenue = mx.m
+"""
+
+
+@_register("q80_top_revenue_supplier", _Q80_ORACLE)
+def q80_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the quarter's MAXIMUM
+    revenue — the create-view-then-max pattern, ties preserved (a
+    LIMIT 1 would silently drop co-maxima; the reference semantics and
+    the oracle keep them).
+
+    Scale shape: the revenue rollup is built once and reused for both
+    the max scalar and the probe (Q11's lesson); max(double) is
+    order-independent, and equality against it is safe because both
+    sides are the SAME exact-decimal-sum-cast-to-double values. The
+    supplier dim is broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_id"))
+        .agg(
+            F.sum(money("l_extendedprice") * (one - money("l_discount")))
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.groupBy().agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(supplier),
+              F.col("supplier_id") == F.col("s_suppkey"))
+        .select("supplier_id", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct (first-seen decomposition)
+# ---------------------------------------------------------------------------
+
+_Q81_ORACLE = """
+WITH cp AS (
+  SELECT o_custkey AS customer_id, l_partkey AS pk,
+         MIN(substr(CAST(o_orderdate AS VARCHAR), 1, 7)) AS first_month
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+monthly AS (
+  SELECT customer_id, first_month AS sales_month,
+         CAST(COUNT(*) AS BIGINT) AS new_parts
+  FROM cp GROUP BY 1, 2
+)
+SELECT customer_id, sales_month, new_parts,
+       CAST(SUM(new_parts) OVER (
+         PARTITION BY customer_id ORDER BY sales_month
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_parts
+FROM monthly
+"""
+
+
+@_register("q81_cumulative_distinct", _Q81_ORACLE)
+def q81_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per key — months in which each customer
+    first bought each part, rolled to (new_parts, cumulative distinct
+    parts ever bought). A naive ``count(distinct) OVER (ORDER BY ...
+    RANGE UNBOUNDED PRECEDING)`` is unsupported AND quadratic; the
+    first-seen decomposition (min month per (cust, part) → count per
+    month → running sum) is two map-side-combinable aggregations plus
+    one bounded window — each customer's partition holds at most their
+    month count, never the fact rows. Exact integers throughout.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("l_partkey").alias("pk"),
+        )
+        .agg(F.min(month_key("o_orderdate")).alias("first_month"))
+    )
+    monthly = cp.groupBy(
+        "customer_id", F.col("first_month").alias("sales_month")
+    ).agg(F.count(F.lit(1)).alias("new_parts"))
+    w = (
+        Window.partitionBy("customer_id")
+        .orderBy("sales_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.withColumn(
+        "cum_distinct_parts", F.sum("new_parts").over(w).cast("bigint")
+    )

@@ -61,6 +61,11 @@ DRIVER_WINDOW: list[str] = [
     "e25_hourly_leaderboard",
     "q75_small_qty_revenue",
     "q76_large_orders",
+    "q77_disjunctive_join",
+    "q78_revenue_share",
+    "q79_churned_rich_customers",
+    "q80_top_revenue_supplier",
+    "q81_cumulative_distinct",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -94,12 +99,6 @@ DRIVER_WINDOW: list[str] = [
     "q21_cube",
     "q22_except",
     "q23_intersect",
-    "q36_local_supplier_volume",
-    "q37_product_revenue",
-    "q41_exact_moment_stats",
-    # -- oldest r02-era rows
-    "a04_ann_ivf",
-    "e02_sliding_hourly_30m",
 ]
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a
