@@ -139,6 +139,9 @@ HEADLINE = [
     "q79_churned_rich_customers",
     "q80_top_revenue_supplier",
     "q81_cumulative_distinct",
+    "e26_daily_streaks",
+    "e27_event_transitions",
+    "e28_concurrency_peak",
 ]
 
 

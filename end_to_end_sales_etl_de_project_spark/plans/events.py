@@ -1150,3 +1150,192 @@ def e25_hourly_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("window_start", "user_id", "spent", "n_events", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-active-day streak per user
+# ---------------------------------------------------------------------------
+
+_E26_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+numbered AS (
+  SELECT user_id, d,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM days
+),
+islands AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_len
+  FROM numbered
+  GROUP BY user_id, d - CAST(rn AS INTEGER)
+)
+SELECT user_id,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM islands GROUP BY 1
+"""
+
+
+@_register("e26_daily_streaks", _E26_ORACLE)
+def e26_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE active days per user — the
+    gaps-and-islands pattern (engagement streaks, SLA uptime runs).
+
+    Scale shape: active days are first collapsed by a distinct on
+    (user, day) — the only pass over the raw fact, map-side
+    combinable — then the island key ``day - row_number`` (constant
+    within a consecutive run, the classic trick) needs one window over
+    each user's DAY COUNT (≤ calendar span, never event count). Exact
+    integer/date arithmetic end to end.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = (
+        days.withColumn("rn", F.row_number().over(w))
+        .withColumn("anchor", F.date_sub(F.col("d"), F.col("rn")))
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+_E27_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+counts AS (
+  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, next_type, n,
+       CAST(n AS DOUBLE)
+         / SUM(n) OVER (PARTITION BY event_type) AS p_transition
+FROM counts
+"""
+
+
+@_register("e27_event_transitions", _E27_ORACLE)
+def e27_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count and conditional probability of each (event_type →
+    next event_type) step — the funnel-discovery/anomaly primitive.
+
+    Scale shape: ONE window pass per user partition computes the lead
+    (tie-broken on the unique event_id so the sequence is total-ordered
+    and deterministic); the transition rollup is a map-side-combinable
+    groupBy on a 25-cell key space, and the row-normalization window
+    runs over ≤|types| rows per partition. The probability is one IEEE
+    division of exact integer counts.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    return counts.withColumn(
+        "p_transition", F.col("n").cast("double") / F.sum("n").over(wt)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency via distributed two-level prefix sum (sweep line)
+# ---------------------------------------------------------------------------
+
+_E28_ORACLE = """
+WITH iv AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + 60 * CAST(floor(value) AS BIGINT) AS end_s
+  FROM events WHERE event_type = 'view'
+),
+pts AS (
+  SELECT start_s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT end_s, -1 FROM iv
+),
+swept AS (
+  SELECT t,
+         SUM(delta) OVER (ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS live
+  FROM pts
+)
+SELECT t - (t % 3600) AS hour_s,
+       CAST(MAX(live) AS BIGINT) AS peak_concurrency
+FROM swept GROUP BY 1
+"""
+
+
+@_register("e28_concurrency_peak", _E28_ORACLE)
+def e28_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour PEAK number of simultaneously-open view intervals
+    (interval = [ts, ts + value minutes]) — the sweep-line +1/-1
+    cumulative sum, which an interval self-join would compute
+    quadratically.
+
+    Scale shape: the oracle's single global ``SUM() OVER (ORDER BY t)``
+    is inherently one sorted partition — a 100 TB non-starter. This
+    plan computes the SAME numbers as a distributed two-level prefix
+    sum: (1) per-hour delta totals, cumulated over the tiny hour
+    spine (one window over |hours| rows); (2) the within-hour running
+    sum, windowed PER HOUR-PARTITION; the global running value at any
+    point is prior-hours offset + within-hour prefix, because time is
+    monotone in (hour, t). Ends sort before starts at equal t
+    (delta asc) so touching intervals don't double-count. All exact
+    integer arithmetic ⇒ hash-identical to the sequential oracle.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "view").select(
+        F.unix_timestamp("ts").alias("start_s"),
+        (F.unix_timestamp("ts") + 60 * F.col("value").cast("bigint")).alias(
+            "end_s"
+        ),
+    )
+    pts = iv.select(F.col("start_s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("end_s").alias("t"), F.lit(-1).alias("delta"))
+    ).withColumn("hour_s", F.col("t") - F.col("t") % 3600)
+    # level 1: cumulative offset of all deltas in PRIOR hours
+    hour_tot = pts.groupBy("hour_s").agg(F.sum("delta").alias("hour_delta"))
+    w_hours = (
+        Window.orderBy("hour_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = hour_tot.withColumn(
+        "offset", F.sum("hour_delta").over(w_hours) - F.col("hour_delta")
+    ).select("hour_s", "offset")
+    # level 2: running sum WITHIN each hour partition
+    w_in = (
+        Window.partitionBy("hour_s")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = (
+        pts.withColumn("run", F.sum("delta").over(w_in))
+        .join(F.broadcast(offsets), "hour_s")
+        .withColumn("live", F.col("run") + F.col("offset"))
+    )
+    return swept.groupBy("hour_s").agg(
+        F.max("live").cast("bigint").alias("peak_concurrency")
+    )

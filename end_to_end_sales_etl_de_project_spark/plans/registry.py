@@ -66,6 +66,9 @@ DRIVER_WINDOW: list[str] = [
     "q79_churned_rich_customers",
     "q80_top_revenue_supplier",
     "q81_cumulative_distinct",
+    "e26_daily_streaks",
+    "e27_event_transitions",
+    "e28_concurrency_peak",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -96,9 +99,6 @@ DRIVER_WINDOW: list[str] = [
     "q16_join_anti",
     "q17_join_left_agg",
     "q18_rollup",
-    "q21_cube",
-    "q22_except",
-    "q23_intersect",
 ]
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a
