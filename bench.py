@@ -142,6 +142,8 @@ HEADLINE = [
     "e26_daily_streaks",
     "e27_event_transitions",
     "e28_concurrency_peak",
+    "t23_vocab_coverage",
+    "c07_source_skew_profile",
 ]
 
 

@@ -1447,3 +1447,163 @@ def c06_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.sum(kept).cast("double") / F.count(F.lit(1))).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer sizing audit)
+# ---------------------------------------------------------------------------
+
+_T23_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({text.tokens_sql('text')}) AS token FROM documents
+),
+freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY 1
+),
+ranked AS (
+  SELECT token, f,
+         ROW_NUMBER() OVER (ORDER BY f DESC, token) AS rnk
+  FROM freq
+),
+tot AS (SELECT CAST(SUM(f) AS BIGINT) AS total FROM freq)
+SELECT v.k AS vocab_k,
+       CAST(SUM(CASE WHEN r.rnk <= v.k THEN r.f ELSE 0 END) AS BIGINT)
+         AS covered,
+       CAST(SUM(CASE WHEN r.rnk <= v.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS vocab_used,
+       t.total,
+       CAST(SUM(CASE WHEN r.rnk <= v.k THEN r.f ELSE 0 END) AS DOUBLE)
+         / t.total AS coverage
+FROM ranked r
+CROSS JOIN (VALUES (100), (1000), (10000)) v(k)
+CROSS JOIN tot t
+GROUP BY v.k, t.total
+"""
+
+
+@_register("t23_vocab_coverage", _T23_ORACLE)
+def t23_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve: what fraction of all token
+    OCCURRENCES a top-k frequency-ranked vocabulary covers, at several
+    k — the sizing audit behind tokenizer/vocab decisions (the knee of
+    this curve is where a bigger vocab stops paying).
+
+    Scale shape: the only pass over the corpus is the explode+count
+    (map-side combinable); ranking then runs over the VOCABULARY
+    (|V| ≪ corpus, the global window is over distinct tokens only —
+    at web scale you'd pre-prune with an approximate count cutoff);
+    the k spine is a 3-row broadcast. Exact integer counts, one IEEE
+    division per output row.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("f"), "token"))
+    )
+    tot = freq.groupBy().agg(F.sum("f").alias("total"))
+    ks = spark.createDataFrame([(100,), (1000,), (10000,)], "k int")
+    hit = F.when(F.col("rnk") <= F.col("k"), F.col("f")).otherwise(F.lit(0))
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("k").alias("vocab_k"), "total")
+        .agg(
+            F.sum(hit).alias("covered"),
+            F.sum((F.col("rnk") <= F.col("k")).cast("long")).alias("vocab_used"),
+        )
+        .select(
+            "vocab_k",
+            "covered",
+            "vocab_used",
+            "total",
+            (F.col("covered").cast("double") / F.col("total")).alias("coverage"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source skew profile (heavy-hitter diagnostic)
+# ---------------------------------------------------------------------------
+
+_C07_ORACLE = f"""
+WITH per_doc AS (
+  SELECT source, {text.token_count_sql('text')} AS n_toks FROM documents
+),
+per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+         CAST(SUM(n_tokens) AS BIGINT) AS tt,
+         CAST(COUNT(*) AS BIGINT) AS ns
+  FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_docs AS DOUBLE) / t.td AS doc_share,
+       CAST(n_tokens AS DOUBLE) / t.tt AS token_share,
+       CAST(n_tokens AS DOUBLE) * t.ns / t.tt AS skew_vs_uniform,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source) AS BIGINT)
+         AS rnk
+FROM per_src CROSS JOIN tot t
+"""
+
+
+@_register("c07_source_skew_profile", _C07_ORACLE)
+def c07_source_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter skew profile per source feed: doc/token counts,
+    corpus shares, and skew-vs-uniform ratio — the diagnostic that
+    tells you which partition key will hot-spot a shuffle BEFORE you
+    run the 100 TB job (the operational twin of the AQE skew handling
+    pinned in tests/test_plan_shapes.py).
+
+    Scale shape: one pass computes per-doc token counts in codegen
+    (regexp_count, no explode); the per-source rollup and the totals
+    are map-side combinable; totals ride a 1-row broadcast; the rank
+    window runs over |sources| rows. skew = (tokens·n_sources)/total
+    evaluated in the same multiply-then-divide order in both engines.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", text.token_count("text").cast("bigint").alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    tot = per_src.groupBy().agg(
+        F.sum("n_docs").alias("td"),
+        F.sum("n_tokens").alias("tt"),
+        F.count(F.lit(1)).alias("ns"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_tokens"), "source"))
+            .cast("bigint"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_docs").cast("double") / F.col("td")).alias("doc_share"),
+            (F.col("n_tokens").cast("double") / F.col("tt")).alias("token_share"),
+            (F.col("n_tokens").cast("double") * F.col("ns") / F.col("tt")).alias(
+                "skew_vs_uniform"
+            ),
+            "rnk",
+        )
+    )

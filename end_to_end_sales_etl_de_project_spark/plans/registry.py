@@ -69,6 +69,8 @@ DRIVER_WINDOW: list[str] = [
     "e26_daily_streaks",
     "e27_event_transitions",
     "e28_concurrency_peak",
+    "t23_vocab_coverage",
+    "c07_source_skew_profile",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -97,8 +99,6 @@ DRIVER_WINDOW: list[str] = [
     "q11_scalar_funcs",
     "q15_join_semi",
     "q16_join_anti",
-    "q17_join_left_agg",
-    "q18_rollup",
 ]
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a
