@@ -1187,19 +1187,15 @@ def e26_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable — then the island key ``day - row_number`` (constant
     within a consecutive run, the classic trick) needs one window over
     each user's DAY COUNT (≤ calendar span, never event count). Exact
-    integer/date arithmetic end to end.
+    integer/date arithmetic end to end. Core in
+    ``operators/sequences.streak_islands`` (property-tested against a
+    sequential in-Python reference).
     """
-    from pyspark.sql.window import Window
+    from end_to_end_sales_etl_de_project_spark.operators.sequences import streak_islands
 
     ev = load_table(spark, sf_dir, "events")
     days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
-    w = Window.partitionBy("user_id").orderBy("d")
-    islands = (
-        days.withColumn("rn", F.row_number().over(w))
-        .withColumn("anchor", F.date_sub(F.col("d"), F.col("rn")))
-        .groupBy("user_id", "anchor")
-        .agg(F.count(F.lit(1)).alias("streak_len"))
-    )
+    islands = streak_islands(days, "user_id", "d")
     return islands.groupBy("user_id").agg(
         F.max("streak_len").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
@@ -1302,9 +1298,11 @@ def e28_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     point is prior-hours offset + within-hour prefix, because time is
     monotone in (hour, t). Ends sort before starts at equal t
     (delta asc) so touching intervals don't double-count. All exact
-    integer arithmetic ⇒ hash-identical to the sequential oracle.
+    integer arithmetic ⇒ hash-identical to the sequential oracle. Core
+    in ``operators/sequences.swept_peaks`` (property-tested against a
+    sequential in-Python reference).
     """
-    from pyspark.sql.window import Window
+    from end_to_end_sales_etl_de_project_spark.operators.sequences import swept_peaks
 
     ev = load_table(spark, sf_dir, "events")
     iv = ev.filter(F.col("event_type") == "view").select(
@@ -1315,27 +1313,5 @@ def e28_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = iv.select(F.col("start_s").alias("t"), F.lit(1).alias("delta")).unionAll(
         iv.select(F.col("end_s").alias("t"), F.lit(-1).alias("delta"))
-    ).withColumn("hour_s", F.col("t") - F.col("t") % 3600)
-    # level 1: cumulative offset of all deltas in PRIOR hours
-    hour_tot = pts.groupBy("hour_s").agg(F.sum("delta").alias("hour_delta"))
-    w_hours = (
-        Window.orderBy("hour_s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    offsets = hour_tot.withColumn(
-        "offset", F.sum("hour_delta").over(w_hours) - F.col("hour_delta")
-    ).select("hour_s", "offset")
-    # level 2: running sum WITHIN each hour partition
-    w_in = (
-        Window.partitionBy("hour_s")
-        .orderBy("t", "delta")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    swept = (
-        pts.withColumn("run", F.sum("delta").over(w_in))
-        .join(F.broadcast(offsets), "hour_s")
-        .withColumn("live", F.col("run") + F.col("offset"))
-    )
-    return swept.groupBy("hour_s").agg(
-        F.max("live").cast("bigint").alias("peak_concurrency")
-    )
+    return swept_peaks(pts, "t", "delta", 3600)

@@ -396,3 +396,83 @@ def test_filtered_ann_pushes_label_to_scan(spark):
     do the vector math on the whole corpus."""
     plan = plan_of(spark, "a11_ann_filtered")
     assert "PushedFilters: [IsNotNull(label), EqualTo(label,3)" in plan, plan
+
+
+def test_disjunctive_join_prunes_both_sides(spark):
+    """q77: the per-side projections of the mixed OR must reach the
+    scans — part's (brand,size) disjunction as pushed filters on the
+    broadcast side, lineitem's quantity range on the probe side."""
+    plan = plan_of(spark, "q77_disjunctive_join")
+    assert "BroadcastHashJoin" in plan
+    # probe-side range prune reaches the lineitem scan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, plan
+    assert "LessThanOrEqual(l_quantity,40.0)" in plan, plan
+    # build side ships candidate brands only (Or pushed into parquet)
+    assert "Brand#1" in plan and "Or(" in plan, plan
+
+
+def test_revenue_share_reuses_rollup_no_second_fact_scan(spark):
+    """q78: the global total must come from re-aggregating the per-part
+    rollup (or one extra scan at most) and ride a 1-row broadcast —
+    never a shuffled join against the fact."""
+    plan = plan_of(spark, "q78_revenue_share")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_churned_customers_anti_join_is_broadcast_and_filtered(spark):
+    """q79: the NOT EXISTS must compile to a broadcast anti-join whose
+    build side is the date-FILTERED orders projection (the recent-window
+    predicate reaches the orders scan)."""
+    plan = plan_of(spark, "q79_churned_rich_customers")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate," in plan, plan
+
+
+def test_cumulative_distinct_windows_over_months_not_facts(spark):
+    """q81: both aggregations (first-month, monthly new-part counts)
+    must complete BEFORE the running-sum window — the window input is
+    per-customer month rows, never the joined fact."""
+    plan = plan_of(spark, "q81_cumulative_distinct")
+    assert plan.count("HashAggregate") >= 4, plan  # two partial+final pairs
+    # window comes after the final aggregate: exactly one Window node
+    assert plan.count(") Window") == 1, plan
+
+
+def test_streaks_window_runs_on_distinct_days(spark):
+    """e26: the row_number window input must be the distinct (user, day)
+    table, so partial aggregation of the raw fact precedes the window."""
+    plan = plan_of(spark, "e26_daily_streaks")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count(") Window") == 1, plan
+
+
+def test_concurrency_peak_has_no_global_point_window(spark):
+    """e28: the ONLY unpartitioned window may run over the hour spine
+    (|hours| rows); the per-point running sum must be partitioned by
+    hour. A single global window over all sweep points is the
+    sequential plan the operator exists to avoid."""
+    plan = plan_of(spark, "e28_concurrency_peak")
+    import re
+
+    # two windows total: hour-spine cumulation + within-hour prefix
+    assert plan.count(") Window") == 2, plan
+    # the within-hour window is hash-partitioned on hour_s
+    assert re.search(r"hashpartitioning\w*\(hour_s", plan), plan
+
+
+def test_vocab_coverage_ranks_vocab_not_corpus(spark):
+    """t23: the corpus pass ends at the token-frequency aggregate; the
+    global rank window's input is the vocabulary rollup."""
+    plan = plan_of(spark, "t23_vocab_coverage")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # k-spine + total scalars
+
+
+def test_source_skew_profile_single_corpus_pass(spark):
+    """c07: per-doc token counts are a codegen projection (regexp_count,
+    no explode/generate), so the corpus is read once into one
+    map-side-combinable aggregate."""
+    plan = plan_of(spark, "c07_source_skew_profile")
+    assert "Generate" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan

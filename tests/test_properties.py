@@ -169,3 +169,76 @@ def test_curriculum_phase_boundaries(spark, sf_dir):
     assert set(by_phase) == {1, 2, 3, 4}
     for p in (1, 2, 3):
         assert max(by_phase[p]) <= min(by_phase[p + 1]), p
+
+
+# ---------------------------------------------------------------------------
+# Sequence operators (operators/sequences.py): distributed decompositions
+# must equal sequential in-Python references on arbitrary inputs.
+# ---------------------------------------------------------------------------
+
+from datetime import date, timedelta
+
+from end_to_end_sales_etl_de_project_spark.operators.sequences import (
+    streak_islands,
+    swept_peaks,
+)
+
+DAY_SETS = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 40)),  # (user, day offset)
+    min_size=1,
+    max_size=60,
+    unique=True,
+)
+
+
+@given(pairs=DAY_SETS)
+@settings(**_SETTINGS)
+def test_streak_islands_match_sequential_reference(spark, pairs):
+    base = date(2024, 1, 1)
+    rows = [(u, base + timedelta(days=o)) for u, o in pairs]
+    df = spark.createDataFrame(rows, "user_id int, d date")
+    got = {
+        (r["user_id"], r["anchor"]): r["streak_len"]
+        for r in streak_islands(df, "user_id", "d").collect()
+    }
+    # sequential reference: walk each user's sorted days
+    want: dict[tuple, int] = {}
+    by_user: dict[int, list[date]] = {}
+    for u, d in rows:
+        by_user.setdefault(u, []).append(d)
+    for u, days in by_user.items():
+        days.sort()
+        run_start, run_len, rn_at_start = days[0], 1, 1
+        for i in range(1, len(days) + 1):
+            if i < len(days) and (days[i] - days[i - 1]).days == 1:
+                run_len += 1
+                continue
+            want[(u, run_start - timedelta(days=rn_at_start))] = run_len
+            if i < len(days):
+                run_start, rn_at_start, run_len = days[i], i + 1, 1
+    assert got == want
+
+
+SWEEP_POINTS = st.lists(
+    st.tuples(st.integers(0, 500), st.sampled_from([1, -1])),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(pts=SWEEP_POINTS, bucket=st.sampled_from([16, 60, 100]))
+@settings(**_SETTINGS)
+def test_swept_peaks_match_sequential_prefix_sum(spark, pts, bucket):
+    df = spark.createDataFrame(pts, "t long, delta int").repartition(5)
+    got = {
+        r["hour_s"]: r["peak_concurrency"]
+        for r in swept_peaks(df, "t", "delta", bucket).collect()
+    }
+    # sequential reference: one global running sum in (t, delta) order
+    want: dict[int, int] = {}
+    run = 0
+    for t, delta in sorted(pts):
+        run += delta
+        b = t - t % bucket
+        want[b] = max(want.get(b, run), run)
+    assert got == want
