@@ -144,6 +144,9 @@ HEADLINE = [
     "e28_concurrency_peak",
     "t23_vocab_coverage",
     "c07_source_skew_profile",
+    "d13_semantic_decontaminate",
+    "m06_asset_dedup",
+    "q82_mom_growth",
 ]
 
 

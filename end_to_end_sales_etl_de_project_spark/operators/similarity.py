@@ -1001,3 +1001,94 @@ SELECT p.source, p.n_vecs,
        1.0 - ({cos}) AS drift
 FROM per_src p CROSS JOIN total t
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (cross-set near-match removal)
+# ---------------------------------------------------------------------------
+
+
+def semantic_decontaminate(
+    emb: DataFrame,
+    test_pred: Column,
+    threshold: float,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+) -> DataFrame:
+    """Train vectors semantically too close to ANY test vector (cosine ≥
+    threshold): the embedding-space analogue of d07's shingle
+    decontamination — catches paraphrased/reworded eval leakage that
+    lexical overlap misses (the reason modern pipelines run BOTH).
+
+    Returns one row per contaminated train vector: (train_id,
+    matched_test_id, cosine) with the single BEST match, argmax broken
+    on higher test id via a lexicographic struct max (= the SQL twin's
+    ``ORDER BY cosine DESC, test_id DESC`` row 1).
+
+    Scale shape: candidates come from an equi-join on the sign-LSH
+    signature — never test × train. The test side is tiny by
+    construction (held-out evals), so it broadcasts; per-bucket work is
+    |test ∩ bucket| × |train ∩ bucket|. Same recall caveat as
+    ``embedding_neardup_pairs``: true matches have cosine near 1 and
+    almost surely share the sign pattern.
+    """
+    e = with_norm(emb, dim=dim).withColumn("sig", _sig_col("embedding", sig_bits))
+    test = e.filter(test_pred).select(
+        F.col("vec_id").alias("matched_test_id"),
+        F.col("embedding").alias("emb_t"),
+        F.col("norm").alias("norm_t"),
+        "sig",
+    )
+    train = e.filter(~test_pred).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+        "sig",
+    )
+    dot = _dot_col("emb_a", "emb_t", dim)
+    cand = (
+        train.join(F.broadcast(test), "sig")
+        .select(
+            "train_id",
+            "matched_test_id",
+            (dot / (F.col("norm_a") * F.col("norm_t"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    best = cand.groupBy("train_id").agg(
+        F.max(F.struct(F.col("cosine"), F.col("matched_test_id"))).alias("m")
+    )
+    return best.select(
+        "train_id",
+        F.col("m.matched_test_id").alias("matched_test_id"),
+        F.col("m.cosine").alias("cosine"),
+    )
+
+
+def semantic_decontaminate_sql(
+    threshold: float,
+    test_mod: int = 10,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+    table: str = "embeddings",
+) -> str:
+    dot = _dot_sql("tr.embedding", "te.embedding", dim, one_based=True)
+    trn = _norm_sql("tr.embedding", dim, one_based=True)
+    ten = _norm_sql("te.embedding", dim, one_based=True)
+    str_ = _sig_sql("tr.embedding", sig_bits, one_based=True)
+    ste = _sig_sql("te.embedding", sig_bits, one_based=True)
+    return f"""
+WITH cand AS (
+  SELECT tr.vec_id AS train_id, te.vec_id AS matched_test_id,
+         ({dot}) / (({trn}) * ({ten})) AS cosine
+  FROM {table} tr JOIN {table} te
+    ON ({str_}) = ({ste})
+   AND te.vec_id % {test_mod} = 0 AND tr.vec_id % {test_mod} <> 0
+  WHERE ({dot}) / (({trn}) * ({ten})) >= {threshold}
+)
+SELECT train_id, matched_test_id, cosine FROM (
+  SELECT cand.*, ROW_NUMBER() OVER (
+    PARTITION BY train_id ORDER BY cosine DESC, matched_test_id DESC) AS rnk
+  FROM cand
+) t WHERE rnk = 1
+"""

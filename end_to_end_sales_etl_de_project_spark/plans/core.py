@@ -2919,3 +2919,56 @@ def q81_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.withColumn(
         "cum_distinct_parts", F.sum("new_parts").over(w).cast("bigint")
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month growth (lag window on the aggregated spine)
+# ---------------------------------------------------------------------------
+
+_Q82_ORACLE = """
+WITH m AS (
+  SELECT c_mktsegment AS segment,
+         substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS sales_month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT segment, sales_month, revenue,
+       LAG(revenue) OVER (PARTITION BY segment ORDER BY sales_month)
+         AS prev_revenue,
+       (revenue - LAG(revenue) OVER (PARTITION BY segment
+                                     ORDER BY sales_month))
+         / LAG(revenue) OVER (PARTITION BY segment ORDER BY sales_month)
+         AS mom_growth
+FROM m
+"""
+
+
+@_register("q82_mom_growth", _Q82_ORACLE)
+def q82_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per market segment — the lag
+    comparison every KPI dashboard runs. The window's input is the
+    AGGREGATED (segment, month) spine (≤ |segments|×|months| rows), so
+    the lag shuffle is trivial regardless of fact size; growth =
+    (cur − prev)/prev is two IEEE ops on identical exact-decimal-sum
+    doubles, NULL for each segment's first month in both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    m = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            month_key("o_orderdate").alias("sales_month"),
+        )
+        .agg(money_sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("segment").orderBy("sales_month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "segment",
+        "sales_month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )

@@ -1607,3 +1607,98 @@ def c07_source_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding-space test-train leakage)
+# ---------------------------------------------------------------------------
+
+_D13_THRESHOLD = 0.25
+
+
+@_register(
+    "d13_semantic_decontaminate",
+    similarity.semantic_decontaminate_sql(_D13_THRESHOLD),
+)
+def d13_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: train vectors (vec_id % 10 ≠ 0)
+    whose cosine to ANY held-out test vector (vec_id % 10 = 0) reaches
+    the threshold, each with its single best test match — the semantic
+    complement of d07's lexical shingle overlap (paraphrased eval
+    leakage carries no shingles). Candidates via sign-LSH bucket
+    equi-join with the tiny test side broadcast; threshold 0.25 is
+    non-vacuous for this corpus (d05's calibration). Argmax per train
+    vector is a lexicographic struct max ≡ the oracle's window row 1.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_decontaminate(
+        emb, F.col("vec_id") % 10 == 0, _D13_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binary asset dedup (content-hash, per-modality byte accounting)
+# ---------------------------------------------------------------------------
+
+_M06_ORACLE = """
+WITH hashed AS (
+  SELECT doc_id AS asset_id, 'txt' AS format,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS payload_md5
+  FROM documents
+),
+per_hash AS (
+  SELECT format, payload_md5,
+         CAST(COUNT(*) AS BIGINT) AS n_copies,
+         CAST(MIN(n_bytes) AS BIGINT) AS bytes_one
+  FROM hashed GROUP BY 1, 2
+)
+SELECT format,
+       CAST(SUM(n_copies) AS BIGINT) AS n_assets,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(n_copies * bytes_one) AS BIGINT) AS total_bytes,
+       CAST(SUM((n_copies - 1) * bytes_one) AS BIGINT) AS dup_bytes,
+       CAST(SUM((n_copies - 1) * bytes_one) AS DOUBLE)
+         / SUM(n_copies * bytes_one) AS savings_ratio
+FROM per_hash GROUP BY 1
+"""
+
+
+@_register("m06_asset_dedup", _M06_ORACLE)
+def m06_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup over OPAQUE BINARY payloads with per-modality
+    byte accounting: how many assets, how many distinct payloads, and
+    the storage a dedup pass would reclaim — the d01 pattern lifted to
+    the asset domain where identity is the payload bytes, not a text
+    column.
+
+    Scale shape: payloads never leave the executors — the shuffle
+    carries (format, md5, bytes) triples only (32-byte keys, not
+    multi-MB blobs); both rollups are map-side combinable. md5 of the
+    utf-8 payload is portable across engines (DuckDB hashes the string
+    bytes), so the check is hash-exact including the savings division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.documents_as_assets(docs)
+    per_hash = (
+        assets.select(
+            F.col("meta.format").alias("format"),
+            F.md5(F.col("payload")).alias("payload_md5"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("format", "payload_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_bytes").alias("bytes_one"),
+        )
+    )
+    return per_hash.groupBy("format").agg(
+        F.sum("n_copies").alias("n_assets"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("n_copies") * F.col("bytes_one")).alias("total_bytes"),
+        F.sum((F.col("n_copies") - 1) * F.col("bytes_one")).alias("dup_bytes"),
+        (
+            F.sum((F.col("n_copies") - 1) * F.col("bytes_one")).cast("double")
+            / F.sum(F.col("n_copies") * F.col("bytes_one"))
+        ).alias("savings_ratio"),
+    )

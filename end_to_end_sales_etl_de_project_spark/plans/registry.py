@@ -71,6 +71,9 @@ DRIVER_WINDOW: list[str] = [
     "e28_concurrency_peak",
     "t23_vocab_coverage",
     "c07_source_skew_profile",
+    "d13_semantic_decontaminate",
+    "m06_asset_dedup",
+    "q82_mom_growth",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -95,10 +98,7 @@ DRIVER_WINDOW: list[str] = [
     # -- r01-era evidence refresh (latest driver row is round 1)
     "q01_customer_monthly_spend",
     "q02w_sales_team_incentive_windowed",
-    "q09_window_sum",
     "q11_scalar_funcs",
-    "q15_join_semi",
-    "q16_join_anti",
 ]
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a

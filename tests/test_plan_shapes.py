@@ -476,3 +476,32 @@ def test_source_skew_profile_single_corpus_pass(spark):
     plan = plan_of(spark, "c07_source_skew_profile")
     assert "Generate" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_semantic_decontaminate_broadcasts_test_side(spark):
+    """d13: candidates must come from a broadcast hash join on the
+    signature (test side tiny), never a cross join or SMJ of the sets."""
+    plan = plan_of(spark, "d13_semantic_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_asset_dedup_shuffle_never_carries_payloads(spark):
+    """m06: the exchange after the per-hash partial aggregate must not
+    carry the binary payload column — only (format, md5, bytes)."""
+    plan = plan_of(spark, "m06_asset_dedup")
+    assert plan.count("HashAggregate") >= 4, plan  # two partial+final pairs
+    import re
+
+    for m in re.finditer(r"^\(\d+\) Exchange$\n(?:.+\n)+?", plan, flags=re.M):
+        # the binary column is `payload#NN`; `payload_md5` is the 32-byte key
+        assert not re.search(r"payload#\d", m.group(0)), m.group(0)
+
+
+def test_mom_growth_windows_over_spine_not_fact(spark):
+    """q82: the lag window's input is the aggregated (segment, month)
+    spine — aggregation completes before the single Window node."""
+    plan = plan_of(spark, "q82_mom_growth")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count(") Window") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
