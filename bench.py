@@ -147,6 +147,8 @@ HEADLINE = [
     "d13_semantic_decontaminate",
     "m06_asset_dedup",
     "q82_mom_growth",
+    "d14_cluster_size_histogram",
+    "q83_repeat_rate",
 ]
 
 

@@ -2972,3 +2972,66 @@ def q82_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev).alias("mom_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Monthly repeat-purchase rate (consecutive-month retention)
+# ---------------------------------------------------------------------------
+
+_Q83_ORACLE = """
+WITH cm AS (
+  SELECT DISTINCT o_custkey AS cust,
+         substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS m
+  FROM orders
+),
+seq AS (
+  SELECT cust, m,
+         LAG(m) OVER (PARTITION BY cust ORDER BY m) AS pm
+  FROM cm
+)
+SELECT m AS sales_month,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN pm = strftime(
+              CAST(m || '-01' AS DATE) - INTERVAL 1 MONTH, '%Y-%m')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+       CAST(SUM(CASE WHEN pm = strftime(
+              CAST(m || '-01' AS DATE) - INTERVAL 1 MONTH, '%Y-%m')
+            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS repeat_rate
+FROM seq GROUP BY 1
+"""
+
+
+@_register("q83_repeat_rate", _Q83_ORACLE)
+def q83_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly repeat-purchase rate: of each month's active customers,
+    the fraction who ALSO purchased in the immediately preceding
+    calendar month — rolling retention, the KPI sibling of e12's
+    fixed-cohort matrix.
+
+    Scale shape: the raw fact collapses to distinct (customer, month)
+    first (map-side combinable; output ≤ |customers|×|months|); the
+    lag window sorts each customer's MONTH rows only; the repeat flag
+    compares against an exact calendar-month-minus-one string
+    (add_months ≡ DuckDB's INTERVAL arithmetic, both deterministic
+    string formats). Final rollup is one small aggregation; rate is
+    one IEEE division of exact counts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cm = orders.select(
+        F.col("o_custkey").alias("cust"), month_key("o_orderdate").alias("m")
+    ).distinct()
+    w = Window.partitionBy("cust").orderBy("m")
+    prev_month = F.date_format(
+        F.add_months(F.to_date(F.concat(F.col("m"), F.lit("-01"))), -1), "yyyy-MM"
+    )
+    seq = cm.withColumn("pm", F.lag("m").over(w)).withColumn(
+        "repeated", (F.col("pm") == prev_month).cast("long")
+    )
+    return seq.groupBy(F.col("m").alias("sales_month")).agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.coalesce(F.sum("repeated"), F.lit(0)).alias("n_repeat"),
+        (
+            F.coalesce(F.sum("repeated"), F.lit(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("repeat_rate"),
+    )

@@ -1702,3 +1702,64 @@ def m06_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("n_copies") * F.col("bytes_one"))
         ).alias("savings_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size histogram (dedup skew audit)
+# ---------------------------------------------------------------------------
+
+
+def _d14_oracle() -> str:
+    comp = dedup.neardup_components_sql(
+        dedup.minhash_lsh_pairs_sql("doc_id", "text"), "doc_id"
+    )
+    return f"""
+WITH comp AS ({comp}),
+sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cluster_size) AS BIGINT) AS n_docs_total FROM sizes)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
+       CAST(COUNT(*) * cluster_size AS DOUBLE) / t.n_docs_total AS corpus_share
+FROM sizes CROSS JOIN tot t
+GROUP BY cluster_size, t.n_docs_total
+"""
+
+
+@_register("d14_cluster_size_histogram", _d14_oracle())
+def d14_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE distribution over the resolved MinHash
+    component graph (d06's output): how many clusters of each size and
+    what corpus share they hold — the audit that distinguishes 'long
+    tail of pairs' from 'one megacluster' (the latter means a stop-
+    shingle/boilerplate problem AND a join-skew hazard, since cluster
+    id is the natural downstream key).
+
+    Scale shape: two map-side-combinable rollups over the component
+    artifact (one row per doc, then one per component); the total rides
+    a 1-row broadcast. Reuses the session shingle index like d06.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", hashed_shingles=_shingle_index(spark, sf_dir, 3)
+    )
+    comp = dedup.neardup_components(docs, pairs, "doc_id")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    tot = sizes.groupBy().agg(F.sum("cluster_size").alias("n_docs_total"))
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .groupBy("cluster_size", "n_docs_total")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size")).alias("n_docs"),
+            (
+                (F.col("n_clusters") * F.col("cluster_size")).cast("double")
+                / F.col("n_docs_total")
+            ).alias("corpus_share"),
+        )
+    )

@@ -36,8 +36,11 @@ DRIVER_WINDOW_SIZE = 50
 # Round-5 rotation: every r04-window query is green in CORRECTNESS_r04,
 # so slots go to (a) queries whose CODE PATH changed this round — the
 # shingle-index rewiring and the per-session staging dirs — (b) the
-# m05 oracle promotion, (c) r01-era rows whose evidence would otherwise
-# go stale past three rounds (VERDICT r4 #3), then the oldest r02 rows.
+# m05 oracle promotion, (c) r01-era evidence refresh (VERDICT r4 #3).
+# The late-round second batch (q77-q83, e26-e28, t23, c07, d13, m06,
+# d14) then displaced most of (c): new queries MUST hold a slot (the
+# union invariant), while the displaced refresh rows all retain
+# r01/r02 driver evidence and stay under local parity at sf0.001.
 # Everything rotated out stays under tests/test_oracle_parity.py at
 # sf0.001, and tests/test_registry_window.py enforces the union
 # invariant (every registered query has driver evidence from some round
@@ -74,6 +77,8 @@ DRIVER_WINDOW: list[str] = [
     "d13_semantic_decontaminate",
     "m06_asset_dedup",
     "q82_mom_growth",
+    "d14_cluster_size_histogram",
+    "q83_repeat_rate",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -97,8 +102,6 @@ DRIVER_WINDOW: list[str] = [
     "q69_csv_quoted_roundtrip",
     # -- r01-era evidence refresh (latest driver row is round 1)
     "q01_customer_monthly_spend",
-    "q02w_sales_team_incentive_windowed",
-    "q11_scalar_funcs",
 ]
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a
