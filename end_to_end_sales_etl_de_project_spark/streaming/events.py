@@ -168,6 +168,34 @@ def interval_join_stream(
     return l.join(r, cond, "inner").drop("user_r")
 
 
+def hourly_active_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exact distinct users per tumbling hour, streaming — the twin of
+    batch ``e21_hourly_active_users``'s ``n_users`` column.
+
+    ``COUNT(DISTINCT ...)`` is unsupported inside a streaming
+    aggregation, so this uses the canonical two-stage decomposition:
+    dedup each (user, hour) pair with watermark-bounded state, then an
+    ordinary windowed COUNT over the surviving pairs. Both stages are
+    stateful but bounded — pair-dedup state lives only until the
+    watermark passes the hour, and the count state is one row per open
+    window. ``n_buyers`` composes the same way: pre-filter the stream to
+    purchases and reuse this function (pinned in the test).
+    """
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    pairs = (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts", hour)
+        .dropDuplicatesWithinWatermark(["user_id", "hour_start"])
+    )
+    return (
+        pairs.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n_users")
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup by event_id with bounded state.
 

@@ -84,3 +84,57 @@ def test_jsonl_permissive_routes_bad_rows(spark, tmp_path):
     assert any("not json at all" in b for b in bad_rows)
     assert any("trunca" in b for b in bad_rows)
     assert any("wrong-type" in b for b in bad_rows)
+
+
+def test_ledger_1k_file_append_cost_bounded(spark, tmp_path):
+    """VERDICT r4 #8: pin the control-plane bound at realistic file
+    counts. 1,000 append batches = 1,000 parquet files; ``_append``'s
+    max-seq probe is a driver-side footer-metadata walk (O(files), no
+    Spark job), and ``compact()`` folds the directory back to one file
+    so subsequent appends are O(1) again. Synthesizes the 1k files with
+    pyarrow directly (running 1k real Spark writes would test the same
+    code 1000x slower)."""
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ledger")
+    os.makedirs(path)
+    now = dt.datetime(2026, 1, 1)
+    # 1000 single-event appends: 500 files STARTed then COMPLETED
+    for i in range(1000):
+        fname = f"f{i % 500:03d}.csv"
+        status = "START" if i < 500 else "COMPLETED"
+        tbl = pa.table(
+            {
+                "file_name": pa.array([fname], pa.string()),
+                "file_location": pa.array([f"/x/{fname}"], pa.string()),
+                "created_date": pa.array([now], pa.timestamp("us")),
+                "status": pa.array([status], pa.string()),
+                "seq": pa.array([1_000_000 + i], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(path, f"part-{i:05d}.parquet"))
+
+    ledger = Ledger(spark, path)
+    # footer-stat probe sees the true max without a Spark job
+    assert ledger._max_seq() == 1_000_999
+    t0 = time.monotonic()
+    ledger._max_seq()
+    footer_walk_s = time.monotonic() - t0
+    # driver-side metadata walk over 1k files: generous ceiling, but
+    # orders of magnitude under a 1k-file Spark scan
+    assert footer_walk_s < 5.0
+
+    kept = ledger.compact()
+    assert kept == 500
+    n_files = sum(1 for n in os.listdir(path) if n.endswith(".parquet"))
+    assert n_files == 1  # bound restored: next append probes one footer
+    state = {r["status"] for r in ledger.current_state().collect()}
+    assert state == {"COMPLETED"}
+    # appends still work and stay monotonic past the compacted max
+    ledger.mark_start({"new.csv": "/x/new.csv"})
+    assert ledger._max_seq() > 1_000_999

@@ -336,3 +336,43 @@ def test_ewma_stream_matches_batch_fold(spark, sf_dir, events_src):
         assert r["n_events"] == b["n_events"], k
         assert r["ts"] == b["last_ts"], k
         assert r["ewma_value"] == b["ewma_value"], (k, r["ewma_value"], b["ewma_value"])
+
+
+def test_hourly_active_stream_equals_batch_distinct(spark, sf_dir, events_src):
+    """Streaming COUNT(DISTINCT) via the dedup-then-count decomposition
+    must equal batch e21's exact distinct-user column — including under
+    at-least-once redelivery (the same file delivered twice), which the
+    pair-dedup stage must absorb. n_buyers composes as pre-filter +
+    the same operator."""
+    import pyspark.sql.functions as F
+
+    from end_to_end_sales_etl_de_project_spark.plans.events import (
+        e21_hourly_active_users,
+    )
+    from end_to_end_sales_etl_de_project_spark.streaming.events import (
+        hourly_active_stream,
+    )
+
+    shutil.copy(f"{sf_dir}/events.parquet", f"{events_src}/events-redeliver.parquet")
+    stream = read_events_stream(spark, events_src, max_files_per_trigger=1)
+    result = run_to_memory_sink(
+        hourly_active_stream(stream), "hau_test", "complete"
+    )
+    batch = e21_hourly_active_users(spark, sf_dir).select(
+        "window_start", "n_users"
+    )
+    assert _canon(result) == _canon(batch)
+
+    # n_buyers: same decomposition over the purchase-filtered stream
+    stream2 = read_events_stream(spark, events_src, max_files_per_trigger=2)
+    buyers = run_to_memory_sink(
+        hourly_active_stream(stream2.filter(F.col("event_type") == "purchase")),
+        "hau_buyers_test",
+        "complete",
+    )
+    batch_buyers = (
+        e21_hourly_active_users(spark, sf_dir)
+        .filter(F.col("n_buyers") > 0)
+        .select("window_start", F.col("n_buyers").alias("n_users"))
+    )
+    assert _canon(buyers) == _canon(batch_buyers)
