@@ -149,6 +149,10 @@ HEADLINE = [
     "q82_mom_growth",
     "d14_cluster_size_histogram",
     "q83_repeat_rate",
+    "q84_order_count_histogram",
+    "q85_nation_volume",
+    "q86_market_share",
+    "q87_returned_items",
 ]
 
 

@@ -3035,3 +3035,276 @@ def q83_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("repeat_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer order-count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+_Q84_ORACLE = """
+WITH oc AS (
+  SELECT c_custkey,
+         COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM oc GROUP BY c_count
+"""
+
+
+@_register("q84_order_count_histogram", _Q84_ORACLE)
+def q84_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the customer order-count distribution. The
+    defining feature is the predicate INSIDE the outer-join condition
+    (``o_orderpriority <> '1-URGENT'``) — moved to a WHERE it would
+    silently drop the zero-order customers that are the query's point,
+    so it must stay in the ON clause and must NOT be pushed below the
+    join's null-extension.
+
+    Scale shape: customer←orders is a shuffle join on the customer key
+    (orders is the big side; no broadcast), the per-customer count is
+    map-side combinable on the same key so it reuses the join's
+    partitioning with no extra exchange, and the final histogram
+    aggregates ≤|customers| rows down to a handful of buckets.
+    ``COUNT(o_orderkey)`` (not ``COUNT(*)``) is what turns the
+    null-extended rows into the c_count=0 bucket in both engines.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    oc = (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return oc.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Bidirectional nation-pair shipping volume (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+
+_Q85_ORACLE = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       substr(CAST(l_shipdate AS VARCHAR), 1, 4) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_15' AND n2.n_name = 'NATION_19')
+    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_15'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+@_register("q85_nation_volume", _Q85_ORACLE)
+def q85_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between a nation PAIR in both
+    directions, by ship year. The join graph touches the fact twice
+    (supplier side and customer side) and the nation filter is a
+    DISJUNCTION over the two directions, so it can only be applied
+    after both dim joins — but each nation copy is a 25-row broadcast,
+    so the whole dim subtree stays on the map side of the single
+    fact-fact shuffle (lineitem⋈orders on the order key). The ship-year
+    is the reference's substring-of-string-date form; volume follows
+    the exact-decimal-sum rule.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    pair = (
+        (F.col("supp_nation") == "NATION_15") & (F.col("cust_nation") == "NATION_19")
+    ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.substring(F.col("l_shipdate").cast("string"), 1, 4).alias("l_year"),
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * (one - money("l_discount")))
+            .cast("double")
+            .alias("volume")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# National market share within a region (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+
+_Q86_ORACLE = """
+SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS o_year,
+       CAST(SUM(CASE WHEN n1.n_name = 'NATION_18'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_volume,
+       CAST(SUM(CASE WHEN n1.n_name = 'NATION_18'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region   ON n2.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@_register("q86_market_share", _Q86_ORACLE)
+def q86_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of ECONOMY-part revenue sold
+    into ASIA-region customers, per order year. The share is a
+    conditional sum over the SAME aggregated rows as the total — one
+    pass, no self-join — so Catalyst computes both from a single
+    partial-agg tree; numerator and denominator are exact decimal sums
+    emitted as doubles and the share is one IEEE division of those two
+    (also emitted, so the oracle pins all three).
+
+    Scale shape: part is filtered to one type BEFORE its broadcast
+    (the most selective dim drives the fact reduction); customer→
+    nation→region collapses to a broadcast semi-filter on the customer
+    side; the only shuffle is lineitem⋈orders on the order key, then a
+    tiny per-year aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    vol = money("l_extendedprice") * (one - money("l_discount"))
+    nation_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_18", vol).otherwise(zero)
+    ).cast("double")
+    total_vol = F.sum(vol).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .groupBy(
+            F.substring(F.col("o_orderdate").cast("string"), 1, 4).alias("o_year")
+        )
+        .agg(
+            nation_vol.alias("nation_volume"),
+            total_vol.alias("total_volume"),
+            (nation_vol / total_vol).alias("mkt_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Returned-item reporting, top customers (TPC-H Q10 shape)
+# ---------------------------------------------------------------------------
+
+_Q87_ORACLE = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@_register("q87_returned_items", _Q87_ORACLE)
+def q87_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue
+    in a half-year window — join + grouped revenue + top-k. The orderBy
+    +limit compiles to TakeOrderedAndProject (per-partition top-20
+    heaps, 20 rows to the driver — never a global sort), with the
+    customer key as an explicit tiebreak so the cut line is
+    deterministic in both engines even under revenue ties.
+
+    Scale shape: the returnflag and date filters reach both fact scans
+    (PushedFilters); lineitem⋈orders shuffles on the order key;
+    customer and nation broadcast onto the aggregated survivor set.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(money("l_extendedprice") * (one - money("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

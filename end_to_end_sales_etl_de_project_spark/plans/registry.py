@@ -79,6 +79,10 @@ DRIVER_WINDOW: list[str] = [
     "q82_mom_growth",
     "d14_cluster_size_histogram",
     "q83_repeat_rate",
+    "q84_order_count_histogram",
+    "q85_nation_volume",
+    "q86_market_share",
+    "q87_returned_items",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -92,10 +96,6 @@ DRIVER_WINDOW: list[str] = [
     "c01_curate_corpus",
     "c02_training_manifest",
     "q33_csv_roundtrip",
-    "q34_partitioned_write_readback",
-    "q45_orc_roundtrip",
-    "q46_json_roundtrip",
-    "q56_orc_roundtrip",
     "q57_jsonl_roundtrip",
     "q58_sorted_layout_readback",
     "q61_union_by_name",

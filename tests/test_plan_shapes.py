@@ -505,3 +505,33 @@ def test_mom_growth_windows_over_spine_not_fact(spark):
     assert plan.count("HashAggregate") >= 2, plan
     assert plan.count(") Window") == 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_order_count_histogram_two_aggregations(spark):
+    """q84 (Q13 shape): two aggregation levels (per-customer count,
+    then bucket histogram), both with map-side partials, and the outer
+    join never degrades to a cartesian."""
+    plan = plan_of(spark, "q84_order_count_histogram")
+    assert _shuffle_exchanges(plan) <= 2, plan
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["q85_nation_volume", "q86_market_share"])
+def test_nation_pair_queries_broadcast_all_dims(spark, name):
+    """q85/q86 (Q7/Q8 shapes): every dim copy (nation twice, supplier,
+    customer, part, region) rides a broadcast; the only shuffle is the
+    final year aggregation — the fact subtree never sort-merges."""
+    plan = plan_of(spark, name)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert _shuffle_exchanges(plan) <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_returned_items_topk_no_global_sort(spark):
+    """q87 (Q10 shape): the top-20 cut is TakeOrderedAndProject
+    (per-partition heaps), never an Exchange rangepartitioning sort."""
+    plan = plan_of(spark, "q87_returned_items")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
