@@ -153,6 +153,8 @@ HEADLINE = [
     "q85_nation_volume",
     "q86_market_share",
     "q87_returned_items",
+    "d15_prefix_duplicates",
+    "e29_hourly_mad_outliers",
 ]
 
 

@@ -1785,3 +1785,71 @@ def d14_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corpus_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-duplicate detection (sorted-neighborhood, O(n log n))
+# ---------------------------------------------------------------------------
+
+_D15_ORACLE = """
+WITH dt AS (SELECT DISTINCT text FROM documents),
+s AS (SELECT text, lead(text) OVER (ORDER BY text) AS nxt FROM dt),
+p AS (
+  SELECT text, CAST(length(nxt) AS BIGINT) AS ext_len
+  FROM s
+  WHERE nxt IS NOT NULL
+    AND length(nxt) > length(text)
+    AND left(nxt, length(text)) = text
+)
+SELECT doc_id, source,
+       CAST(length(d.text) AS BIGINT) AS len_chars,
+       ext_len
+FROM documents d JOIN p ON d.text = p.text
+"""
+
+
+@_register("d15_prefix_duplicates", _D15_ORACLE)
+def d15_prefix_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose text is a strict PREFIX of another doc — the
+    truncated-page duplicates (partial crawls, cut-off mirrors) that
+    shingle Jaccard under-scores and exact dedup misses entirely.
+
+    Sorted-neighborhood method: if A is a strict prefix of any B, every
+    string between them in lexicographic order also extends A, so A's
+    IMMEDIATE successor extends A — one sort of the distinct texts plus
+    an adjacent-pair check finds every prefix pair, O(n log n) and
+    never all-pairs.
+
+    Scale shape: instead of a single global sort (one reducer owns the
+    whole corpus), texts are windowed by their 16-char prefix BLOCK:
+    byte-wise lexicographic order means every string between A and its
+    extension shares A's first 16 bytes, so the within-block successor
+    IS the global successor for any text ≥ 16 chars (the corpus
+    minimum is 44; shorter corpora would need k lowered to their
+    minimum). Blocks are tiny (shared-16-prefix groups), so the window
+    shuffle is uniform; the flagged prefixes then join back to doc ids
+    on the text key. ASCII corpora compare identically byte-wise in
+    Spark and DuckDB, so the blocked plan hash-matches the oracle's
+    global-sort formulation exactly.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select("text").distinct()
+    w = Window.partitionBy(F.substring("text", 1, 16)).orderBy("text")
+    nxt = F.lead("text").over(w)
+    pref = (
+        dt.withColumn("nxt", nxt)
+        .filter(
+            F.col("nxt").isNotNull()
+            & (F.length("nxt") > F.length("text"))
+            & F.col("nxt").startswith(F.col("text"))
+        )
+        .select("text", F.length("nxt").cast("bigint").alias("ext_len"))
+    )
+    return docs.join(pref, "text").select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("len_chars"),
+        "ext_len",
+    )

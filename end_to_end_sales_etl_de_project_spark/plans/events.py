@@ -1315,3 +1315,66 @@ def e28_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv.select(F.col("end_s").alias("t"), F.lit(-1).alias("delta"))
     )
     return swept_peaks(pts, "t", "delta", 3600)
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) hourly-volume anomaly detection
+# ---------------------------------------------------------------------------
+
+_E29_ORACLE = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+s AS (SELECT quantile_cont(n_events, 0.5) AS med FROM h),
+m AS (SELECT quantile_cont(ABS(n_events - med), 0.5) AS mad FROM h, s)
+SELECT hour, n_events,
+       med AS median_n,
+       mad AS mad_n,
+       CASE WHEN mad = 0 THEN 0.0
+            ELSE (n_events - med) / (1.4826 * mad) END AS robust_z,
+       CASE WHEN mad = 0 THEN FALSE
+            ELSE ABS((n_events - med) / (1.4826 * mad)) > 3.5 END AS is_outlier
+FROM h, s, m
+"""
+
+
+@_register("e29_hourly_mad_outliers", _E29_ORACLE)
+def e29_hourly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on hourly event volume: flag hours
+    whose count deviates from the corpus MEDIAN by more than 3.5
+    robust z-units (MAD scaled by the normal-consistency constant
+    1.4826) — the median/MAD pair shrugs off the very spikes a
+    mean/stddev z-score would be contaminated by.
+
+    Determinism: counts are integers, so both exact medians
+    (percentile ≡ DuckDB quantile_cont, same linear interpolation)
+    land on integers or exact halves; the z is then one IEEE
+    multiply+divide on identical doubles. mad=0 (constant series)
+    pins z to 0 rather than dividing by zero.
+
+    Scale shape: the fact collapses to one row per hour first
+    (map-side combinable count, ≤ |hours| rows regardless of event
+    volume); both median passes and the z-scoring run over that tiny
+    spine, with the scalars riding 1-row broadcasts — the raw stream
+    is touched exactly once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    med = h.agg(F.expr("percentile(n_events, 0.5D)").alias("med"))
+    h2 = h.crossJoin(F.broadcast(med))
+    mad = h2.agg(F.expr("percentile(abs(n_events - med), 0.5D)").alias("mad"))
+    h3 = h2.crossJoin(F.broadcast(mad))
+    z = (F.col("n_events") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    zero_mad = F.col("mad") == 0
+    return h3.select(
+        "hour",
+        "n_events",
+        F.col("med").alias("median_n"),
+        F.col("mad").alias("mad_n"),
+        F.when(zero_mad, F.lit(0.0)).otherwise(z).alias("robust_z"),
+        F.when(zero_mad, F.lit(False)).otherwise(F.abs(z) > 3.5).alias("is_outlier"),
+    )

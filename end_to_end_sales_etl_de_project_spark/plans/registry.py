@@ -83,6 +83,8 @@ DRIVER_WINDOW: list[str] = [
     "q85_nation_volume",
     "q86_market_share",
     "q87_returned_items",
+    "d15_prefix_duplicates",
+    "e29_hourly_mad_outliers",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -95,13 +97,10 @@ DRIVER_WINDOW: list[str] = [
     "d09_minhash_estimate_audit",
     "c01_curate_corpus",
     "c02_training_manifest",
-    "q33_csv_roundtrip",
     "q57_jsonl_roundtrip",
     "q58_sorted_layout_readback",
     "q61_union_by_name",
     "q69_csv_quoted_roundtrip",
-    # -- r01-era evidence refresh (latest driver row is round 1)
-    "q01_customer_monthly_spend",
 ]
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a

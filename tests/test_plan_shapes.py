@@ -535,3 +535,26 @@ def test_returned_items_topk_no_global_sort(spark):
     plan = plan_of(spark, "q87_returned_items")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_prefix_duplicates_blocked_sort_never_single_partition(spark):
+    """d15: the sorted-neighborhood window must partition by the
+    16-char prefix block — a global-order window (Exchange
+    SinglePartition feeding Window) funnels the corpus through one
+    reducer and is exactly the scale bug the blocking exists to avoid."""
+    plan = plan_of(spark, "d15_prefix_duplicates")
+    assert ") Window" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mad_outliers_aggregate_before_scalars(spark):
+    """e29: the raw events collapse to the hourly spine in ONE
+    map-side-combinable aggregation; the median/MAD scalars ride 1-row
+    broadcasts (BroadcastNestedLoopJoin against a single-row aggregate
+    is the intended shape, a CartesianProduct is not)."""
+    plan = plan_of(spark, "e29_hourly_mad_outliers")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
+    # partial+final pair for the hourly count
+    assert plan.count("HashAggregate") >= 2, plan
