@@ -155,6 +155,9 @@ HEADLINE = [
     "q87_returned_items",
     "d15_prefix_duplicates",
     "e29_hourly_mad_outliers",
+    "q88_priority_delay_check",
+    "q89_promo_revenue_share",
+    "e30_rfm_segments",
 ]
 
 

@@ -3308,3 +3308,108 @@ def q87_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-priority delay check (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+_Q88_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@_register("q88_priority_delay_check", _Q88_ORACLE)
+def q88_priority_delay_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per order priority, how many of a quarter's
+    orders had at least one line item shipped >30 days after the order
+    date. The EXISTS is a LEFT SEMI join — at-least-one semantics with
+    no duplicate inflation and nothing from the inner side projected —
+    with the ship-delay comparison as a residual condition on the
+    equi-join (it references both sides, so it cannot be pushed to
+    either scan alone).
+
+    Scale shape: the quarter filter prunes orders at the scan; the
+    semi join shuffles on the order key and short-circuits per key at
+    the first match; the final priority rollup is 5 groups.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    delayed = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return delayed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Promotion revenue share (TPC-H Q14 shape)
+# ---------------------------------------------------------------------------
+
+_Q89_ORACLE = """
+SELECT substr(CAST(l_shipdate AS VARCHAR), 1, 7) AS ship_month,
+       CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+       100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@_register("q89_promo_revenue_share", _Q89_ORACLE)
+def q89_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the percentage of each ship month's revenue
+    coming from promoted (ECONOMY-type) parts — conditional-sum ratio
+    over ONE aggregation pass, part broadcast onto the filtered fact.
+    Numerator/denominator are exact decimal sums emitted as doubles;
+    the percentage is literal*divide on those two, so all three
+    emitted columns are engine-identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    vol = money("l_extendedprice") * (one - money("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "ECONOMY", vol).otherwise(zero)).cast(
+        "double"
+    )
+    total = F.sum(vol).cast("double")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.substring(F.col("l_shipdate").cast("string"), 1, 7).alias("ship_month")
+        )
+        .agg(
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+            (F.lit(100.0) * promo / total).alias("promo_pct"),
+        )
+    )

@@ -1378,3 +1378,102 @@ def e29_hourly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(zero_mad, F.lit(0.0)).otherwise(z).alias("robust_z"),
         F.when(zero_mad, F.lit(False)).otherwise(F.abs(z) > 3.5).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+_E30_ORACLE = """
+WITH p AS (
+  SELECT user_id,
+         MAX(ts) AS last_ts,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+g AS (SELECT MAX(last_ts) AS gmax FROM p),
+r AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(gmax)) AS BIGINT)
+           - CAST(FLOOR(epoch(last_ts)) AS BIGINT) AS recency_s,
+         frequency, monetary
+  FROM p, g
+),
+c AS (
+  SELECT quantile_cont(recency_s, [0.2, 0.4, 0.6, 0.8]) AS qr,
+         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS qf,
+         quantile_cont(monetary,  [0.2, 0.4, 0.6, 0.8]) AS qm
+  FROM r
+)
+SELECT user_id, recency_s, frequency, monetary,
+       CAST(6 - (1 + (CASE WHEN recency_s > qr[1] THEN 1 ELSE 0 END)
+                   + (CASE WHEN recency_s > qr[2] THEN 1 ELSE 0 END)
+                   + (CASE WHEN recency_s > qr[3] THEN 1 ELSE 0 END)
+                   + (CASE WHEN recency_s > qr[4] THEN 1 ELSE 0 END)) AS BIGINT)
+         AS r_score,
+       CAST(1 + (CASE WHEN frequency > qf[1] THEN 1 ELSE 0 END)
+              + (CASE WHEN frequency > qf[2] THEN 1 ELSE 0 END)
+              + (CASE WHEN frequency > qf[3] THEN 1 ELSE 0 END)
+              + (CASE WHEN frequency > qf[4] THEN 1 ELSE 0 END) AS BIGINT)
+         AS f_score,
+       CAST(1 + (CASE WHEN monetary > qm[1] THEN 1 ELSE 0 END)
+              + (CASE WHEN monetary > qm[2] THEN 1 ELSE 0 END)
+              + (CASE WHEN monetary > qm[3] THEN 1 ELSE 0 END)
+              + (CASE WHEN monetary > qm[4] THEN 1 ELSE 0 END) AS BIGINT)
+         AS m_score
+FROM r, c
+"""
+
+
+@_register("e30_rfm_segments", _E30_ORACLE)
+def e30_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per purchasing user, recency (seconds since
+    their last purchase, against the corpus max), frequency (purchase
+    count) and monetary (exact-decimal spend), each scored 1–5 by
+    exact quintile CUTOFFS (r_score inverted so 5 = most recent).
+
+    Scoring by broadcast cutoffs instead of ``ntile(5)`` is the scale
+    decision: ntile needs a TOTAL order over all users (Exchange
+    SinglePartition — one reducer owns every user), while the cutoff
+    form is one map-side-combinable rollup to the per-user spine, one
+    4-double percentile per metric, and a per-row CASE — same quintile
+    semantics, no serial stage, and ties get equal scores instead of
+    ntile's arbitrary split. Exact interpolated percentiles and
+    integer/exact-decimal inputs make every comparison engine-identical.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    p = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("monetary"),
+    )
+    g = p.agg(F.max("last_ts").alias("gmax"))
+    r = p.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        (F.unix_timestamp("gmax") - F.unix_timestamp("last_ts")).alias("recency_s"),
+        "frequency",
+        "monetary",
+    )
+    q = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    c = r.agg(
+        F.expr(f"percentile(recency_s, {q})").alias("qr"),
+        F.expr(f"percentile(frequency, {q})").alias("qf"),
+        F.expr(f"percentile(monetary, {q})").alias("qm"),
+    )
+
+    def score(col: str, cuts: str):
+        s = F.lit(1)
+        for i in range(1, 5):
+            s = s + F.when(F.col(col) > F.element_at(F.col(cuts), i), 1).otherwise(0)
+        return s.cast("bigint")
+
+    return r.crossJoin(F.broadcast(c)).select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        "monetary",
+        (F.lit(6) - score("recency_s", "qr")).cast("bigint").alias("r_score"),
+        score("frequency", "qf").alias("f_score"),
+        score("monetary", "qm").alias("m_score"),
+    )

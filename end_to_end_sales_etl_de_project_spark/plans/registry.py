@@ -85,6 +85,9 @@ DRIVER_WINDOW: list[str] = [
     "q87_returned_items",
     "d15_prefix_duplicates",
     "e29_hourly_mad_outliers",
+    "q88_priority_delay_check",
+    "q89_promo_revenue_share",
+    "e30_rfm_segments",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -97,10 +100,7 @@ DRIVER_WINDOW: list[str] = [
     "d09_minhash_estimate_audit",
     "c01_curate_corpus",
     "c02_training_manifest",
-    "q57_jsonl_roundtrip",
     "q58_sorted_layout_readback",
-    "q61_union_by_name",
-    "q69_csv_quoted_roundtrip",
 ]
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a

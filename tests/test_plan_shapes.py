@@ -558,3 +558,22 @@ def test_mad_outliers_aggregate_before_scalars(spark):
     assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
     # partial+final pair for the hourly count
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_priority_delay_semi_join_no_inflation(spark):
+    """q88 (Q4 shape): the EXISTS must be a LeftSemi join (at-least-one
+    semantics) — an inner join would double-count multi-late orders."""
+    plan = plan_of(spark, "q88_priority_delay_check")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rfm_scores_by_broadcast_cutoffs_not_ntile(spark):
+    """e30: quintile scoring must ride broadcast percentile cutoffs —
+    an ntile formulation would funnel every user through one reducer
+    (Exchange SinglePartition feeding a Window)."""
+    plan = plan_of(spark, "e30_rfm_segments")
+    assert ") Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
