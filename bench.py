@@ -158,6 +158,7 @@ HEADLINE = [
     "q88_priority_delay_check",
     "q89_promo_revenue_share",
     "e30_rfm_segments",
+    "c08_decontamination_agreement",
 ]
 
 

@@ -1853,3 +1853,59 @@ def d15_prefix_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("len_chars"),
         "ext_len",
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination method-agreement matrix (verbatim × fuzzy)
+# ---------------------------------------------------------------------------
+
+
+def _c08_oracle() -> str:
+    return f"""
+WITH verbatim AS ({curation.contamination_report_sql()}),
+fuzzy AS ({dedup.fuzzy_decontaminate_sql()}),
+fz AS (SELECT DISTINCT test_doc FROM fuzzy),
+j AS (
+  SELECT v.doc_id,
+         v.is_contaminated AS verbatim_contaminated,
+         (fz.test_doc IS NOT NULL) AS fuzzy_contaminated
+  FROM verbatim v LEFT JOIN fz ON v.doc_id = fz.test_doc
+)
+SELECT verbatim_contaminated, fuzzy_contaminated,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM j GROUP BY 1, 2
+"""
+
+
+@_register("c08_decontamination_agreement", _c08_oracle())
+def c08_decontamination_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-agreement matrix for the two lexical decontamination
+    passes: per test doc, did the VERBATIM 5-gram overlap check (d07)
+    and the FUZZY MinHash-Jaccard check (d12) flag it? The 2×2 counts
+    are the audit a pipeline owner reads before choosing a policy —
+    fuzzy-only docs are paraphrase leaks verbatim misses; verbatim-only
+    docs are short shared spans below fuzzy's Jaccard floor.
+
+    Scale shape: both passes are the production operators themselves
+    (same split assignment, d12 reading the session shingle index), so
+    this audit costs two already-bounded pipelines plus a left join on
+    the small test-doc spine and a 4-row rollup — no new corpus pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    verbatim = curation.contamination_report(docs)
+    fuzzy = (
+        dedup.fuzzy_decontaminate(
+            docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
+        )
+        .select("test_doc")
+        .distinct()
+    )
+    j = verbatim.join(
+        fuzzy, verbatim.doc_id == fuzzy.test_doc, "left"
+    ).select(
+        F.col("is_contaminated").alias("verbatim_contaminated"),
+        F.col("test_doc").isNotNull().alias("fuzzy_contaminated"),
+    )
+    return j.groupBy("verbatim_contaminated", "fuzzy_contaminated").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
