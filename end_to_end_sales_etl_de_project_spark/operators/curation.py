@@ -55,7 +55,11 @@ from end_to_end_sales_etl_de_project_spark.operators.text import (
 
 
 def contamination_report(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    sh_base: DataFrame | None = None,
 ) -> DataFrame:
     """Per TEST-split document: how many of its distinct k-gram shingles
     also occur anywhere in the TRAIN split. A test doc sharing verbatim
@@ -74,16 +78,26 @@ def contamination_report(
     of recomputed per branch — measured 3.1 s → ~1.3 s at sf0.1. On a
     real cluster prefer a reliable checkpoint dir (executor loss
     invalidates local checkpoints); the shape is identical.
+
+    ``sh_base``: an already-materialized (doc, split, sh) table (the
+    session contamination artifact) — passing it skips the per-call
+    tokenize+shingle+checkpoint entirely, so repeated runs (and sibling
+    audits like the agreement matrix) re-pay nothing.
     """
-    base = (
-        docs.select(
-            F.col(id_col).alias("doc"),
-            corpus_split(text_col).alias("split"),
-            tokens(text_col).alias("toks"),
+    if sh_base is not None:
+        base = sh_base
+    else:
+        base = (
+            docs.select(
+                F.col(id_col).alias("doc"),
+                corpus_split(text_col).alias("split"),
+                tokens(text_col).alias("toks"),
+            )
+            .select(
+                "doc", "split", shingles_from_tokens(F.col("toks"), k).alias("sh")
+            )
+            .localCheckpoint(eager=True)
         )
-        .select("doc", "split", shingles_from_tokens(F.col("toks"), k).alias("sh"))
-        .localCheckpoint(eager=True)
-    )
     test_docs = base.filter(F.col("split") == "test").select(
         "doc", F.size("sh").cast("bigint").alias("n_shingles")
     )
@@ -147,7 +161,11 @@ FROM tests t LEFT JOIN hits h USING (doc)
 
 
 def contamination_spans(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    toks_base: DataFrame | None = None,
 ) -> DataFrame:
     """Span-level decontamination report: per TEST document, the
     longest CONSECUTIVE run of k-gram positions whose shingle also
@@ -163,12 +181,19 @@ def contamination_spans(
     equi-join on the 8-byte shingle hash, then gaps-and-islands
     (pos - row_number) per doc over just the CONTAMINATED positions.
     All counters are integers ⇒ hash-exact.
+
+    ``toks_base``: an already-materialized (doc, split, toks) table
+    (the session tokenized-split artifact) — skips re-tokenizing the
+    corpus on every run.
     """
-    base = docs.select(
-        F.col(id_col).alias("doc"),
-        corpus_split(text_col).alias("split"),
-        tokens(text_col).alias("toks"),
-    )
+    if toks_base is not None:
+        base = toks_base
+    else:
+        base = docs.select(
+            F.col(id_col).alias("doc"),
+            corpus_split(text_col).alias("split"),
+            tokens(text_col).alias("toks"),
+        )
     test = base.filter(F.col("split") == "test")
     test_docs = test.select(
         "doc",

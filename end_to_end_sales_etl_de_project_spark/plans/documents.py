@@ -171,6 +171,48 @@ def _kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _KEPT_CORPUS[key]
 
 
+# Tokenized-split artifact (doc, split, toks) and its 5-gram shingle
+# derivative (doc, split, sh): the base every decontamination audit
+# reads (d07 report, t20 spans, c08 agreement). Same production
+# rationale as _SHINGLE_INDEX — the tokenize/shingle pass over the
+# corpus is materialized once per (session, corpus), not re-paid inside
+# every plan build.
+_SPLIT_TOKS: dict[tuple, DataFrame] = {}
+_SPLIT_SHINGLES5: dict[tuple, DataFrame] = {}
+
+
+def _split_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for key in [key for key in _SPLIT_TOKS if key[0] != app]:
+        del _SPLIT_TOKS[key]
+    key = (app, sf_dir)
+    if key not in _SPLIT_TOKS:
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.select(
+            F.col("doc_id").alias("doc"),
+            text.corpus_split("text").alias("split"),
+            text.tokens("text").alias("toks"),
+        )
+        _SPLIT_TOKS[key] = base.localCheckpoint(eager=True)
+    return _SPLIT_TOKS[key]
+
+
+def _split_shingles5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for key in [key for key in _SPLIT_SHINGLES5 if key[0] != app]:
+        del _SPLIT_SHINGLES5[key]
+    key = (app, sf_dir)
+    if key not in _SPLIT_SHINGLES5:
+        base = _split_toks(spark, sf_dir)
+        sh = base.select(
+            "doc",
+            "split",
+            text.shingles_from_tokens(F.col("toks"), 5).alias("sh"),
+        )
+        _SPLIT_SHINGLES5[key] = sh.localCheckpoint(eager=True)
+    return _SPLIT_SHINGLES5[key]
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -589,9 +631,12 @@ def d07_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination report: per test-split doc, how many
     of its distinct 5-gram shingles occur anywhere in the train split.
     Equi-join on 8-byte shingle hashes; the train inventory is
-    deduplicated BEFORE the join (no hot-shingle fanout)."""
+    deduplicated BEFORE the join (no hot-shingle fanout). Reads the
+    session (doc, split, 5-gram shingle) artifact."""
     docs = load_table(spark, sf_dir, "documents")
-    return curation.contamination_report(docs)
+    return curation.contamination_report(
+        docs, sh_base=_split_shingles5(spark, sf_dir)
+    )
 
 
 @_register("t09_tfidf_top_terms", curation.tfidf_top_terms_sql())
@@ -1189,9 +1234,10 @@ def t20_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     run count / total contaminated positions) — distinguishes one long
     verbatim passage (memorization risk) from scattered common phrases
     (boilerplate). Positional explode on the small test split only;
-    gaps-and-islands over just the contaminated positions."""
+    gaps-and-islands over just the contaminated positions. Reads the
+    session tokenized-split artifact."""
     docs = load_table(spark, sf_dir, "documents")
-    return curation.contamination_spans(docs)
+    return curation.contamination_spans(docs, toks_base=_split_toks(spark, sf_dir))
 
 
 @_register("d12_fuzzy_decontaminate", dedup.fuzzy_decontaminate_sql())
@@ -1889,10 +1935,14 @@ def c08_decontamination_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale shape: both passes are the production operators themselves
     (same split assignment, d12 reading the session shingle index), so
     this audit costs two already-bounded pipelines plus a left join on
-    the small test-doc spine and a 4-row rollup — no new corpus pass.
+    the small test-doc spine and a 4-row rollup — no new corpus pass
+    (both sides read session artifacts: the 5-gram split shingles and
+    the k=3 shingle index).
     """
     docs = load_table(spark, sf_dir, "documents")
-    verbatim = curation.contamination_report(docs)
+    verbatim = curation.contamination_report(
+        docs, sh_base=_split_shingles5(spark, sf_dir)
+    )
     fuzzy = (
         dedup.fuzzy_decontaminate(
             docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
