@@ -159,6 +159,7 @@ HEADLINE = [
     "q89_promo_revenue_share",
     "e30_rfm_segments",
     "c08_decontamination_agreement",
+    "t24_quality_buckets",
 ]
 
 

@@ -1959,3 +1959,62 @@ def c08_decontamination_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     return j.groupBy("verbatim_contaminated", "fuzzy_contaminated").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality buckets (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+
+def _t24_oracle() -> str:
+    return f"""
+WITH t21 AS ({_t21_oracle()}),
+d AS (
+  SELECT t.doc_id, doc.lang, t.avg_p
+  FROM t21 t JOIN documents doc USING (doc_id)
+),
+c AS (
+  SELECT lang, quantile_cont(avg_p, [0.25, 0.75]) AS q
+  FROM d GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.avg_p,
+       CASE WHEN d.avg_p > c.q[2] THEN 'head'
+            WHEN d.avg_p > c.q[1] THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM d JOIN c USING (lang)
+"""
+
+
+@_register("t24_quality_buckets", _t24_oracle())
+def t24_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning: each doc lands in a
+    head / middle / tail quality bucket PER LANGUAGE by its bigram-LM
+    fluency score (t21's avg_p — the count-based perplexity stand-in),
+    head = top quartile, tail = bottom quartile. CCNet buckets by
+    per-language perplexity terciles; the quartile variant keeps the
+    cutoff fractions exactly representable in binary (0.25/0.75), so
+    the interpolated percentile — and therefore every boundary
+    comparison — is bit-identical across engines.
+
+    Scale shape: the per-language cutoff table is |langs| rows
+    (broadcast back); the expensive part is t21's LM decoration, which
+    is the production scorer itself — two map-side-combinable counts
+    and one equi-join on (w1,w2). No per-language sort, no ntile.
+    """
+    sc = t21_doc_lm_score(spark, sf_dir).select("doc_id", "avg_p")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = sc.join(docs, "doc_id")
+    cuts = d.groupBy("lang").agg(
+        F.expr("percentile(avg_p, array(0.25D, 0.75D))").alias("q")
+    )
+    q1 = F.element_at(F.col("q"), 1)
+    q3 = F.element_at(F.col("q"), 2)
+    return d.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "avg_p",
+        F.when(F.col("avg_p") > q3, "head")
+        .when(F.col("avg_p") > q1, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -89,6 +89,7 @@ DRIVER_WINDOW: list[str] = [
     "q89_promo_revenue_share",
     "e30_rfm_segments",
     "c08_decontamination_agreement",
+    "t24_quality_buckets",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
@@ -97,7 +98,6 @@ DRIVER_WINDOW: list[str] = [
     "d02_ngram_jaccard",
     "d03_minhash_lsh",
     "d06_neardup_resolve",
-    "d08_jaccard_stopshingle",
     "c01_curate_corpus",
     "c02_training_manifest",
     "q58_sorted_layout_readback",
