@@ -207,3 +207,43 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def anomaly_score_stream(
+    events: DataFrame,
+    median_n: float,
+    mad_n: float,
+    threshold: float = 3.5,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Online twin of ``e29_hourly_mad_outliers``: score each hourly
+    window's event count against OFFLINE-fitted robust statistics
+    (median/MAD from the batch pass), flagging |z| > ``threshold``.
+
+    A true streaming median is not incrementally maintainable; the
+    production pattern is exactly this split — fit the robust baseline
+    offline on history (e29), broadcast the two scalars into the
+    stream, and score windows as the watermark closes them. State is
+    bounded by the watermark (one count per open window); the scoring
+    itself is stateless arithmetic, identical to the batch expression,
+    so a closed window's row is bit-equal to e29 run over the same
+    data with the same cutoffs.
+    """
+    h = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("hour"), "n_events")
+    )
+    if mad_n == 0:
+        z = F.lit(0.0)
+        flag = F.lit(False)
+    else:
+        z = (F.col("n_events") - F.lit(median_n)) / (F.lit(1.4826) * F.lit(mad_n))
+        flag = F.abs(z) > threshold
+    return h.select(
+        "hour",
+        "n_events",
+        z.alias("robust_z"),
+        flag.alias("is_outlier"),
+    )

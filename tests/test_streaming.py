@@ -376,3 +376,25 @@ def test_hourly_active_stream_equals_batch_distinct(spark, sf_dir, events_src):
         .select("window_start", F.col("n_buyers").alias("n_users"))
     )
     assert _canon(buyers) == _canon(batch_buyers)
+
+
+def test_anomaly_stream_matches_batch_scoring(spark, sf_dir, events_src):
+    """Stream-scored hourly windows must equal e29 bit-for-bit when the
+    stream is armed with the batch-fitted median/MAD (offline fit →
+    online score is the production split; the arithmetic is shared)."""
+    from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+    from end_to_end_sales_etl_de_project_spark.streaming.events import (
+        anomaly_score_stream,
+    )
+
+    batch = QUERIES["e29_hourly_mad_outliers"](spark, sf_dir)
+    first = batch.limit(1).collect()[0]
+    med, mad = first["median_n"], first["mad_n"]
+    stream = read_events_stream(spark, events_src)
+    result = run_to_memory_sink(
+        anomaly_score_stream(stream, med, mad), "anomaly_test", "complete"
+    )
+    got = _canon(result)
+    want = _canon(batch.select("hour", "n_events", "robust_z", "is_outlier"))
+    assert got == want
+    assert len(got) > 0
