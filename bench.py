@@ -160,6 +160,7 @@ HEADLINE = [
     "e30_rfm_segments",
     "c08_decontamination_agreement",
     "t24_quality_buckets",
+    "c09_quality_budget_fill",
 ]
 
 

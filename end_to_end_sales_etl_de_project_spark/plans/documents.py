@@ -2018,3 +2018,113 @@ def t24_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-tiered token-budget fill (CCNet-style sampling policy)
+# ---------------------------------------------------------------------------
+
+
+def _c09_oracle() -> str:
+    return f"""
+WITH t24 AS ({_t24_oracle()}),
+toks AS (
+  SELECT doc_id, {text.token_count_sql('text')} AS n_tokens FROM documents
+),
+g AS (
+  SELECT b.lang, b.bucket,
+         CASE b.bucket WHEN 'head' THEN 1 WHEN 'middle' THEN 2 ELSE 3 END
+           AS tier,
+         SUM(t.n_tokens) AS tokens_available
+  FROM t24 b JOIN toks t USING (doc_id)
+  GROUP BY 1, 2
+),
+lt AS (
+  SELECT lang,
+         CAST(FLOOR(0.25 * SUM(tokens_available)) AS BIGINT) AS budget_tokens
+  FROM g GROUP BY 1
+),
+cum AS (
+  SELECT g.lang, g.bucket, g.tier, g.tokens_available, lt.budget_tokens,
+         SUM(g.tokens_available) OVER (PARTITION BY g.lang ORDER BY g.tier)
+           - g.tokens_available AS prior_tokens
+  FROM g JOIN lt USING (lang)
+)
+SELECT lang, bucket,
+       CAST(tokens_available AS BIGINT) AS tokens_available,
+       budget_tokens,
+       CASE WHEN tokens_available = 0 THEN 0.0
+            ELSE LEAST(1.0, GREATEST(0, budget_tokens - prior_tokens)
+                            / CAST(tokens_available AS DOUBLE)) END AS keep_rate,
+       CAST(FLOOR(
+         CASE WHEN tokens_available = 0 THEN 0.0
+              ELSE LEAST(1.0, GREATEST(0, budget_tokens - prior_tokens)
+                              / CAST(tokens_available AS DOUBLE)) END
+         * tokens_available) AS BIGINT) AS tokens_kept
+FROM cum
+"""
+
+
+@_register("c09_quality_budget_fill", _c09_oracle())
+def c09_quality_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sampling policy: fill each language's token BUDGET
+    (25% of its corpus tokens) greedily by quality tier — head first,
+    then middle, then tail — emitting per (lang, bucket) the exact
+    keep rate and tokens kept. This is the decision table a sampler
+    executes; head-heavy languages saturate early and drop their tail
+    entirely.
+
+    Determinism: token counts are integers; the only floats are the
+    per-bucket keep rate (one IEEE division) and its floor back to
+    integer tokens — identical in both engines (0.25 is an exact
+    binary fraction).
+
+    Scale shape: docs collapse to (lang, bucket) token sums via one
+    map-side-combinable aggregation over t24's bucket assignment; the
+    greedy fill is a running sum over ≤ 3 rows per language — windows
+    on the TIER SPINE, never the corpus.
+    """
+    b = t24_quality_buckets(spark, sf_dir).select("doc_id", "lang", "bucket")
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    tier = (
+        F.when(F.col("bucket") == "head", 1)
+        .when(F.col("bucket") == "middle", 2)
+        .otherwise(3)
+    )
+    g = (
+        b.join(toks, "doc_id")
+        .groupBy("lang", "bucket")
+        .agg(F.sum("n_tokens").alias("tokens_available"))
+        .withColumn("tier", tier)
+    )
+    lt = g.groupBy("lang").agg(
+        F.floor(F.lit(0.25) * F.sum("tokens_available"))
+        .cast("bigint")
+        .alias("budget_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("tier")
+    cum = (
+        g.join(F.broadcast(lt), "lang")
+        .withColumn(
+            "prior_tokens",
+            F.sum("tokens_available").over(w) - F.col("tokens_available"),
+        )
+    )
+    remaining = F.greatest(F.lit(0), F.col("budget_tokens") - F.col("prior_tokens"))
+    rate = F.when(F.col("tokens_available") == 0, F.lit(0.0)).otherwise(
+        F.least(
+            F.lit(1.0), remaining / F.col("tokens_available").cast("double")
+        )
+    )
+    return cum.select(
+        "lang",
+        "bucket",
+        F.col("tokens_available").cast("bigint").alias("tokens_available"),
+        "budget_tokens",
+        rate.alias("keep_rate"),
+        F.floor(rate * F.col("tokens_available")).cast("bigint").alias("tokens_kept"),
+    )
