@@ -1966,6 +1966,24 @@ def c08_decontamination_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
+# Bigram-LM score artifact (doc_id, avg_p): t21's output, materialized
+# once per (session, corpus) — the scorer is the production stage, the
+# bucketers/samplers (t24, c09) are its consumers and read the artifact
+# (same rationale as _CURATION_DECISIONS / _COMPONENTS).
+_LM_SCORES: dict[tuple, DataFrame] = {}
+
+
+def _lm_score_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for key in [key for key in _LM_SCORES if key[0] != app]:
+        del _LM_SCORES[key]
+    key = (app, sf_dir)
+    if key not in _LM_SCORES:
+        sc = t21_doc_lm_score(spark, sf_dir).select("doc_id", "avg_p")
+        _LM_SCORES[key] = sc.localCheckpoint(eager=True)
+    return _LM_SCORES[key]
+
+
 def _t24_oracle() -> str:
     return f"""
 WITH t21 AS ({_t21_oracle()}),
@@ -1999,9 +2017,10 @@ def t24_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-language cutoff table is |langs| rows
     (broadcast back); the expensive part is t21's LM decoration, which
     is the production scorer itself — two map-side-combinable counts
-    and one equi-join on (w1,w2). No per-language sort, no ntile.
+    and one equi-join on (w1,w2), materialized once per session
+    (``_lm_score_artifact``). No per-language sort, no ntile.
     """
-    sc = t21_doc_lm_score(spark, sf_dir).select("doc_id", "avg_p")
+    sc = _lm_score_artifact(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     d = sc.join(docs, "doc_id")
     cuts = d.groupBy("lang").agg(
