@@ -161,6 +161,7 @@ HEADLINE = [
     "c08_decontamination_agreement",
     "t24_quality_buckets",
     "c09_quality_budget_fill",
+    "e31_variant_shred",
 ]
 
 

@@ -1477,3 +1477,48 @@ def e30_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("frequency", "qf").alias("f_score"),
         score("monetary", "qm").alias("m_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Variant-typed semi-structured shredding (Spark 4 VariantType)
+# ---------------------------------------------------------------------------
+
+_E31_ORACLE = """
+WITH k AS (
+  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+         value
+  FROM events
+)
+SELECT CAST(FLOOR(k_value / 10.0) AS BIGINT) AS k_decade,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT k_value) AS BIGINT) AS n_distinct_k,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM k GROUP BY 1
+"""
+
+
+@_register("e31_variant_shred", _E31_ORACLE)
+def e31_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding through Spark 4's VARIANT type: parse
+    the JSON payload ONCE into a binary variant (``parse_json``), then
+    extract typed fields with ``variant_get`` — the modern path for
+    sparse/evolving payloads (e09 is the classic string-path
+    ``get_json_object`` twin). Parsing to variant once and extracting
+    N fields beats N string re-parses; at rest the same column shreds
+    into Parquet typed subcolumns.
+
+    The rollup groups by k-decade (integer division) with exact count
+    / distinct / decimal-sum — all engine-identical; DuckDB reads the
+    same field via ``json_extract``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    shredded = ev.select(k.alias("k_value"), "value")
+    return shredded.groupBy(
+        F.floor(F.col("k_value") / 10).cast("bigint").alias("k_decade")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("k_value").alias("n_distinct_k"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
