@@ -162,6 +162,7 @@ HEADLINE = [
     "t24_quality_buckets",
     "c09_quality_budget_fill",
     "e31_variant_shred",
+    "q90_supplier_diversity",
 ]
 
 

@@ -3413,3 +3413,46 @@ def q89_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(100.0) * promo / total).alias("promo_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier-availability count with exclusion list (TPC-H Q16 shape)
+# ---------------------------------------------------------------------------
+
+_Q90_ORACLE = """
+SELECT p_brand, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+GROUP BY p_brand, p_size
+"""
+
+
+@_register("q90_supplier_diversity", _Q90_ORACLE)
+def q90_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: per (brand, size), how many DISTINCT suppliers
+    have shipped the part — excluding an undesirable-supplier list
+    (low account balance standing in for Q16's complaints filter).
+    The NOT IN is decorrelated to a LEFT ANTI join against the tiny
+    broadcast exclusion set (supplier keys are non-null, so anti-join
+    ≡ NOT IN here — with nullable keys NOT IN would need the
+    three-valued-logic guard q43 pins).
+
+    Scale shape: the exclusion list and part both broadcast; the
+    distinct-supplier count is the only shuffle, and Spark plans it as
+    partial-distinct (Expand) before the exchange, so the shuffle
+    carries (brand, size, suppkey) triples already deduplicated
+    map-side — never raw lineitem rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 2000
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

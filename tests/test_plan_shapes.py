@@ -577,3 +577,14 @@ def test_rfm_scores_by_broadcast_cutoffs_not_ntile(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
+
+
+def test_supplier_diversity_distinct_is_partial_and_dims_broadcast(spark):
+    """q90 (Q16 shape): exclusion list + part ride broadcasts (anti +
+    inner), and the distinct-supplier count expands/partials map-side
+    — the shuffle must never carry raw lineitem rows."""
+    plan = plan_of(spark, "q90_supplier_diversity")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 3, plan  # partial distinct + final
+    assert _shuffle_exchanges(plan) <= 2, plan
