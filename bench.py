@@ -163,6 +163,7 @@ HEADLINE = [
     "c09_quality_budget_fill",
     "e31_variant_shred",
     "q90_supplier_diversity",
+    "d16_containment_pairs",
 ]
 
 

@@ -2147,3 +2147,25 @@ def c09_quality_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("keep_rate"),
         F.floor(rate * F.col("tokens_available")).cast("bigint").alias("tokens_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (small-doc-inside-big-doc pairs)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "d16_containment_pairs",
+    dedup.containment_pairs_sql("doc_id", "text", 3, 0.9),
+)
+def d16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: pairs where ≥90% of the SMALLER
+    doc's 3-gram shingles appear in the larger — the quoted-article /
+    concatenation / truncation duplicates whose symmetric Jaccard is
+    diluted by the size gap (d15 catches the exact-prefix special
+    case; this is the general subset form). Reads the session shingle
+    index; candidates from the shared-shingle equi-join, never
+    all-pairs."""
+    return dedup.containment_pairs(
+        _shingle_index(spark, sf_dir, 3), 0.9, pre_hashed=True
+    )
