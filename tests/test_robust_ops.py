@@ -98,3 +98,18 @@ def test_mad_outliers_constant_series_zero_z(spark, tmp_path):
     out = QUERIES["e29_hourly_mad_outliers"](spark, str(tmp_path)).collect()
     assert all(r["robust_z"] == 0.0 and not r["is_outlier"] for r in out)
     assert all(r["mad_n"] == 0.0 for r in out)
+
+
+def test_containment_flags_embedded_doc_jaccard_misses(spark, tmp_path):
+    big_words = " ".join(f"w{i}" for i in range(60))
+    small = " ".join(f"w{i}" for i in range(12))   # strict subset of big's shingles
+    other = " ".join(f"x{i}" for i in range(12))   # disjoint
+    _write_docs(spark, tmp_path, [big_words, small, other])
+    out = {(r["doc_a"], r["doc_b"]): r
+           for r in QUERIES["d16_containment_pairs"](spark, str(tmp_path)).collect()}
+    assert set(out) == {(0, 1)}
+    r = out[(0, 1)]
+    assert r["containment"] == 1.0          # every small shingle is in big
+    assert r["n_a"] == 58 and r["n_b"] == 10  # 3-gram counts (n - 2)
+    # the same pair's symmetric jaccard is 10/58 ≈ 0.17 — far below any
+    # dedup threshold; containment is what catches it
