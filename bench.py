@@ -164,6 +164,7 @@ HEADLINE = [
     "e31_variant_shred",
     "q90_supplier_diversity",
     "d16_containment_pairs",
+    "t25_effective_tokens",
 ]
 
 

@@ -2169,3 +2169,88 @@ def d16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(
         _shingle_index(spark, sf_dir, 3), 0.9, pre_hashed=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Effective (dedup-adjusted) token counts per source
+# ---------------------------------------------------------------------------
+
+
+def _t25_oracle() -> str:
+    comp = dedup.neardup_components_sql(
+        dedup.minhash_lsh_pairs_sql("doc_id", "text"), "doc_id"
+    )
+    toks = text.token_count_sql("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, {toks} AS n_toks FROM documents
+),
+ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+comp AS ({comp}),
+per_src AS (
+  SELECT t.source,
+         COUNT(*) AS n_docs,
+         SUM(t.n_toks) AS total_tokens,
+         SUM(CASE WHEN ex.doc_id IS NOT NULL THEN t.n_toks ELSE 0 END)
+           AS exact_tokens,
+         SUM(CASE WHEN c.is_canonical THEN t.n_toks ELSE 0 END)
+           AS effective_tokens
+  FROM t
+  LEFT JOIN ex USING (doc_id)
+  JOIN comp c USING (doc_id)
+  GROUP BY t.source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(exact_tokens AS BIGINT) AS exact_tokens,
+       CAST(effective_tokens AS BIGINT) AS effective_tokens,
+       1.0 - effective_tokens / CAST(total_tokens AS DOUBLE) AS dup_ratio
+FROM per_src
+"""
+
+
+@_register("t25_effective_tokens", _t25_oracle())
+def t25_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-adjusted corpus accounting per source: raw token count,
+    tokens surviving EXACT dedup (one canonical per distinct text, min
+    doc_id), and EFFECTIVE tokens after near-dup resolution (d06
+    component keepers only) — the three-level funnel behind every
+    honest "N-token dataset" claim, and the per-source dup tax a
+    curation owner acts on.
+
+    Scale shape: one token-count projection over the corpus; exact
+    canonicals are a groupBy on the 60-bit text hash; the near-dup
+    level reads the session component artifact instead of re-running
+    label propagation. All joins ride the doc-id spine; output is
+    |sources| rows.
+    """
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", text.token_count("text").alias("n_toks")
+    )
+    ex = (
+        docs.select(h60(F.col("text")).alias("th"), "doc_id")
+        .groupBy("th")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("is_exact_keeper"))
+    )
+    comp = _component_artifact(spark, sf_dir).select("doc_id", "is_canonical")
+    j = t.join(ex, "doc_id", "left").join(comp, "doc_id")
+    eff = F.sum(F.when(F.col("is_canonical"), F.col("n_toks")).otherwise(0))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("is_exact_keeper"), F.col("n_toks")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("exact_tokens"),
+        eff.cast("bigint").alias("effective_tokens"),
+        (
+            F.lit(1.0)
+            - eff / F.sum("n_toks").cast("double")
+        ).alias("dup_ratio"),
+    )

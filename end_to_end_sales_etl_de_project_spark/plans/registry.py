@@ -100,12 +100,12 @@ DRIVER_WINDOW: list[str] = [
     "e31_variant_shred",
     "q90_supplier_diversity",
     "d16_containment_pairs",
+    "t25_effective_tokens",
     # -- NEW in round 5 (no driver row yet): these MUST be in the window
     # -- changed paths in round 5: session-memoized shingle index
     # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
     # staging dirs (the write-then-read roundtrips)
     "m05_resize_assets",
-    "c01_curate_corpus",
     "q58_sorted_layout_readback",
 ]
 
