@@ -41,12 +41,15 @@ DRIVER_WINDOW_SIZE = 50
 # d14) then displaced most of (c): new queries MUST hold a slot (the
 # union invariant), while the displaced refresh rows all retain
 # r01/r02 driver evidence and stay under local parity at sf0.001.
-# A third batch (q84-q89, d15, e29-e31, c08, c09, t24) displaced the
-# remaining roundtrip/refresh rows (q33/q34/q45/q46/q56/q57/q61/q69,
-# q01, d02, d06, d08, d09) — each has green driver evidence from r02
-# or r04, and the round-5 changed paths they covered remain
-# represented (q58 for the per-session staging dirs; d03/c01/c02/d14
-# for the session shingle/curation/component artifacts).
+# A third batch (q84-q90, d15, d16, e29-e31, c08, c09, t24, t25)
+# displaced the remaining roundtrip/refresh rows (q33/q34/q45/q46/
+# q56/q57/q61/q69, q01, d02, d03, d06, d08, d09, c01, c02) — each has
+# green driver evidence from r02 or r04, and every round-5 changed
+# path keeps an in-window representative: q58 (per-session staging
+# dirs), d16 (session shingle index), d14/t25 (component artifact),
+# c06 (curation-decision artifact, i.e. the full curate_corpus
+# chain), c08 (split-shingle artifacts + fuzzy path), t24/c09 (LM
+# score artifact), m05 (oracle promotion).
 # Everything rotated out stays under tests/test_oracle_parity.py at
 # sf0.001, and tests/test_registry_window.py enforces the union
 # invariant (every registered query has driver evidence from some round
