@@ -588,3 +588,22 @@ def test_supplier_diversity_distinct_is_partial_and_dims_broadcast(spark):
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("HashAggregate") >= 3, plan  # partial distinct + final
     assert _shuffle_exchanges(plan) <= 2, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "d16_containment_pairs",
+        "t25_effective_tokens",
+        "t24_quality_buckets",
+        "c09_quality_budget_fill",
+        "c08_decontamination_agreement",
+    ],
+)
+def test_artifact_consumers_never_cartesian_or_serial(spark, name):
+    """The artifact-backed audits: equi-joins only (shared-shingle /
+    doc-id / lang spines), no cartesian blowup and no single-partition
+    funnel anywhere in the plan."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
