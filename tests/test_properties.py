@@ -242,3 +242,36 @@ def test_swept_peaks_match_sequential_prefix_sum(spark, pts, bucket):
         b = t - t % bucket
         want[b] = max(want.get(b, run), run)
     assert got == want
+
+
+def test_containment_dominates_jaccard_on_shared_corpus(spark, sf_dir):
+    """Containment laws on the real corpus: for every pair surfaced by
+    either measure, C(A,B) ≥ J(A,B) (min ≤ union), both lie in (0, 1],
+    and C = 1 exactly when the smaller shingle set is a subset of the
+    larger (n_common = min size)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_sales_etl_de_project_spark.operators import dedup
+    from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", 3)
+    cont = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup.containment_pairs(sh, 0.0).collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(sh, 0.0).collect()
+    }
+    assert cont and set(jac) == set(cont)  # same shared-shingle candidate pairs
+    for pair, r in cont.items():
+        c = r["containment"]
+        assert 0.0 < c <= 1.0
+        assert c >= jac[pair] - 1e-12
+        if c == 1.0:
+            # subset relation: reconstruct n_common from the jaccard
+            n_a, n_b = r["n_a"], r["n_b"]
+            j = jac[pair]
+            n_common = j * (n_a + n_b) / (1 + j)
+            assert abs(n_common - min(n_a, n_b)) < 1e-6
