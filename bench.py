@@ -201,19 +201,33 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     total = round(sum(timings.values()), 3)
-    # Field ORDER is load-bearing: the driver keeps only the TAIL of the
-    # process output, so the big per-query map goes first and the summary
-    # fields (metric/unit/value/sf) go LAST — a front-truncated line still
-    # yields the headline total (BENCH_r04 lost it the other way round).
-    out = {"queries": timings}
+    # TWO lines (VERDICT r5 #2): the driver keeps only a bounded TAIL of
+    # the process output, and the 127-query map (~4 KB) front-truncated
+    # the single JSON line two rounds running (BENCH r04/r05 parsed=null).
+    # Line 1: the full per-query map, for humans and archaeology.
+    # Line 2 (LAST): a tiny self-contained summary (<200 bytes) that can
+    # never be truncated — this is the line the driver must parse.
+    detail = {"queries": timings}
     if errors:
-        out["errors"] = errors
+        detail["errors"] = errors
     if skipped:
         # a renamed/typo'd headline query must not silently shrink the
         # benchmark into a fake speedup
-        out["skipped"] = skipped
-    out.update({"metric": "headline_queries_total", "unit": "sec", "value": total, "sf": sf})
-    print(json.dumps(out))
+        detail["skipped"] = skipped
+    print(json.dumps(detail))
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors) + len(skipped),
+        # bounded top-10 slowest keeps the contract's "queries" key while
+        # staying well under any plausible tail-capture size
+        "queries": top,
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 

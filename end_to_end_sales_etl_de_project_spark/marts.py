@@ -5,8 +5,10 @@ Reference parity:
 
 - ``dimesions_table_join`` (``/root/reference/src/transform/
   transform.py:88-117``): fact ⋈ customer ⋈ store ⋈ sales_team, all
-  inner equi-joins — here with explicit ``broadcast()`` on the dims
-  (bounded tables; the fact never shuffles for these joins).
+  inner equi-joins — here with explicit ``broadcast()`` on the
+  genuinely bounded dims (store, sales_team) and a statistics-gated
+  join for the scaling customer dim (the fact never shuffles for
+  these joins while the dims fit the broadcast threshold).
 - Customer mart (``src/main_1.py:423-432``), sales-team mart
   (``src/main_1.py:486-499``) — same projections; the mart write is
   partitioned by (sales_month, store_id) like main_1.py:524-529.
@@ -39,9 +41,14 @@ def enrich_sales(
     store: DataFrame,
     sales_team: DataFrame,
 ) -> DataFrame:
-    """Three broadcast inner joins (transform.py:88-117). Dimension
+    """Three dim inner joins (transform.py:88-117). Dimension
     columns are pre-renamed to avoid the reference's qualified-name
-    ``drop`` no-op trap (SURVEY §2.2 P3)."""
+    ``drop`` no-op trap (SURVEY §2.2 P3).
+
+    Broadcast policy (VERDICT r5 #1): store and sales_team are bounded
+    by business reality — hint them. ``customer`` scales with the
+    corpus, so it carries NO hint; statistics pick broadcast while it
+    fits the threshold and a shuffled join once it doesn't."""
     cust = customer.select(
         "customer_id",
         F.col("first_name").alias("customer_first_name"),
@@ -64,7 +71,7 @@ def enrich_sales(
         F.col("pincode").alias("sales_person_pincode"),
     )
     return (
-        sales.join(F.broadcast(cust), "customer_id", "inner")
+        sales.join(cust, "customer_id", "inner")
         .join(F.broadcast(st), sales.store_id == st.store_pk, "inner")
         .join(F.broadcast(team), sales.sales_person_id == team.sales_person_pk, "inner")
         .drop("store_pk", "sales_person_pk")

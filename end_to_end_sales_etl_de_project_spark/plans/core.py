@@ -77,7 +77,7 @@ def q01_customer_monthly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     fact = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
         .withColumn("sales_month", month_key("o_orderdate"))
         .withColumnRenamed("o_custkey", "customer_id")
         .withColumnRenamed("c_name", "customer_name")
@@ -98,7 +98,7 @@ def q01g_customer_monthly_spend_grouped(spark: SparkSession, sf_dir: str) -> Dat
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
         .groupBy(
             F.col("o_custkey").alias("customer_id"),
             F.col("c_name").alias("customer_name"),
@@ -233,12 +233,18 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 
 @_register("q05_join_inner_broadcast", _Q05_ORACLE)
 def q05_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1: fact ⋈ broadcast dim inner equi-join
-    (`src/transform/transform.py:93-97`)."""
+    """J1: fact ⋈ dim inner equi-join (`src/transform/transform.py:93-97`).
+
+    No forced broadcast hint: `customer` scales linearly with the corpus
+    (sf×150k rows), so the hint that is harmless at sf0.1 is a guaranteed
+    broadcast OOM at the 100 TB design point. Static planning + AQE pick
+    broadcast from statistics while the dim fits the 64 MB threshold and
+    degrade to a shuffled join when it doesn't — the plan you want at
+    both scales (VERDICT r5 #1)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+        customer, orders.o_custkey == customer.c_custkey, "inner"
     ).select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
 
 
@@ -585,7 +591,7 @@ def q13_customer_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
         .select(
             F.col("c_custkey").alias("customer_id"),
@@ -1109,7 +1115,7 @@ def q35_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(18,2)")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(money("l_extendedprice") * (one - money("l_discount")))
@@ -1154,7 +1160,7 @@ def q36_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(18,2)")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(
             F.broadcast(supplier),
             (lineitem.l_suppkey == supplier.s_suppkey)
@@ -1772,8 +1778,10 @@ GROUP BY 1
 def q60_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: local-supplier revenue per nation inside one
     region and a 2-year window. The fact shuffles ONCE for the
-    orders join (both sides large); every dimension — customer is
-    bounded, supplier/nation/region tiny — broadcasts, and the
+    orders join (both sides large); every dimension broadcasts at
+    bench scale — customer UNHINTED (it scales with the corpus, so
+    statistics decide: broadcast under the threshold, shuffle above),
+    supplier/nation/region hinted (bounded) — and the
     region filter prunes nations BEFORE the fact sees them, so the
     c_nationkey = s_nationkey local-supplier condition resolves inside
     broadcast hash joins, never a shuffle. Partial aggregation applies
@@ -1792,7 +1800,7 @@ def q60_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter((od >= "1996-01-01") & (od < "1998-01-01")),
             li.l_orderkey == orders.o_orderkey,
         )
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(
             F.broadcast(supplier),
             (li.l_suppkey == supplier.s_suppkey)
@@ -2615,7 +2623,7 @@ def q76_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_name",
             F.col("o_custkey").alias("customer_id"),
@@ -2956,7 +2964,7 @@ def q82_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     m = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             month_key("o_orderdate").alias("sales_month"),
@@ -3142,7 +3150,7 @@ def q85_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_15"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n1), supplier.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(n2), customer.c_nationkey == F.col("c_nk"))
@@ -3235,7 +3243,7 @@ def q86_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_vol = F.sum(vol).cast("double")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n1), supplier.s_nationkey == F.col("s_nk"))
@@ -3296,7 +3304,7 @@ def q87_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(18,2)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(

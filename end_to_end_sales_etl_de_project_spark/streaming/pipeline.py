@@ -43,12 +43,18 @@ MART_KEYS = ["user_id", "segment", "event_type"]
 
 def enrich_events(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     """Stream-static (or batch-batch — same body, the batch≡stream test
-    relies on it) enrichment join onto a broadcast user dimension.
+    relies on it) enrichment join onto the user dimension.
     Left join: an event from a user missing in the dim must survive
     with a null segment, not vanish (the reference's inner joins
     silently dropped orphan facts — a known wart, not parity worth
-    keeping)."""
-    dim = F.broadcast(user_dim.select("user_id", "segment"))
+    keeping).
+
+    No forced broadcast (VERDICT r5 #1): a user dimension scales with
+    the user base, so the hint is an OOM at the 100 TB design point;
+    statistics pick broadcast while the projected dim fits the 64 MB
+    threshold (it does at every test SF) and a shuffled stream-static
+    join once it doesn't."""
+    dim = user_dim.select("user_id", "segment")
     return events.join(dim, "user_id", "left")
 
 

@@ -185,6 +185,44 @@ def test_sorted_layout_files_have_disjoint_ranges(spark):
         assert hi_a <= lo_b, f"overlapping file ranges: ({lo_a},{hi_a}) vs ({lo_b},{hi_b})"
 
 
+def test_scaling_tables_never_carry_forced_broadcast_hints():
+    """VERDICT r5 #1: customer/orders/lineitem scale linearly with the
+    corpus — a forced F.broadcast() on any of them is a guaranteed OOM
+    at the 100 TB design point (the hint DISABLES the optimizer's size
+    check). Statistics must decide. Grep the source so the hint cannot
+    quietly return."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).parent.parent / "end_to_end_sales_etl_de_project_spark"
+    offenders = []
+    for f in pkg.rglob("*.py"):
+        src = f.read_text()
+        for m in re.finditer(
+            r"F\.broadcast\(\s*(customer|orders|lineitem|user_dim|cust)\b", src
+        ):
+            offenders.append(f"{f.name}: {m.group(0)}")
+    assert not offenders, offenders
+
+
+def test_customer_join_is_stats_gated_broadcast(spark):
+    """q05: with no hint, statistics pick broadcast at test SF (the dim
+    fits the 64 MB threshold) — and the SAME plan degrades to a shuffled
+    join when the threshold says the dim is too big, which is the 100 TB
+    behavior the forced hint used to prevent."""
+    plan = plan_of(spark, "q05_join_inner_broadcast")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        gated = plan_of(spark, "q05_join_inner_broadcast")
+        assert "BroadcastHashJoin" not in gated, gated
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_star_join_broadcasts_every_dim(spark):
     """q60 (TPC-H Q5 shape): all dimension joins resolve as broadcast
     hash joins — a sort-merge join against a bounded dim means the
