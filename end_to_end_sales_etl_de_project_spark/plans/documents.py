@@ -2154,20 +2154,30 @@ def c09_quality_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# same data-informed cap as d08: shingle df tops out at 7 (sf0.01) /
+# 25 (sf0.1), so df ≤ 5 FIRES at every scale — the driver hash check
+# covers the capped semantics, not a no-op configuration
+_D16_MAX_DF = 5
+
+
 @_register(
     "d16_containment_pairs",
-    dedup.containment_pairs_sql("doc_id", "text", 3, 0.9),
+    dedup.containment_pairs_sql("doc_id", "text", 3, 0.9, max_df=_D16_MAX_DF),
 )
 def d16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup: pairs where ≥90% of the SMALLER
     doc's 3-gram shingles appear in the larger — the quoted-article /
     concatenation / truncation duplicates whose symmetric Jaccard is
     diluted by the size gap (d15 catches the exact-prefix special
-    case; this is the general subset form). Reads the session shingle
-    index; candidates from the shared-shingle equi-join, never
-    all-pairs."""
+    case; this is the general subset form). Reads the session's
+    df-CAPPED shingle index (VERDICT r5 #4): the shared-shingle
+    equi-join generates O(df²) candidates per shingle, so boilerplate
+    shingles (df > 5) leave the universe before pair generation, the
+    identical stop-shingle guard d08 applies for Jaccard — containment
+    (and both sizes) is exact over the reduced universe, and the
+    oracle applies the same cap. Never all-pairs."""
     return dedup.containment_pairs(
-        _shingle_index(spark, sf_dir, 3), 0.9, pre_hashed=True
+        _shingle_index(spark, sf_dir, 3, max_df=_D16_MAX_DF), 0.9, pre_hashed=True
     )
 
 

@@ -83,6 +83,51 @@ def test_stop_shingle_cap_removes_boilerplate_pairs(spark):
     assert (1000, 1001) in capped
 
 
+def test_containment_cap_removes_boilerplate_pairs(spark):
+    """df-capped containment (d16's guard, VERDICT r5 #4): docs related
+    ONLY through a hot boilerplate shingle must stop minting O(df²)
+    candidate pairs; a genuine embedded-doc pair (rare shingles)
+    survives with containment computed over the reduced universe."""
+    greek = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    )
+    footer = " copyright footer boilerplate"
+    rows = [
+        (i, f"unique words row{i} anchor{i} filler{i} end{i}" + footer)
+        for i in range(30)
+    ]
+    # small doc fully embedded in a larger one: containment ~1.0
+    rows += [(1000, greek), (1001, greek + " plus extra trailing context words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingle_table(docs, "doc_id", "text", 3)
+
+    # threshold 0: the guard is about CANDIDATE generation (the O(df²)
+    # equi-join rows exist before any threshold filters them)
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.containment_pairs(sh, 0.0).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.containment_pairs(sh, 0.0, max_df=5).collect()
+    }
+    # footer shingles relate every boilerplate doc pairwise when uncapped
+    assert any(a < 30 and b < 30 for a, b in uncapped)
+    # capped: those pairs vanish; the genuine embedded pair survives
+    assert not any(a < 30 and b < 30 for a, b in capped)
+    assert (1000, 1001) in capped
+
+
+def test_containment_capped_sql_matches_flag(spark):
+    """The guard is mirrored in the SQL twin: max_df emits the HAVING
+    df-cap CTE; without it the cap is absent."""
+    sql_on = dedup.containment_pairs_sql("doc_id", "text", 3, 0.9, max_df=5)
+    sql_off = dedup.containment_pairs_sql("doc_id", "text", 3, 0.9)
+    assert "HAVING COUNT(*) <= 5" in sql_on
+    assert "HAVING" not in sql_off
+
+
 def test_end_to_end_pairs_guarded_sql_matches(spark):
     """The guard is mirrored in the SQL twin: default-parameter SQL
     contains the HAVING clause; guard-off SQL does not."""
