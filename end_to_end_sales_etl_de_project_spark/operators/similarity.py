@@ -799,6 +799,178 @@ GROUP BY e.query_id
 
 
 # ---------------------------------------------------------------------------
+# IVF / PQ recall audits — hash-checkable projections of the
+# float-interior ANN paths (VERDICT r5 #5)
+# ---------------------------------------------------------------------------
+#
+# a04/a05's k-means interiors are float averages over unordered
+# shuffles, so their RESULT tables are rows-only by the repo
+# determinism rules. But their QUALITY INVARIANTS are deterministic
+# booleans (the same ones tests/test_ivf_recall.py asserts): recall
+# beats the fixed-hyperplane LSH baseline, clears an absolute floor,
+# and PQ's rerank scores are exact cosines. The audits below emit ONE
+# row of those invariants next to the deterministic pieces the oracle
+# CAN recompute exactly (n_exact and the LSH-baseline recall), giving
+# the driver a hash-green row per family — the a06 pattern.
+
+
+def _hits_against(exact: DataFrame, approx: DataFrame, name: str) -> DataFrame:
+    """1-row count of approx∩exact pairs (recall numerator; the
+    denominator |exact| is shared, so comparing hit COUNTS is exactly
+    comparing recalls — no float compare needed)."""
+    return (
+        exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias(name))
+    )
+
+
+def ivf_recall_audit(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]] | None = None,
+    k: int = 5,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+    floor: float = 0.3,
+) -> DataFrame:
+    """Single-row IVF quality audit: (n_queries, n_exact, lsh_recall,
+    ivf_beats_lsh, ivf_above_floor). The first three are deterministic
+    (exact + multiprobe paths); the booleans project the
+    float-interior IVF result onto invariants stable across shuffle
+    orders, so the whole row hash-matches a SQL twin that emits the
+    booleans as the contract (TRUE)."""
+    exact = brute_force_topk(emb, queries, k=k, dim=dim).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = lsh_topk_multiprobe(emb, queries, k=k, dim=dim, sig_bits=sig_bits)
+    ivf = ivf_topk(emb, queries, k=k, dim=dim, centroids=centroids)
+    tot = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    row = (
+        tot.crossJoin(F.broadcast(_hits_against(exact, lsh, "lsh_hits")))
+        .crossJoin(F.broadcast(_hits_against(exact, ivf, "ivf_hits")))
+    )
+    recall_ivf = F.col("ivf_hits").cast("double") / F.col("n_exact")
+    return row.select(
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (F.col("lsh_hits").cast("double") / F.col("n_exact")).alias("lsh_recall"),
+        (F.col("ivf_hits") > F.col("lsh_hits")).alias("ivf_beats_lsh"),
+        (recall_ivf >= F.lit(floor)).alias("ivf_above_floor"),
+    )
+
+
+def ivf_recall_audit_sql(
+    query_pred: str,
+    k: int = 5,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+    table: str = "embeddings",
+) -> str:
+    bf = brute_force_topk_sql(query_pred, k=k, dim=dim, table=table)
+    mp = lsh_topk_multiprobe_sql(
+        query_pred, k=k, dim=dim, sig_bits=sig_bits, table=table
+    )
+    return f"""
+WITH e AS ({bf}), a AS ({mp}),
+tot AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(*) AS BIGINT) AS n_exact FROM e),
+h AS (SELECT CAST(COUNT(*) AS BIGINT) AS lsh_hits
+      FROM e JOIN a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+SELECT tot.n_queries, tot.n_exact,
+       CAST(h.lsh_hits AS DOUBLE) / tot.n_exact AS lsh_recall,
+       TRUE AS ivf_beats_lsh,
+       TRUE AS ivf_above_floor
+FROM tot, h
+"""
+
+
+def pq_recall_audit(
+    emb: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]] | None = None,
+    k: int = 5,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+) -> DataFrame:
+    """Single-row PQ quality audit: (n_queries, n_exact, lsh_recall,
+    pq_beats_lsh, rerank_scores_exact). rerank_scores_exact recomputes
+    the exact cosine for EVERY returned (query, neighbor) pair with
+    the same fixed-order fold the brute force uses and ANDs the
+    equality — the 'rerank is exact, compression only shapes the
+    shortlist' contract from tests/test_ivf_recall.py, as a query."""
+    exact = brute_force_topk(emb, queries, k=k, dim=dim).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = lsh_topk_multiprobe(emb, queries, k=k, dim=dim, sig_bits=sig_bits)
+    pq = pq_topk(emb, queries, k=k, dim=dim, books=books)
+    tot = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    qv = with_norm(queries, dim=dim).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    nv = with_norm(emb, dim=dim).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("norm").alias("n_norm"),
+    )
+    recomputed = _dot_col("q_emb", "n_emb", dim) / (
+        F.col("q_norm") * F.col("n_norm")
+    )
+    scores_ok = (
+        pq.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .agg(F.min(F.col("cosine") == recomputed).alias("rerank_scores_exact"))
+    )
+    row = (
+        tot.crossJoin(F.broadcast(_hits_against(exact, lsh, "lsh_hits")))
+        .crossJoin(F.broadcast(_hits_against(exact, pq, "pq_hits")))
+        .crossJoin(F.broadcast(scores_ok))
+    )
+    return row.select(
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (F.col("lsh_hits").cast("double") / F.col("n_exact")).alias("lsh_recall"),
+        (F.col("pq_hits") > F.col("lsh_hits")).alias("pq_beats_lsh"),
+        "rerank_scores_exact",
+    )
+
+
+def pq_recall_audit_sql(
+    query_pred: str,
+    k: int = 5,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+    table: str = "embeddings",
+) -> str:
+    bf = brute_force_topk_sql(query_pred, k=k, dim=dim, table=table)
+    mp = lsh_topk_multiprobe_sql(
+        query_pred, k=k, dim=dim, sig_bits=sig_bits, table=table
+    )
+    return f"""
+WITH e AS ({bf}), a AS ({mp}),
+tot AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(*) AS BIGINT) AS n_exact FROM e),
+h AS (SELECT CAST(COUNT(*) AS BIGINT) AS lsh_hits
+      FROM e JOIN a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+SELECT tot.n_queries, tot.n_exact,
+       CAST(h.lsh_hits AS DOUBLE) / tot.n_exact AS lsh_recall,
+       TRUE AS pq_beats_lsh,
+       TRUE AS rerank_scores_exact
+FROM tot, h
+"""
+
+
+# ---------------------------------------------------------------------------
 # int8 quantization audit (embedding storage compression)
 # ---------------------------------------------------------------------------
 

@@ -3464,3 +3464,118 @@ def q90_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# JDBC roundtrip (reference S2/S7) — real execution on embedded Derby
+# ---------------------------------------------------------------------------
+
+_Q91_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@_register("q91_jdbc_roundtrip", _Q91_ORACLE)
+def q91_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S7 under real execution: the nation dim is APPENDED to a JDBC
+    table (reference utility.py:63-77 writes, :51-60 reads) and read
+    back as a RANGE-PARTITIONED scan (partitionColumn/bounds/
+    numPartitions — N parallel connections each pulling a key range,
+    the shape that matters when the dim table is large). The database
+    is embedded Derby (on Spark's own classpath), so the whole
+    JDBC code path — dialect type mapping, write batching, predicate
+    generation per partition — executes for real with zero network.
+
+    The db name is keyed by (session, corpus) like _staging_dir: the
+    driver correctness run, the bench, and a dev shell must not race
+    create/drop on one in-memory database. Write is overwrite for
+    idempotency across the warm+timed bench runs.
+    """
+    import hashlib
+
+    from end_to_end_sales_etl_de_project_spark.sources.jdbc import read_jdbc_table
+    from end_to_end_sales_etl_de_project_spark.writers import write_jdbc
+
+    nation = load_table(spark, sf_dir, "nation")
+    key = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}".encode()
+    ).hexdigest()[:12]
+    url = f"jdbc:derby:memory:eng{key};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    write_jdbc(nation, url, "nation_dim", properties=props, mode="overwrite")
+    return read_jdbc_table(
+        spark,
+        url,
+        "nation_dim",
+        properties=props,
+        partition_column="n_nationkey",
+        lower_bound=0,
+        upper_bound=25,
+        num_partitions=4,
+    ).select("n_nationkey", "n_name", "n_regionkey")
+
+
+# ---------------------------------------------------------------------------
+# Approx-aggregate error audit — q32's hash-green twin (VERDICT r5 #5)
+# ---------------------------------------------------------------------------
+
+# Bound rationale: approx_count_distinct's default rsd is 0.05 (one
+# HLL++ std error); measured per-group relative error across all three
+# test SFs tops out at 0.0862, so 0.15 (3σ) holds with margin while
+# remaining a REAL claim — a mis-merged or mis-scaled sketch is orders
+# of magnitude off, never 15%. HLL and GK sketches are deterministic
+# for a given dataset (no RNG), so the booleans are stable across runs
+# and shuffle orders.
+_Q92_HLL_BOUND = 0.15
+
+_Q92_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS hll_within_bound,
+       TRUE AS quartiles_ordered,
+       TRUE AS quartiles_in_range
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@_register("q92_approx_error_bounds", _Q92_ORACLE)
+def q92_approx_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q32's audit twin: the sketch outputs themselves are
+    engine-specific (rows-only by design), but their ERROR CONTRACTS
+    are checkable — per group, the HLL++ distinct estimate lands within
+    15% of the exact count (3x the configured rsd; measured ≤8.6% at
+    every test SF) and the GK quartiles are ordered and inside
+    [min, max] (they are real data values, not interpolations). The
+    oracle recomputes the exact side and pins the booleans as the
+    contract, so a sketch regression — wrong merge, wrong scaling,
+    swapped percentage array — flips a hash-checked row.
+
+    Same plan discipline as q32: the sketches and the exact distinct
+    run as SEPARATE aggregations joined on the 3-row group key (mixing
+    countDistinct with sketch aggregates forces Expand and drops the
+    sketches to the sort-aggregate fallback, measured 39x slower)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    sketches = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("qs"),
+    )
+    q1, q2, q3 = (F.element_at("qs", i) for i in (1, 2, 3))
+    rel_err = (
+        F.abs(F.col("approx_orders") - F.col("exact_orders")).cast("double")
+        / F.col("exact_orders")
+    )
+    return exact.join(sketches, "l_returnflag").select(
+        "l_returnflag",
+        F.col("exact_orders").cast("bigint").alias("exact_orders"),
+        (rel_err <= F.lit(_Q92_HLL_BOUND)).alias("hll_within_bound"),
+        ((q1 <= q2) & (q2 <= q3)).alias("quartiles_ordered"),
+        ((F.col("mn") <= q1) & (q3 <= F.col("mx"))).alias("quartiles_in_range"),
+    )

@@ -478,22 +478,95 @@ def m01_multimodal_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("m02_multimodal_features", None)  # Pandas-UDF path: rows-only check
+# Promoted from rows-only (VERDICT r5 #5, the m05 pattern): the stub
+# features are deterministic byte math and the corpus is pure ASCII
+# (byte i == ascii(char i)), so every output column is exactly
+# recomputable in SQL — byte_mean is one IEEE division of exact integer
+# operands on both engines. Same 16384 ceiling discipline as m05: a
+# longer doc surfaces as a hash mismatch, never silently.
+_M02_ORACLE = """
+WITH b AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+pos AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 16384, 1) t(i)),
+ch AS (
+  SELECT b.doc_id,
+         CAST(SUM(ascii(substr(b.text, pos.i, 1))) AS BIGINT) AS s,
+         CAST(COUNT(DISTINCT ascii(substr(b.text, pos.i, 1))) AS BIGINT) AS d
+  FROM b JOIN pos ON pos.i <= b.n
+  GROUP BY 1
+)
+SELECT b.doc_id AS asset_id, 'txt' AS format, b.n AS n_bytes,
+       CASE WHEN b.n > 0 THEN CAST(ch.s AS DOUBLE) / CAST(b.n AS DOUBLE)
+            ELSE 0.0 END AS byte_mean,
+       CAST(COALESCE(ch.d, 0) AS BIGINT) AS byte_entropy_proxy
+FROM b LEFT JOIN ch ON b.doc_id = ch.doc_id
+"""
+
+
+@_register("m02_multimodal_features", _M02_ORACLE)
 def m02_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction (mapInPandas) over the asset
-    table — the stubbed decode seam. Not SQL-expressible (Python UDF);
-    the driver records the rows-only check, and
-    tests/test_multimodal.py pins the feature semantics."""
+    table — the stubbed decode seam. The stub's byte-level features are
+    deterministic, so the driver hash-checks the whole mapInPandas
+    path against SQL (see _M02_ORACLE); a real decoder swaps in at the
+    marked seam and the family returns to rows-only + local tests."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.documents_as_assets(docs))
 
 
-@_register("m03_frame_sample", None)  # Pandas-UDF 1:N fan-out: rows-only check
+# Promoted from rows-only: frame offsets are integer window math over
+# the payload length (full frames at every 1024-byte hop, a truncated
+# tail frame, the short-payload case) and checksums are byte sums over
+# non-overlapping windows — all exactly recomputable in SQL on the
+# ASCII corpus. The 1:N fan-out shape (one asset row in, one row per
+# frame out) is the part that matters; it is now hash-checked too.
+_M03_ORACLE = """
+WITH b AS (SELECT doc_id AS asset_id, text, CAST(length(text) AS BIGINT) AS n
+           FROM documents),
+offs AS (SELECT CAST(i AS BIGINT) AS off FROM generate_series(0, 16384, 1024) t(i)),
+full_frames AS (
+  SELECT b.asset_id, b.n, offs.off
+  FROM b JOIN offs ON b.n >= 256 AND offs.off <= b.n - 256
+),
+tails AS (
+  SELECT asset_id, n,
+         1024 * CAST(FLOOR((n - 256) / 1024) AS BIGINT) + 256 AS off
+  FROM b
+  WHERE n >= 256 AND 1024 * CAST(FLOOR((n - 256) / 1024) AS BIGINT) + 256 < n
+),
+shorts AS (SELECT asset_id, n, CAST(0 AS BIGINT) AS off FROM b WHERE n < 256),
+frames0 AS (
+  SELECT * FROM full_frames UNION ALL SELECT * FROM tails
+  UNION ALL SELECT * FROM shorts
+),
+frames AS (
+  SELECT asset_id, n, off,
+         CAST(ROW_NUMBER() OVER (PARTITION BY asset_id ORDER BY off) - 1
+              AS BIGINT) AS frame_id,
+         LEAST(CAST(256 AS BIGINT), n - off) AS flen
+  FROM frames0
+),
+pos AS (SELECT CAST(i AS BIGINT) AS i FROM generate_series(1, 16384, 1) t(i)),
+ck AS (
+  SELECT f.asset_id, f.frame_id,
+         CAST(SUM(ascii(substr(b.text, CAST(pos.i AS INT), 1))) AS BIGINT) AS s
+  FROM frames f
+  JOIN b USING (asset_id)
+  JOIN pos ON pos.i > f.off AND pos.i <= f.off + f.flen
+  GROUP BY 1, 2
+)
+SELECT f.asset_id, f.frame_id, f.off AS frame_offset, f.flen AS frame_len,
+       CAST(COALESCE(ck.s, 0) % 2147483648 AS BIGINT) AS frame_checksum
+FROM frames f LEFT JOIN ck USING (asset_id, frame_id)
+"""
+
+
+@_register("m03_frame_sample", _M03_ORACLE)
 def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (mapInPandas 1:N fan-out) over the asset table —
     the video-keyframe plumbing shape with the decode stubbed. The raw
     frame bytes are dropped here (the driver compare needs scalars);
-    the checksum stands in for the payload downstream."""
+    offsets/lengths/checksums are deterministic byte math, hash-checked
+    against _M03_ORACLE."""
     docs = load_table(spark, sf_dir, "documents")
     frames = multimodal.sample_frames(multimodal.documents_as_assets(docs))
     return frames.select(
@@ -553,6 +626,37 @@ def a05_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _PQ_MODELS:
         _PQ_MODELS[sf_dir] = similarity.pq_train(emb)
     return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 8), books=_PQ_MODELS[sf_dir]
+    )
+
+
+@_register("a12_ivf_recall_audit", similarity.ivf_recall_audit_sql(_QUERY_PRED))
+def a12_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a04's hash-green audit twin (VERDICT r5 #5, the a06 pattern):
+    one row of IVF quality invariants — recall beats the deterministic
+    LSH-multiprobe baseline and clears the 0.3 floor (the exact gates
+    tests/test_ivf_recall.py pins) — next to the deterministic pieces
+    the oracle recomputes exactly (n_exact, lsh_recall). The float
+    k-means interior stays rows-only in a04; its INVARIANTS are
+    shuffle-order-stable booleans, so this row hash-matches."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_MODELS:
+        _IVF_MODELS[sf_dir] = similarity.ivf_train(emb, 16)
+    return similarity.ivf_recall_audit(
+        emb, emb.filter(F.col("vec_id") < 8), centroids=_IVF_MODELS[sf_dir]
+    )
+
+
+@_register("a13_pq_recall_audit", similarity.pq_recall_audit_sql(_QUERY_PRED))
+def a13_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a05's hash-green audit twin: PQ beats the LSH baseline AND every
+    returned pair's reranked score equals the exact cosine (recomputed
+    in-query with the same fixed-order fold) — 'compression shapes the
+    shortlist, never the scores', as a driver-checkable row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _PQ_MODELS:
+        _PQ_MODELS[sf_dir] = similarity.pq_train(emb)
+    return similarity.pq_recall_audit(
         emb, emb.filter(F.col("vec_id") < 8), books=_PQ_MODELS[sf_dir]
     )
 
@@ -876,12 +980,27 @@ def c02_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("t05_normalize_text", None)  # scalar pandas_udf: rows-only check
+# Promoted from rows-only (VERDICT r5 #5, the m05 pattern): on a pure-
+# ASCII corpus (verified at every SF: octet_length(encode(text)) ==
+# length(text)) NFC is the identity and Python's .lower()/\s+/strip are
+# exactly DuckDB's lower()/\s+/trim — so the UDF output is hash-exact
+# against SQL. A future non-ASCII doc surfaces as a LOUD hash mismatch
+# (NFC/casefold may then genuinely diverge from DuckDB collation —
+# that's the row to re-allowlist, never silently).
+_T05_ORACLE = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_normalized
+FROM documents
+"""
+
+
+@_register("t05_normalize_text", _T05_ORACLE)
 def t05_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC + casefold + whitespace-collapse normalization via a
     scalar Pandas UDF (the cleanup stage before dedup/tokenization).
-    Python-only semantics (unicodedata) ⇒ no SQL oracle; the driver
-    records rows-only and tests pin the behavior."""
+    unicodedata is Python-only in general; on this ASCII corpus the
+    semantics coincide with SQL bit-for-bit, so the driver hash-checks
+    the UDF end to end (see _T05_ORACLE note)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", text.normalized_text_pandas("text").alias("text_normalized")
