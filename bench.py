@@ -165,6 +165,15 @@ HEADLINE = [
     "q90_supplier_diversity",
     "d16_containment_pairs",
     "t25_effective_tokens",
+    # round-6 additions: JDBC roundtrip, sketch-error audit, ANN recall
+    # audits, and the rows-only→hash promotions now under the clock
+    "q91_jdbc_roundtrip",
+    "q92_approx_error_bounds",
+    "a12_ivf_recall_audit",
+    "a13_pq_recall_audit",
+    "t05_normalize_text",
+    "m02_multimodal_features",
+    "m03_frame_sample",
 ]
 
 

@@ -54,62 +54,74 @@ DRIVER_WINDOW_SIZE = 50
 # sf0.001, and tests/test_registry_window.py enforces the union
 # invariant (every registered query has driver evidence from some round
 # or a slot here) plus the rows-only allowlist.
+# Round-6 rotation (VERDICT r5 #6): every r05-window query is green in
+# CORRECTNESS_r05, so slots go to (a) the four NEW queries (q91 JDBC
+# roundtrip, q92 sketch-error audit, a12/a13 ANN recall audits), (b)
+# queries whose ORACLE or CODE PATH changed this round — d16 (df-capped
+# shingle universe, new oracle) and the t05/m02/m03 rows-only→hash
+# promotions — and (c) the 42 queries with the OLDEST driver evidence:
+# all 31 whose latest green row is from r01, plus the 11 oldest r02
+# rows, preferring the de-hinted customer-join representatives
+# (q05/q13/q01 lost their forced broadcasts this round; values are
+# plan-invariant but the driver should re-witness them). The remaining
+# r02/r03-era rows (q19/q31/q34/q35/q50/q51/q53/q54/q55/t02/e09/m01
+# and the r03 batch) are first in line for the r7 window; all stay
+# under local parity at sf0.001 every run.
 DRIVER_WINDOW: list[str] = [
-    # -- NEW operators added in round 5 (no driver row yet)
-    "e22_ewma",
-    "q72_scd2_segments",
-    "t20_contamination_spans",
-    "d12_fuzzy_decontaminate",
-    "c05_curriculum_phases",
-    "t21_doc_lm_score",
-    "a10_semantic_dedup",
-    "q73_market_basket_lift",
-    "e23_quantiles_histogram",
-    "q74_unpivot",
-    "e24_attribution_last_touch",
-    "a11_ann_filtered",
-    "t22_tokenizer_fertility",
-    "c06_dedup_impact",
-    "e25_hourly_leaderboard",
-    "q75_small_qty_revenue",
-    "q76_large_orders",
-    "q77_disjunctive_join",
-    "q78_revenue_share",
-    "q79_churned_rich_customers",
-    "q80_top_revenue_supplier",
-    "q81_cumulative_distinct",
-    "e26_daily_streaks",
-    "e27_event_transitions",
-    "e28_concurrency_peak",
-    "t23_vocab_coverage",
-    "c07_source_skew_profile",
-    "d13_semantic_decontaminate",
-    "m06_asset_dedup",
-    "q82_mom_growth",
-    "d14_cluster_size_histogram",
-    "q83_repeat_rate",
-    "q84_order_count_histogram",
-    "q85_nation_volume",
-    "q86_market_share",
-    "q87_returned_items",
-    "d15_prefix_duplicates",
-    "e29_hourly_mad_outliers",
-    "q88_priority_delay_check",
-    "q89_promo_revenue_share",
-    "e30_rfm_segments",
-    "c08_decontamination_agreement",
-    "t24_quality_buckets",
-    "c09_quality_budget_fill",
-    "e31_variant_shred",
-    "q90_supplier_diversity",
+    # -- NEW in round 6 (no driver row yet)
+    "q91_jdbc_roundtrip",
+    "q92_approx_error_bounds",
+    "a12_ivf_recall_audit",
+    "a13_pq_recall_audit",
+    # -- changed oracle / changed path in round 6
     "d16_containment_pairs",
-    "t25_effective_tokens",
-    # -- NEW in round 5 (no driver row yet): these MUST be in the window
-    # -- changed paths in round 5: session-memoized shingle index
-    # (d02/d03/d06/d08/d09/c01/c02), m05 oracle promotion, per-session
-    # staging dirs (the write-then-read roundtrips)
-    "m05_resize_assets",
-    "q58_sorted_layout_readback",
+    "t05_normalize_text",
+    "m02_multimodal_features",
+    "m03_frame_sample",
+    # -- oldest evidence: the 31 r01-era rows
+    "q01_customer_monthly_spend",
+    "q02w_sales_team_incentive_windowed",
+    "q09_window_sum",
+    "q11_scalar_funcs",
+    "q15_join_semi",
+    "q16_join_anti",
+    "q17_join_left_agg",
+    "q18_rollup",
+    "q20_pivot",
+    "q21_cube",
+    "q22_except",
+    "q23_intersect",
+    "q25_window_analytics",
+    "q26_date_functions",
+    "q27_string_functions",
+    "q28_null_handling",
+    "q29_having",
+    "q30_sql_subqueries",
+    "q36_local_supplier_volume",
+    "q37_product_revenue",
+    "q38_grouping_sets",
+    "q39_window_distribution",
+    "q41_exact_moment_stats",
+    "q42_union_distinct",
+    "q43_not_in_subquery",
+    "q44_dedup_keep_latest",
+    "q45_orc_roundtrip",
+    "q46_json_roundtrip",
+    "q47_like_patterns",
+    "q48_range_frame",
+    "q49_array_agg",
+    # -- oldest r02-era rows (de-hinted joins first)
+    "q05_join_inner_broadcast",
+    "q13_customer_mart",
+    "q03_projection_filter",
+    "q04_filter_isin",
+    "q06_join_chain",
+    "q07_union_all",
+    "q08_distinct",
+    "q10_rank_top1",
+    "q33_csv_roundtrip",
+    "e02_sliding_hourly_30m",
+    "e07_sessionize_lag",
 ]
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a

@@ -20,16 +20,11 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _verified_in_past_rounds() -> set[str]:
+    import glob
+
     seen: set[str] = set()
-    for fname in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r04.json",
-    ):
-        path = os.path.join(_REPO, fname)
-        if os.path.exists(path):
-            seen |= set(json.load(open(path)))
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        seen |= set(json.load(open(path)))
     return seen
 
 
