@@ -82,9 +82,20 @@ def contamination_report(
     ``sh_base``: an already-materialized (doc, split, sh) table (the
     session contamination artifact) — passing it skips the per-call
     tokenize+shingle+checkpoint entirely, so repeated runs (and sibling
-    audits like the agreement matrix) re-pay nothing.
+    audits like the agreement matrix) re-pay nothing. It SUPERSEDES
+    ``id_col``/``text_col`` (already baked into the artifact); its
+    shingle width must match ``k`` — artifacts stamped with
+    ``_shingle_k`` (the _shingle_index discipline) are verified here,
+    so a k=3 artifact against the default k=5 fails loudly instead of
+    computing wrong overlap counts (ADVICE r5).
     """
     if sh_base is not None:
+        stamped = getattr(sh_base, "_shingle_k", None)
+        if stamped is not None and stamped != k:
+            raise ValueError(
+                f"sh_base was shingled with k={stamped}, but k={k} was "
+                "requested — pass a matching artifact or drop sh_base"
+            )
         base = sh_base
     else:
         base = (
@@ -184,7 +195,9 @@ def contamination_spans(
 
     ``toks_base``: an already-materialized (doc, split, toks) table
     (the session tokenized-split artifact) — skips re-tokenizing the
-    corpus on every run.
+    corpus on every run. It SUPERSEDES ``id_col``/``text_col`` (baked
+    into the artifact); ``k`` still applies here (shingling happens
+    below, on the tokens), so no width mismatch is possible.
     """
     if toks_base is not None:
         base = toks_base

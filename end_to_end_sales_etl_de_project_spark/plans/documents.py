@@ -210,6 +210,10 @@ def _split_shingles5(spark: SparkSession, sf_dir: str) -> DataFrame:
             text.shingles_from_tokens(F.col("toks"), 5).alias("sh"),
         )
         _SPLIT_SHINGLES5[key] = sh.localCheckpoint(eager=True)
+        # stamp the shingle width (same discipline as _shingle_index):
+        # consumers taking an explicit k refuse a mismatched artifact
+        # instead of silently computing k'-gram overlap (ADVICE r5)
+        _SPLIT_SHINGLES5[key]._shingle_k = 5
     return _SPLIT_SHINGLES5[key]
 
 
@@ -1989,9 +1993,14 @@ def d15_prefix_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole corpus), texts are windowed by their 16-char prefix BLOCK:
     byte-wise lexicographic order means every string between A and its
     extension shares A's first 16 bytes, so the within-block successor
-    IS the global successor for any text ≥ 16 chars (the corpus
-    minimum is 44; shorter corpora would need k lowered to their
-    minimum). Blocks are tiny (shared-16-prefix groups), so the window
+    IS the global successor for any text ≥ 16 chars. A text SHORTER
+    than the block width would break that equivalence silently (its
+    extensions land in other blocks — false negatives vs the oracle's
+    global sort), so the block-key expression raises at EXECUTION time
+    on any such text (ADVICE r5): the documented corpus minimum (44)
+    is now enforced, not assumed, at zero extra scan cost — a shorter
+    corpus fails loudly and the remedy is lowering the width to its
+    minimum. Blocks are tiny (shared-16-prefix groups), so the window
     shuffle is uniform; the flagged prefixes then join back to doc ids
     on the text key. ASCII corpora compare identically byte-wise in
     Spark and DuckDB, so the blocked plan hash-matches the oracle's
@@ -2001,7 +2010,20 @@ def d15_prefix_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     dt = docs.select("text").distinct()
-    w = Window.partitionBy(F.substring("text", 1, 16)).orderBy("text")
+    block_key = F.when(
+        F.length("text") >= 16, F.substring("text", 1, 16)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "d15 prefix blocking requires every text >= 16 chars "
+                    "(got a shorter one); lower the block width to the "
+                    "corpus minimum"
+                )
+            )
+        )
+    )
+    w = Window.partitionBy(block_key).orderBy("text")
     nxt = F.lead("text").over(w)
     pref = (
         dt.withColumn("nxt", nxt)
@@ -2306,15 +2328,21 @@ def d16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _t25_oracle() -> str:
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60_sql
+
     comp = dedup.neardup_components_sql(
         dedup.minhash_lsh_pairs_sql("doc_id", "text"), "doc_id"
     )
     toks = text.token_count_sql("text")
+    # exact-canonical grouping keys on h60(text) like the Spark side
+    # (ADVICE r5): grouping one engine by raw text and the other by the
+    # 60-bit hash would silently break parity on a hash collision — the
+    # repo convention (exact_dedup_groups_sql) hashes on BOTH sides.
     return f"""
 WITH t AS (
   SELECT doc_id, source, {toks} AS n_toks FROM documents
 ),
-ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+ex AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {h60_sql('text')}),
 comp AS ({comp}),
 per_src AS (
   SELECT t.source,

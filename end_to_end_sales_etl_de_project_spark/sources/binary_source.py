@@ -60,7 +60,10 @@ def read_binary_assets(
     ``glob`` maps to ``pathGlobFilter`` (pushed into the distributed
     listing, e.g. ``"*.png"``); ``recursive`` to
     ``recursiveFileLookup``. ``min_partitions`` optionally spreads few
-    large files across more tasks for the decode stage.
+    large files across more tasks for the decode stage — a true
+    MINIMUM (ADVICE r5): when the scan already produced at least that
+    many partitions, no repartition (and no full shuffle of the binary
+    payloads) happens.
     """
     reader = (
         spark.read.format("binaryFile")
@@ -86,6 +89,6 @@ def read_binary_assets(
         F.col("path").alias("asset_path"),
         F.col("modificationTime").alias("modified_at"),
     )
-    if min_partitions is not None:
+    if min_partitions is not None and assets.rdd.getNumPartitions() < min_partitions:
         assets = assets.repartition(min_partitions)
     return assets

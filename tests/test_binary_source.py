@@ -75,3 +75,21 @@ def test_assets_feed_the_feature_extractor(spark, tmp_path):
     out = feats.collect()
     assert len(out) == 4
     assert all(r["n_bytes"] > 0 for r in out)
+
+
+def test_min_partitions_is_a_true_minimum(spark, tmp_path):
+    """min_partitions must only INCREASE parallelism (ADVICE r5): when
+    the binaryFile scan already yields more partitions than requested,
+    no repartition — and no full shuffle of the payloads — happens."""
+    from end_to_end_sales_etl_de_project_spark.sources.binary_source import (
+        read_binary_assets,
+    )
+
+    for i in range(8):
+        (tmp_path / f"f{i}.bin").write_bytes(b"x" * 64)
+    assets = read_binary_assets(spark, str(tmp_path), min_partitions=2)
+    scanned = read_binary_assets(spark, str(tmp_path)).rdd.getNumPartitions()
+    if scanned >= 2:  # the scan already satisfied the minimum
+        assert assets.rdd.getNumPartitions() == scanned
+    grown = read_binary_assets(spark, str(tmp_path), min_partitions=scanned + 4)
+    assert grown.rdd.getNumPartitions() == scanned + 4

@@ -325,3 +325,33 @@ def test_fuzzy_decontaminate_planted(spark):
     r = rows[0]
     assert (r["test_doc"], r["train_doc"]) == (2, 1)
     assert r["jaccard"] >= 0.5
+
+
+def test_contamination_report_rejects_mismatched_artifact(spark):
+    """A shingle artifact stamped with one width must be refused when a
+    different k is requested (ADVICE r5) — a k=3 artifact against the
+    default k=5 would compute wrong overlap counts without error."""
+    import pytest
+
+    from end_to_end_sales_etl_de_project_spark.operators import curation
+    from end_to_end_sales_etl_de_project_spark.operators.text import (
+        corpus_split,
+        shingles_from_tokens,
+        tokens,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc{i} words here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    art = docs.select(
+        F.col("doc_id").alias("doc"),
+        corpus_split("text").alias("split"),
+        shingles_from_tokens(tokens("text"), 3).alias("sh"),
+    )
+    art._shingle_k = 3
+    with pytest.raises(ValueError, match="k=3"):
+        curation.contamination_report(docs, sh_base=art)  # default k=5
+    # matching width passes through fine
+    curation.contamination_report(docs, k=3, sh_base=art).collect()

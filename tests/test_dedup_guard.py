@@ -236,3 +236,34 @@ def test_prehashed_index_k_mismatch_fails_loudly(spark):
         dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=5, hashed_shingles=idx)
     with pytest.raises(ValueError, match="built at k=3"):
         dedup.fuzzy_decontaminate(docs, k=5, hashed_shingles=idx)
+
+
+def test_prefix_blocking_fails_loudly_on_short_text(spark, sf_dir):
+    """d15's 16-char block width is an enforced precondition (ADVICE
+    r5): a corpus containing a text shorter than the block width must
+    raise at execution, never silently miss its prefix pairs."""
+    import pytest
+
+    from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+
+    # the shipped corpus satisfies the precondition: runs clean
+    QUERIES["d15_prefix_duplicates"](spark, sf_dir).collect()
+
+    # a short text must raise from the block-key expression
+    import tempfile
+
+    from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs = load_table(spark, sf_dir, "documents").limit(10).select(
+            "doc_id", "text", "source"
+        )
+        short = spark.createDataFrame(
+            [(999999, "tiny", "unit")], "doc_id long, text string, source string"
+        )
+        docs.unionByName(short).write.parquet(f"{tmp}/documents.parquet")
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            load_table(spark, sf_dir, t).limit(1).write.parquet(f"{tmp}/{t}.parquet")
+        with pytest.raises(Exception, match="16 chars"):
+            QUERIES["d15_prefix_duplicates"](spark, tmp).collect()
