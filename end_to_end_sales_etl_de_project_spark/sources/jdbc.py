@@ -5,9 +5,13 @@ The reference reads three MySQL dimension tables per run. The engine
 keeps the same capability behind a thin wrapper; at scale the options
 that matter are ``partitionColumn/lowerBound/upperBound/numPartitions``
 (parallel range scans instead of one connection pulling the whole
-table) and ``fetchsize``. No driver jar ships in this environment, so
-tests gate on availability; parquet dims are the default path
-(``sources/tables.py``).
+table) and ``fetchsize``. No MySQL server ships in this environment,
+but the code path executes FOR REAL against embedded Derby (on Spark's
+own classpath): ``tests/test_jdbc_derby.py`` round-trips dims through
+write+read including the range-partitioned path, and
+``q91_jdbc_roundtrip`` oracle-checks it every driver round. MySQL is
+the same wrapper plus its driver jar. Parquet dims remain the default
+path (``sources/tables.py``).
 """
 
 from __future__ import annotations

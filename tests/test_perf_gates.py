@@ -1,0 +1,64 @@
+"""Standing performance gates (VERDICT r5 #7): the PERF.md thresholds
+as executable tests, so the next plan-construction regression (the
+round-4 class: eager per-plan checkpoints re-paid on every run, d14
+re-running the resolution loop) goes red locally BEFORE the driver
+bench records it.
+
+Methodology mirrors bench.py: one warm run (plan compile + parquet
+footers + session artifacts), then the MIN of two timed runs. Bounds
+are GENEROUS absolutes at sf0.01 — each gate sits 4-10x above the
+steady-state measurement, so scheduler noise can't flake the suite,
+while the regression class being guarded (a re-paid corpus explode or
+resolution loop costs whole seconds at sf0.01) still trips it.
+
+Run with `pytest -m bench`; the default suite includes them too (they
+cost ~30 s total at sf0.01).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+# (query, bound_sec at sf0.01). Steady-state sf0.01 measurements are
+# ~0.2-1.2 s each; the r4-class regressions measured 3-10x the healthy
+# time, so these bounds catch them with margin on a busy machine.
+GATES = [
+    ("c01_curate_corpus", 8.0),  # session shingle index: the r4 regression
+    ("d02_ngram_jaccard", 4.0),  # shared shingle-index consumer
+    ("d08_jaccard_stopshingle", 3.0),  # capped-index consumer
+    ("q58_sorted_layout_readback", 4.0),  # per-session staging dirs (q58/q71 thrash)
+    ("d14_cluster_size_histogram", 3.0),  # component-artifact consumer (r5-9 fix)
+    ("t24_quality_buckets", 3.0),  # LM-score-artifact consumer
+    ("d16_containment_pairs", 4.0),  # capped-index consumer (r6)
+]
+
+
+def _steady_state(spark, name: str) -> float:
+    def run():
+        QUERIES[name](spark, SF).write.mode("overwrite").format("noop").save()
+
+    run()  # warm: plan compile, footers, session artifacts
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+@pytest.mark.bench
+@pytest.mark.parametrize("name,bound", GATES, ids=[g[0] for g in GATES])
+def test_standing_perf_gate(spark, name, bound):
+    took = _steady_state(spark, name)
+    assert took <= bound, (
+        f"{name} took {took:.2f}s at sf0.01 (gate {bound}s) — the "
+        "r4-class plan-construction regression is back; check for "
+        "per-plan eager checkpoints or artifact consumers re-running "
+        "their producer stage"
+    )
