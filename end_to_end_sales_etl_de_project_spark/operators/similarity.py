@@ -739,6 +739,8 @@ def ann_recall_report(
     k: int = 5,
     dim: int = DIM,
     sig_bits: int = SIG_BITS,
+    exact: DataFrame | None = None,
+    lsh: DataFrame | None = None,
 ) -> DataFrame:
     """Per-query recall@k of the multiprobe sign-LSH path against the
     exact brute-force top-k — quality measurement AS A QUERY, so the
@@ -752,13 +754,21 @@ def ann_recall_report(
     DuckDB twin. Cost is one brute-force pass over the query set plus
     the multiprobe lookup it audits — run it on a sampled query set at
     corpus scale; the corpus is never shuffled by either side.
+
+    ``exact`` / ``lsh`` optionally supply the already-materialized
+    brute-force and multiprobe top-k tables (the production shape: the
+    ground-truth set is computed once per corpus snapshot and every
+    audit reads it — recomputing an identical deterministic table per
+    audit query is pure waste). Must be the outputs of
+    ``brute_force_topk`` / ``lsh_topk_multiprobe`` over the SAME
+    (emb, queries, k, dim, sig_bits).
     """
-    exact = brute_force_topk(emb, queries, k=k, dim=dim).select(
-        "query_id", "neighbor_id"
-    )
-    approx = lsh_topk_multiprobe(emb, queries, k=k, dim=dim, sig_bits=sig_bits).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
+    if exact is None:
+        exact = brute_force_topk(emb, queries, k=k, dim=dim)
+    if lsh is None:
+        lsh = lsh_topk_multiprobe(emb, queries, k=k, dim=dim, sig_bits=sig_bits)
+    exact = exact.select("query_id", "neighbor_id")
+    approx = lsh.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     return (
         exact.join(approx, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
@@ -835,17 +845,23 @@ def ivf_recall_audit(
     dim: int = DIM,
     sig_bits: int = SIG_BITS,
     floor: float = 0.3,
+    exact: DataFrame | None = None,
+    lsh: DataFrame | None = None,
 ) -> DataFrame:
     """Single-row IVF quality audit: (n_queries, n_exact, lsh_recall,
     ivf_beats_lsh, ivf_above_floor). The first three are deterministic
     (exact + multiprobe paths); the booleans project the
     float-interior IVF result onto invariants stable across shuffle
     orders, so the whole row hash-matches a SQL twin that emits the
-    booleans as the contract (TRUE)."""
-    exact = brute_force_topk(emb, queries, k=k, dim=dim).select(
-        "query_id", "neighbor_id"
-    )
-    lsh = lsh_topk_multiprobe(emb, queries, k=k, dim=dim, sig_bits=sig_bits)
+    booleans as the contract (TRUE).
+
+    ``exact`` / ``lsh`` optionally reuse materialized baselines —
+    see ann_recall_report's docstring."""
+    if exact is None:
+        exact = brute_force_topk(emb, queries, k=k, dim=dim)
+    if lsh is None:
+        lsh = lsh_topk_multiprobe(emb, queries, k=k, dim=dim, sig_bits=sig_bits)
+    exact = exact.select("query_id", "neighbor_id")
     ivf = ivf_topk(emb, queries, k=k, dim=dim, centroids=centroids)
     tot = exact.agg(
         F.countDistinct("query_id").alias("n_queries"),
@@ -897,17 +913,23 @@ def pq_recall_audit(
     k: int = 5,
     dim: int = DIM,
     sig_bits: int = SIG_BITS,
+    exact: DataFrame | None = None,
+    lsh: DataFrame | None = None,
 ) -> DataFrame:
     """Single-row PQ quality audit: (n_queries, n_exact, lsh_recall,
     pq_beats_lsh, rerank_scores_exact). rerank_scores_exact recomputes
     the exact cosine for EVERY returned (query, neighbor) pair with
     the same fixed-order fold the brute force uses and ANDs the
     equality — the 'rerank is exact, compression only shapes the
-    shortlist' contract from tests/test_ivf_recall.py, as a query."""
-    exact = brute_force_topk(emb, queries, k=k, dim=dim).select(
-        "query_id", "neighbor_id"
-    )
-    lsh = lsh_topk_multiprobe(emb, queries, k=k, dim=dim, sig_bits=sig_bits)
+    shortlist' contract from tests/test_ivf_recall.py, as a query.
+
+    ``exact`` / ``lsh`` optionally reuse materialized baselines —
+    see ann_recall_report's docstring."""
+    if exact is None:
+        exact = brute_force_topk(emb, queries, k=k, dim=dim)
+    if lsh is None:
+        lsh = lsh_topk_multiprobe(emb, queries, k=k, dim=dim, sig_bits=sig_bits)
+    exact = exact.select("query_id", "neighbor_id")
     pq = pq_topk(emb, queries, k=k, dim=dim, books=books)
     tot = exact.agg(
         F.countDistinct("query_id").alias("n_queries"),
