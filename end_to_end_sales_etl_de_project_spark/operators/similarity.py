@@ -993,6 +993,86 @@ FROM tot, h
 
 
 # ---------------------------------------------------------------------------
+# kNN label agreement (embedding-quality audit over the corpus kNN graph)
+# ---------------------------------------------------------------------------
+
+
+def knn_label_agreement(
+    emb: DataFrame,
+    k: int = 3,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+    graph: DataFrame | None = None,
+) -> DataFrame:
+    """Per-label neighborhood purity over the multiprobe-LSH kNN graph:
+    (label, n_vectors, n_edges, n_same, agreement). The standard
+    embedding-quality gate before clustering-based curation (SemDeDup,
+    k-means mixes): if nearest neighbors don't share labels, distance
+    in this space doesn't mean similarity and every downstream
+    cluster-keyed decision inherits the noise.
+
+    ``graph`` optionally supplies the already-materialized kNN graph
+    (the a09 artifact — a production pipeline builds it once and every
+    audit reads it). Must be ``lsh_topk_multiprobe(emb, emb, k=k)``.
+    Scale: the label lookups are joins on vec_id (co-partitioned,
+    never broadcast — labels scale with the corpus); the agg output is
+    |labels| rows. All counts are integers ⇒ hash-exact.
+    """
+    if graph is None:
+        graph = lsh_topk_multiprobe(emb, emb, k=k, dim=dim, sig_bits=sig_bits)
+    q_lab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    n_lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    return (
+        graph.select("query_id", "neighbor_id")
+        .join(q_lab, "query_id")
+        .join(n_lab, "neighbor_id")
+        .groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.countDistinct("query_id").cast("bigint").alias("n_vectors"),
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum(
+                F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_same"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "n_edges",
+            "n_same",
+            (F.col("n_same").cast("double") / F.col("n_edges")).alias("agreement"),
+        )
+    )
+
+
+def knn_label_agreement_sql(
+    k: int = 3,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+    table: str = "embeddings",
+) -> str:
+    mp = lsh_topk_multiprobe_sql("TRUE", k=k, dim=dim, sig_bits=sig_bits, table=table)
+    return f"""
+WITH g AS ({mp})
+SELECT ql.label AS label,
+       CAST(COUNT(DISTINCT g.query_id) AS BIGINT) AS n_vectors,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+       CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS agreement
+FROM g
+JOIN {table} ql ON g.query_id = ql.vec_id
+JOIN {table} nl ON g.neighbor_id = nl.vec_id
+GROUP BY ql.label
+"""
+
+
+# ---------------------------------------------------------------------------
 # int8 quantization audit (embedding storage compression)
 # ---------------------------------------------------------------------------
 

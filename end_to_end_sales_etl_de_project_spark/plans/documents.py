@@ -615,6 +615,26 @@ def _ann_baselines(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     return _ANN_BASELINES[key]
 
 
+# Corpus kNN graph artifact (a09's output, k=3 multiprobe LSH): graph
+# consumers (a14 label-agreement audit; any clustering/connectivity
+# audit) read the materialized graph instead of re-banding the corpus
+# per query. a09 itself still computes the graph live — it IS the
+# graph-build stage.
+_KNN_GRAPH: dict[tuple, DataFrame] = {}
+
+
+def _knn_graph_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for key in [key for key in _KNN_GRAPH if key[0] != app]:
+        del _KNN_GRAPH[key]
+    key = (app, sf_dir)
+    if key not in _KNN_GRAPH:
+        emb = load_table(spark, sf_dir, "embeddings")
+        graph = similarity.lsh_topk_multiprobe(emb, emb, k=3)
+        _KNN_GRAPH[key] = graph.localCheckpoint(eager=True)
+    return _KNN_GRAPH[key]
+
+
 # IVF centroid model per corpus dir — index BUILD is a one-time offline
 # step in any ANN system (Faiss trains once, serves many queries);
 # retraining per query call would charge the bench's steady-state
@@ -1262,6 +1282,20 @@ def a09_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ⇒ the full graph is hash-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk_multiprobe(emb, emb, k=3)
+
+
+@_register("a14_knn_label_agreement", similarity.knn_label_agreement_sql(k=3))
+def a14_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality gate: per-label neighborhood purity over the
+    a09 kNN graph — if a label's nearest neighbors don't share it,
+    cosine distance in this space carries no signal for that slice and
+    every cluster-keyed curation decision (a10 SemDeDup, c03 mixes)
+    inherits the noise. Reads the session graph artifact (build once,
+    audit many); integer counts + one ratio ⇒ hash-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_label_agreement(
+        emb, k=3, graph=_knn_graph_artifact(spark, sf_dir)
+    )
 
 
 def _t19_oracle() -> str:
@@ -2445,4 +2479,21 @@ def t25_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0)
             - eff / F.sum("n_toks").cast("double")
         ).alias("dup_ratio"),
+    )
+
+
+@_register("t26_shingle_novelty", dedup.shingle_novelty_sql("doc_id", "text", 3))
+def t26_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty share: fraction of the doc's distinct 3-gram
+    shingles first seen (min doc_id) in THIS doc — the freshness
+    signal a curriculum scheduler (c05) or crawl-ingest dashboard
+    ranks by; near-zero novelty means the corpus already has the
+    doc's n-grams even when no single near-dup pair fires. Reads the
+    session shingle-index artifact; inverted-index aggregation only
+    (min-doc per shingle, count-back per doc), never pair generation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.shingle_novelty(
+        docs, "doc_id", "text", 3,
+        hashed_shingles=_shingle_index(spark, sf_dir, 3),
     )
