@@ -3579,3 +3579,86 @@ def q92_approx_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((q1 <= q2) & (q2 <= q3)).alias("quartiles_ordered"),
         ((F.col("mn") <= q1) & (q3 <= F.col("mx"))).alias("quartiles_in_range"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q93: PERMISSIVE row-level rescue under the correctness gate
+# (VERDICT r6 #7 — corrupt-record routing was test-only until now).
+# ---------------------------------------------------------------------------
+
+_Q93_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS rescued_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey % 997 = 0)
+           AS corrupt_rows
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@_register("q93_permissive_rescue", _Q93_ORACLE)
+def q93_permissive_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level malformed-record rescue, driver-checked end to end.
+
+    The reference quarantines WHOLE files on any defect
+    (``/root/reference/src/transform/transform.py:37-68``); the
+    scale-grade complement is row-level routing — at 100 TB one bad
+    line must not quarantine a 1 GB file. This query manufactures a
+    corpus with planted per-row corruption FROM orders itself (so the
+    oracle can recompute both sides from clean parquet): every order
+    becomes a valid CSV line, and orders with ``o_orderkey % 997 == 0``
+    additionally emit a one-token non-numeric garbage line. The
+    PERMISSIVE reader (``sources/csv_source.py:read_csv_permissive``)
+    must rescue EVERY valid row and route EVERY planted line to
+    ``_corrupt_record`` — a row lost either way shifts ``rescued_rows``
+    / ``sum_price`` / ``corrupt_rows`` and hash-mismatches.
+
+    Scale notes: line synthesis and parsing are pure JVM column
+    expressions; the corrupt count is a 1-row aggregate cross-joined
+    onto a 3-row rollup (broadcast, no driver collect)."""
+    from end_to_end_sales_etl_de_project_spark.sources.csv_source import (
+        read_csv_permissive,
+    )
+
+    out = _staging_dir(spark, "permrt", sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        money("o_totalprice").alias("total_price"),
+    )
+    valid = orders.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("total_price").cast("string"),
+        ).alias("value")
+    )
+    # one-token, non-numeric: fails both the token-count and the
+    # long-cast check, so PERMISSIVE must route it to _corrupt_record
+    garbage = orders.filter(F.col("o_orderkey") % 997 == 0).select(
+        F.concat(F.lit("x"), F.col("o_orderkey"), F.lit("|garbage")).alias("value")
+    )
+    valid.unionAll(garbage).write.mode("overwrite").text(out)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("total_price", T.DecimalType(18, 2)),
+        ]
+    )
+    good, bad = read_csv_permissive(spark, [out], schema, header=False)
+    bad_count = bad.agg(F.count("*").cast("bigint").alias("corrupt_rows"))
+    return (
+        good.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("rescued_rows"),
+            F.sum("total_price").cast("double").alias("sum_price"),
+        )
+        .crossJoin(F.broadcast(bad_count))
+        .select("o_orderstatus", "rescued_rows", "sum_price", "corrupt_rows")
+    )

@@ -54,74 +54,75 @@ DRIVER_WINDOW_SIZE = 50
 # sf0.001, and tests/test_registry_window.py enforces the union
 # invariant (every registered query has driver evidence from some round
 # or a slot here) plus the rows-only allowlist.
-# Round-6 rotation (VERDICT r5 #6): every r05-window query is green in
-# CORRECTNESS_r05, so slots go to (a) the four NEW queries (q91 JDBC
-# roundtrip, q92 sketch-error audit, a12/a13 ANN recall audits), (b)
-# queries whose ORACLE or CODE PATH changed this round — d16 (df-capped
-# shingle universe, new oracle) and the t05/m02/m03 rows-only→hash
-# promotions — and (c) the 42 queries with the OLDEST driver evidence:
-# all 31 whose latest green row is from r01, plus the 11 oldest r02
-# rows, preferring the de-hinted customer-join representatives
-# (q05/q13/q01 lost their forced broadcasts this round; values are
-# plan-invariant but the driver should re-witness them). The remaining
-# r02/r03-era rows (q19/q31/q34/q35/q50/q51/q53/q54/q55/t02/e09/m01
-# and the r03 batch) are first in line for the r7 window; all stay
-# under local parity at sf0.001 every run.
+# Round-7 rotation (VERDICT r6 #1 + #5): slots go to (a) the two
+# round-6 stragglers with NO driver evidence (a14/t26 — registered
+# after the r6 rotation, which turned tests/test_registry_window.py
+# red) plus the new q93 permissive-rescue query, (b) ALL 29 queries
+# flagged STALE by scripts/driver_evidence.py — green evidence but
+# their function or a directly-called package function changed since
+# the evidence round (the r6 de-broadcast touched q76/q82/q85/q86/q87/
+# q01g; the _staging_dir refactor touched the roundtrips; the shingle
+# index/df-cap work touched the d-family; the ground-truth hoist
+# touched a06) — and (c) oldest-evidence refresh: the 10 remaining
+# r02-era rows and the first 8 r03-era rows. The other r03-era rows
+# (e11-e15, q59, t03-t15) are first in line for the r8 window; all
+# rotated-out queries stay under local parity at sf0.001 every run
+# (tests/test_oracle_parity.py).
 DRIVER_WINDOW: list[str] = [
-    # -- NEW in round 6 (no driver row yet)
-    "q91_jdbc_roundtrip",
-    "q92_approx_error_bounds",
-    "a12_ivf_recall_audit",
-    "a13_pq_recall_audit",
-    # -- changed oracle / changed path in round 6
-    "d16_containment_pairs",
-    "t05_normalize_text",
-    "m02_multimodal_features",
-    "m03_frame_sample",
-    # -- oldest evidence: the 31 r01-era rows
-    "q01_customer_monthly_spend",
-    "q02w_sales_team_incentive_windowed",
-    "q09_window_sum",
-    "q11_scalar_funcs",
-    "q15_join_semi",
-    "q16_join_anti",
-    "q17_join_left_agg",
-    "q18_rollup",
-    "q20_pivot",
-    "q21_cube",
-    "q22_except",
-    "q23_intersect",
-    "q25_window_analytics",
-    "q26_date_functions",
-    "q27_string_functions",
-    "q28_null_handling",
-    "q29_having",
-    "q30_sql_subqueries",
-    "q36_local_supplier_volume",
-    "q37_product_revenue",
-    "q38_grouping_sets",
-    "q39_window_distribution",
-    "q41_exact_moment_stats",
-    "q42_union_distinct",
-    "q43_not_in_subquery",
-    "q44_dedup_keep_latest",
-    "q45_orc_roundtrip",
-    "q46_json_roundtrip",
-    "q47_like_patterns",
-    "q48_range_frame",
-    "q49_array_agg",
-    # -- oldest r02-era rows (de-hinted joins first)
-    "q05_join_inner_broadcast",
-    "q13_customer_mart",
-    "q03_projection_filter",
-    "q04_filter_isin",
-    "q06_join_chain",
-    "q07_union_all",
-    "q08_distinct",
-    "q10_rank_top1",
-    "q33_csv_roundtrip",
-    "e02_sliding_hourly_30m",
+    # -- no driver evidence yet (round-6 stragglers + round-7 new)
+    "a14_knn_label_agreement",
+    "t26_shingle_novelty",
+    "q93_permissive_rescue",
+    # -- stale: code changed since evidence round (driver_evidence.py)
+    "a04_ann_ivf",
+    "a06_ann_recall_report",
+    "c01_curate_corpus",
+    "c02_training_manifest",
+    "c08_decontamination_agreement",
+    "d02_ngram_jaccard",
+    "d03_minhash_lsh",
+    "d06_neardup_resolve",
+    "d07_decontaminate",
+    "d08_jaccard_stopshingle",
+    "d09_minhash_estimate_audit",
+    "d15_prefix_duplicates",
     "e07_sessionize_lag",
+    "q01g_customer_monthly_spend_grouped",
+    "q32_approx_aggs",
+    "q34_partitioned_write_readback",
+    "q35_shipping_priority",
+    "q56_orc_roundtrip",
+    "q57_jsonl_roundtrip",
+    "q58_sorted_layout_readback",
+    "q60_star_join",
+    "q61_union_by_name",
+    "q62_incremental_agg",
+    "q69_csv_quoted_roundtrip",
+    "q76_large_orders",
+    "q82_mom_growth",
+    "q85_nation_volume",
+    "q86_market_share",
+    "q87_returned_items",
+    # -- oldest evidence: remaining r02-era rows
+    "e09_json_extract",
+    "m01_multimodal_assets",
+    "q19_orderby_limit",
+    "q31_salted_agg",
+    "q50_map_functions",
+    "q51_filtered_aggregates",
+    "q53_posexplode_tokens",
+    "q54_unpivot",
+    "q55_string_agg",
+    "t02_language_id",
+    # -- oldest evidence: first r03-era rows
+    "a01_ann_bruteforce",
+    "c03_dataset_mix",
+    "d04_simhash",
+    "d05_embedding_neardup",
+    "e04_user_activity_rollup",
+    "e05_asof_join",
+    "e06_range_join",
+    "e10_value_deciles",
 ]
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a

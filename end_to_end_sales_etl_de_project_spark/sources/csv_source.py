@@ -167,24 +167,28 @@ def quarantine(report: ValidationReport, base_dir: str) -> dict[str, str]:
     return moved
 
 
-def read_sales_csv_permissive(
-    spark: SparkSession, paths: list[str]
+def read_csv_permissive(
+    spark: SparkSession,
+    paths: list[str],
+    schema: T.StructType,
+    *,
+    header: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """Row-level malformed-record routing — the scale-grade complement
-    to the reference's whole-file quarantine.
+    """Row-level malformed-record routing for any CSV schema — the
+    scale-grade complement to the reference's whole-file quarantine.
 
     The reference rejects entire files; at 100 TB a single bad row
     must not quarantine a 1 GB file. PERMISSIVE mode parses what it
-    can and captures the raw text of unparseable rows in
-    ``_corrupt_record``; returns (good_rows, bad_rows). One pass,
-    explicit schema.
+    can and captures the raw text of unparseable rows (wrong token
+    count, type-cast failures) in ``_corrupt_record``; returns
+    (good_rows, bad_rows). One pass, explicit schema.
     """
     read_schema = T.StructType(
-        [*SALES_SCHEMA.fields, T.StructField("_corrupt_record", T.StringType())]
+        [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
     )
     df = spark.read.csv(
         paths,
-        header=True,
+        header=header,
         schema=read_schema,
         mode="PERMISSIVE",
         columnNameOfCorruptRecord="_corrupt_record",
@@ -197,6 +201,14 @@ def read_sales_csv_permissive(
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
     return good, bad
+
+
+def read_sales_csv_permissive(
+    spark: SparkSession, paths: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Sales-fact instantiation of :func:`read_csv_permissive` (the
+    schema the reference's whole-file router guards)."""
+    return read_csv_permissive(spark, paths, SALES_SCHEMA, header=True)
 
 
 def read_jsonl_permissive(

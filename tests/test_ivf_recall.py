@@ -85,3 +85,24 @@ def test_ivf_scan_fraction_bounded(spark, sf_dir):
     # no empty training: every centroid keeps a cell; worst cell must not
     # swallow the corpus (that would be the all-pairs shape again)
     assert max(sizes.values()) < 0.5 * n, sizes
+
+
+def test_topk_pairs_are_distinct(spark, sf_dir):
+    """ADVICE r6: the a12/a13 audits count hits via left_semi on the
+    Spark side but inner-join pairs in the SQL twin — equal only while
+    every top-k table is (query_id, neighbor_id)-distinct. Pin that
+    invariant here so a future multiprobe/rerank change emitting
+    duplicate pairs breaks THIS test instead of silently breaking
+    driver hash parity."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    for name, fn in (
+        ("brute_force", similarity.brute_force_topk),
+        ("lsh", similarity.lsh_topk),
+        ("lsh_multiprobe", similarity.lsh_topk_multiprobe),
+        ("ivf", similarity.ivf_topk),
+        ("pq", similarity.pq_topk),
+    ):
+        pairs = fn(emb, queries, k=K).select("query_id", "neighbor_id")
+        total = pairs.count()
+        assert total == pairs.distinct().count(), f"{name} emits duplicate pairs"

@@ -9,6 +9,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
 
@@ -219,6 +220,68 @@ def test_customer_join_is_stats_gated_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         gated = plan_of(spark, "q05_join_inner_broadcast")
         assert "BroadcastHashJoin" not in gated, gated
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_customer_mart_and_enrich_are_stats_gated_broadcast(spark):
+    """VERDICT r6 #4: the OTHER de-hinted customer joins (q13 mart and
+    marts.enrich_sales) must also pick broadcast via STATISTICS at test
+    SF — and degrade to a non-broadcast join when the threshold is off,
+    proving no forced hint snuck back onto a linearly-scaling table."""
+    from end_to_end_sales_etl_de_project_spark.marts import enrich_sales
+    from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+
+    def enrich_plan() -> str:
+        sales = load_table(spark, SF, "orders").select(
+            F.col("o_orderkey").alias("sale_id"),
+            F.col("o_custkey").alias("customer_id"),
+            (F.col("o_custkey") % 25).alias("store_id"),
+            (F.col("o_custkey") % 100).alias("sales_person_id"),
+        )
+        cust = load_table(spark, SF, "customer").select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("first_name"),
+            F.col("c_name").alias("last_name"),
+            F.col("c_mktsegment").alias("address"),
+            F.col("c_nationkey").alias("pincode"),
+            F.col("c_name").alias("phone_number"),
+        )
+        store = load_table(spark, SF, "nation").select(
+            F.col("n_nationkey").alias("id"),
+            F.col("n_name").alias("store_manager_name"),
+        )
+        team = load_table(spark, SF, "supplier").select(
+            F.col("s_suppkey").alias("id"),
+            F.col("s_name").alias("first_name"),
+            F.col("s_name").alias("last_name"),
+            F.col("s_nationkey").alias("manager_id"),
+            (F.col("s_suppkey") % 2 == 0).alias("is_manager"),
+            F.col("s_name").alias("address"),
+            F.col("s_nationkey").alias("pincode"),
+        )
+        df = enrich_sales(sales, cust, store, team)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    for plan in (plan_of(spark, "q13_customer_mart"), enrich_plan()):
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # with stats gating off, the un-hinted customer join must STOP
+        # broadcasting; the hinted bounded dims (store/team) may keep
+        # their broadcast — that asymmetry is exactly the policy
+        gated = plan_of(spark, "q13_customer_mart")
+        assert "SortMergeJoin" in gated or "ShuffledHashJoin" in gated, gated
+        gated_enrich = enrich_plan()
+        assert (
+            "SortMergeJoin" in gated_enrich or "ShuffledHashJoin" in gated_enrich
+        ), gated_enrich
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 

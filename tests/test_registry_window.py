@@ -39,6 +39,30 @@ def test_unverified_queries_inside_window():
     assert not missing, f"queries without driver evidence outside window: {missing}"
 
 
+def test_stale_queries_inside_window():
+    """VERDICT r6 #5: a green driver row only vouches for the code the
+    driver ran. Any query whose function (or a directly-called package
+    function) changed since its evidence round must re-earn evidence —
+    it has to hold a slot in the upcoming window. scripts/
+    driver_evidence.py computes the flag function-by-function against
+    each round's verdict commit, so appending unrelated code to a plans
+    module does not mark untouched queries stale."""
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    try:
+        de = importlib.import_module("driver_evidence")
+    finally:
+        sys.path.pop(0)
+    stale_outside = set(de.stale_queries()) - set(DRIVER_WINDOW)
+    assert not stale_outside, (
+        f"stale queries (code newer than driver evidence) without a window "
+        f"slot: {sorted(stale_outside)} — rotate plans/registry.py"
+    )
+
+
 def test_registry_complete():
     # every oracle has a query; registry holds the full surface
     assert set(ORACLES) <= set(QUERIES)
@@ -64,6 +88,22 @@ def test_bench_headline_names_resolve():
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not missing, missing
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_bench_covers_registry():
+    """Registry-vs-HEADLINE completeness (VERDICT r6 #2): every
+    registered query is either benched or on the closed, documented
+    BENCH_EXCLUDED list — never silently omitted. The two sets must
+    also be disjoint and exclusions must not rot (an excluded name that
+    leaves the registry must leave the list)."""
+    import bench
+
+    headline = set(bench.HEADLINE)
+    uncovered = set(QUERIES) - headline - bench.BENCH_EXCLUDED
+    assert not uncovered, f"registered but neither benched nor excluded: {sorted(uncovered)}"
+    assert not headline & bench.BENCH_EXCLUDED, sorted(headline & bench.BENCH_EXCLUDED)
+    stale = bench.BENCH_EXCLUDED - set(QUERIES)
+    assert not stale, f"BENCH_EXCLUDED entries not in registry: {sorted(stale)}"
 
 
 def test_entry_contract_stable(spark):
