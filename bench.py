@@ -192,6 +192,11 @@ HEADLINE = [
     "q32_approx_aggs",
     "q34_partitioned_write_readback",
     "q56_orc_roundtrip",
+    # round-7 new operators
+    "q94_min_cost_supplier",
+    "q95_sales_opportunity",
+    "q96_dominant_supplier",
+    "a15_recall_curve",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -1366,3 +1366,83 @@ SELECT train_id, matched_test_id, cosine FROM (
   FROM cand
 ) t WHERE rnk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Recall@k curve: the standard ANN evaluation artifact (recall at several
+# cutoffs in one pass), round 7
+# ---------------------------------------------------------------------------
+
+
+def recall_curve(
+    exact: DataFrame, approx: DataFrame, ks: tuple[int, ...] = (1, 3, 5)
+) -> DataFrame:
+    """Recall@k for each cutoff in ``ks``, computed from two ranked
+    top-k tables (query_id, neighbor_id, rank, ...) in ONE pass: the
+    pair tables join once on (query_id, neighbor_id), every cutoff's
+    hit count comes out of a single aggregate over the joined ranks,
+    and the per-k rows are exploded from that one row — no per-k
+    rescan of the corpus. All counts are integers and the recall
+    division is one IEEE double op, so the whole curve hash-matches a
+    SQL twin exactly.
+
+    Scale: both inputs are top-k tables (|queries| x k rows, corpus
+    already reduced), so every join here is tiny regardless of corpus
+    size; the heavy lifting stays in the top-k producers."""
+    pairs = exact.select(
+        "query_id", "neighbor_id", F.col("rank").alias("er")
+    ).join(
+        approx.select("query_id", "neighbor_id", F.col("rank").alias("ar")),
+        ["query_id", "neighbor_id"],
+    )
+    hits = pairs.agg(
+        *[
+            F.sum(((F.col("er") <= k) & (F.col("ar") <= k)).cast("long")).alias(f"h{k}")
+            for k in ks
+        ]
+    )
+    totals = exact.agg(
+        *[F.sum((F.col("rank") <= k).cast("long")).alias(f"n{k}") for k in ks]
+    )
+    row = totals.crossJoin(F.broadcast(hits))
+    structs = [
+        F.struct(
+            F.lit(k).cast("bigint").alias("k"),
+            F.coalesce(F.col(f"n{k}"), F.lit(0)).cast("bigint").alias("n_exact"),
+            F.coalesce(F.col(f"h{k}"), F.lit(0)).cast("bigint").alias("hits"),
+        )
+        for k in ks
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("r")).select(
+        F.col("r.k").alias("k"),
+        F.col("r.n_exact").alias("n_exact"),
+        F.col("r.hits").alias("hits"),
+        (F.col("r.hits").cast("double") / F.col("r.n_exact")).alias("recall"),
+    )
+
+
+def recall_curve_sql(
+    query_pred: str,
+    ks: tuple[int, ...] = (1, 3, 5),
+    k: int = 5,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+    table: str = "embeddings",
+) -> str:
+    bf = brute_force_topk_sql(query_pred, k=k, dim=dim, table=table)
+    mp = lsh_topk_multiprobe_sql(query_pred, k=k, dim=dim, sig_bits=sig_bits, table=table)
+    per_k = "\nUNION ALL\n".join(
+        f"""  SELECT CAST({kk} AS BIGINT) AS k,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE rank <= {kk}) AS n_exact,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM p WHERE er <= {kk} AND ar <= {kk}) AS hits"""
+        for kk in ks
+    )
+    return f"""
+WITH e AS ({bf}), a AS ({mp}),
+p AS (SELECT e.rank AS er, a.rank AS ar
+      FROM e JOIN a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+SELECT k, n_exact, hits, CAST(hits AS DOUBLE) / n_exact AS recall
+FROM (
+{per_k}
+)
+"""

@@ -3662,3 +3662,187 @@ def q93_permissive_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(bad_count))
         .select("o_orderstatus", "rescued_rows", "sum_price", "corrupt_rows")
     )
+
+
+# ---------------------------------------------------------------------------
+# q94: min-acctbal supplier per part (TPC-H Q2 shape, partsupp-free)
+# ---------------------------------------------------------------------------
+
+_Q94_ORACLE = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eligible AS (
+  SELECT ps.l_partkey, s.s_name, CAST(s.s_acctbal AS DOUBLE) AS acctbal, n.n_name
+  FROM ps
+  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = 1
+),
+mn AS (SELECT l_partkey, MIN(acctbal) AS min_bal FROM eligible GROUP BY l_partkey)
+SELECT p.p_partkey, p.p_name, e.s_name, e.n_name, e.acctbal
+FROM eligible e
+JOIN mn ON e.l_partkey = mn.l_partkey AND e.acctbal = mn.min_bal
+JOIN part p ON e.l_partkey = p.p_partkey
+WHERE p.p_size <= 10 AND p.p_type = 'PROMO'
+"""
+
+
+@_register("q94_min_cost_supplier", _Q94_ORACLE)
+def q94_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape without partsupp: for every small PROMO part,
+    the region-1 supplier(s) with the MINIMUM account balance among
+    those who actually shipped it. The defining feature is the
+    correlated-min: a per-group minimum joined back against the
+    detail rows (ties kept, like Q2).
+
+    Scale shape: lineitem — the only corpus-sized input — is first
+    narrowed by the broadcast part filter (manual pushdown below the
+    distinct: Catalyst won't move a join under an aggregate), then
+    reduced to distinct (partkey, suppkey) in one map-side-combinable
+    shuffle. The correlated min is a WINDOW over partkey, not a
+    join-back — a join-back would re-execute the whole eligible
+    subtree (lineitem scanned + distinct'd twice; verified in the
+    first draft's plan), while the window reuses the single
+    partkey exchange. The min equality compares raw (unarithmetic'd)
+    doubles — exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+
+    target_parts = part.filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "PROMO")
+    ).select("p_partkey", "p_name")
+    ps = (
+        li.join(F.broadcast(target_parts), li.l_partkey == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "p_partkey", "p_name")
+        .distinct()
+    )
+    eligible = (
+        ps.join(F.broadcast(supplier), ps.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(nation.filter(F.col("n_regionkey") == 1)),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("s_acctbal").cast("double").alias("acctbal"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("min_bal", F.min("acctbal").over(w))
+        .filter(F.col("acctbal") == F.col("min_bal"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95: global sales opportunity (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+_Q95_ORACLE = """
+WITH cutoff AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, cutoff
+WHERE c_acctbal > cutoff.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+@_register("q95_sales_opportunity", _Q95_ORACLE)
+def q95_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-inactive customers per nation —
+    account balance above the global positive-balance average, no
+    orders at all. Exercises the scalar-subquery-as-broadcast pattern
+    plus a big-side anti join.
+
+    Scale shape: the cutoff is a 1-row exact-decimal aggregate
+    (order-independent, so identical in both engines) cross-joined as
+    a broadcast; the NOT EXISTS is a left_anti shuffle join on
+    custkey — the only data-sized exchange; the final rollup is
+    map-side combinable on ≤25 nation keys. The average is emitted as
+    exact-decimal-sum / count (one IEEE division) per the module's
+    determinism rules."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(money("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numcust"),
+        F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q96: dominant supplier per part (TPC-H Q11/Q20 concentration shape)
+# ---------------------------------------------------------------------------
+
+_Q96_ORACLE = """
+WITH sp AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+shares AS (
+  SELECT l_suppkey,
+         CAST(qty AS DOUBLE)
+           / CAST(SUM(qty) OVER (PARTITION BY l_partkey) AS DOUBLE) AS share
+  FROM sp
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+FROM shares JOIN supplier ON l_suppkey = s_suppkey
+WHERE share > 0.5
+GROUP BY s_name
+"""
+
+
+@_register("q96_dominant_supplier", _Q96_ORACLE)
+def q96_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration audit (the Q11/Q20 family): suppliers who
+    shipped more than half of a part's total quantity, counted per
+    supplier. The single-source-of-truth risk report every supply
+    chain (and every training-data source mix — c07 is the documents
+    twin) wants.
+
+    Scale shape: one map-side-combinable aggregation of lineitem to
+    (partkey, suppkey) — the only corpus-sized shuffle — then a
+    window total over partkey (second, already-reduced exchange;
+    exact decimal, so shuffle order is irrelevant), a >0.5 filter
+    that cuts to at most one row per part, and a broadcast supplier
+    decorate. Shares are one double division each, identical in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(money("l_quantity")).alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    shares = sp.select(
+        "l_suppkey",
+        (
+            F.col("qty").cast("double") / F.sum("qty").over(w).cast("double")
+        ).alias("share"),
+    )
+    return (
+        shares.filter(F.col("share") > 0.5)
+        .join(F.broadcast(supplier), shares.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dominant_parts"))
+    )

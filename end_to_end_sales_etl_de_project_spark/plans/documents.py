@@ -700,6 +700,17 @@ def a12_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("a15_recall_curve", similarity.recall_curve_sql(_QUERY_PRED))
+def a15_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{1,3,5} of the multiprobe-LSH path against exact brute
+    force — the standard ANN evaluation curve as one hash-checked
+    3-row table (a06 reports recall@5 only; tuning probes/bits needs
+    the curve shape). Reads the session's materialized ground-truth
+    baselines; the curve itself touches only |queries| x k rows."""
+    exact, lsh = _ann_baselines(spark, sf_dir)
+    return similarity.recall_curve(exact, lsh)
+
+
 @_register("a13_pq_recall_audit", similarity.pq_recall_audit_sql(_QUERY_PRED))
 def a13_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a05's hash-green audit twin: PQ beats the LSH baseline AND every

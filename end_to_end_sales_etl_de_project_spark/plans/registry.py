@@ -54,25 +54,31 @@ DRIVER_WINDOW_SIZE = 50
 # sf0.001, and tests/test_registry_window.py enforces the union
 # invariant (every registered query has driver evidence from some round
 # or a slot here) plus the rows-only allowlist.
-# Round-7 rotation (VERDICT r6 #1 + #5): slots go to (a) the two
-# round-6 stragglers with NO driver evidence (a14/t26 — registered
-# after the r6 rotation, which turned tests/test_registry_window.py
-# red) plus the new q93 permissive-rescue query, (b) ALL 29 queries
-# flagged STALE by scripts/driver_evidence.py — green evidence but
-# their function or a directly-called package function changed since
-# the evidence round (the r6 de-broadcast touched q76/q82/q85/q86/q87/
-# q01g; the _staging_dir refactor touched the roundtrips; the shingle
-# index/df-cap work touched the d-family; the ground-truth hoist
-# touched a06) — and (c) oldest-evidence refresh: the 10 remaining
-# r02-era rows and the first 8 r03-era rows. The other r03-era rows
-# (e11-e15, q59, t03-t15) are first in line for the r8 window; all
-# rotated-out queries stay under local parity at sf0.001 every run
-# (tests/test_oracle_parity.py).
+# Round-7 rotation (VERDICT r6 #1 + #5): slots go to (a) the seven
+# queries with NO driver evidence — the round-6 stragglers a14/t26
+# (registered after the r6 rotation, which turned
+# tests/test_registry_window.py red) plus the round-7 additions
+# (q93 permissive rescue, q94-q96 TPC-H Q2/Q22/Q11 shapes, a15
+# recall curve), (b) ALL 34 queries flagged STALE by
+# scripts/driver_evidence.py — green evidence but their function or a
+# directly-called package function changed since the evidence round
+# (the r6 de-broadcast touched q76/q82/q85/q86/q87/q01g; the
+# _staging_dir refactor touched the roundtrips; the shingle index/
+# df-cap work touched the d-family; the ground-truth hoist touched
+# a06; the r7 real-decode branch touched m02) — and (c)
+# oldest-evidence refresh: the remaining 9 r02-era rows. The r03-era
+# rows (a01, c03, d04, d05, e04-e06, e10-e15, q59, t04-t15, q50) are
+# first in line for the r8 window; all rotated-out queries stay under
+# local parity at sf0.001 every run (tests/test_oracle_parity.py).
 DRIVER_WINDOW: list[str] = [
     # -- no driver evidence yet (round-6 stragglers + round-7 new)
     "a14_knn_label_agreement",
     "t26_shingle_novelty",
     "q93_permissive_rescue",
+    "q94_min_cost_supplier",
+    "q95_sales_opportunity",
+    "q96_dominant_supplier",
+    "a15_recall_curve",
     # -- stale: code changed since evidence round (driver_evidence.py)
     "a04_ann_ivf",
     "a06_ann_recall_report",
@@ -103,26 +109,24 @@ DRIVER_WINDOW: list[str] = [
     "q85_nation_volume",
     "q86_market_share",
     "q87_returned_items",
-    # -- oldest evidence: remaining r02-era rows
+    # -- stale via operator-function deps (attribute-qualified calls,
+    # caught after the round-7 dep-expansion fix)
+    "c03_dataset_mix",
+    "d11_chunk_neardup",
+    "m02_multimodal_features",
+    "t03_quality_score",
+    "t14_doc_chunking",
+    "t20_contamination_spans",
+    # -- oldest evidence: remaining r02-era rows (q19's top-k plan
+    # shape is separately pinned by test_topk_uses_take_ordered)
     "e09_json_extract",
     "m01_multimodal_assets",
-    "q19_orderby_limit",
     "q31_salted_agg",
-    "q50_map_functions",
     "q51_filtered_aggregates",
     "q53_posexplode_tokens",
     "q54_unpivot",
     "q55_string_agg",
     "t02_language_id",
-    # -- oldest evidence: first r03-era rows
-    "a01_ann_bruteforce",
-    "c03_dataset_mix",
-    "d04_simhash",
-    "d05_embedding_neardup",
-    "e04_user_activity_rollup",
-    "e05_asof_join",
-    "e06_range_join",
-    "e10_value_deciles",
 ]
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a

@@ -35,10 +35,44 @@ def test_asset_schema_and_features(spark, sf_dir):
 
 
 def test_decode_stub_seam_raises(spark, sf_dir):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present: the seam decodes instead of raising")
+    except ImportError:
+        pass
     docs = load_table(spark, sf_dir, "documents").limit(2)
     feats = extract_features(documents_as_assets(docs), decode_stub=False)
     with pytest.raises(Exception, match="NotImplementedError|stub only"):
         feats.collect()
+
+
+def test_real_decode_branch_with_pillow(spark):
+    """VERDICT r6 #8: when Pillow IS available, decode_stub=False must
+    produce real pixel features (not byte math) with the same schema.
+    Skips in environments without PIL — the seam test above covers the
+    honest-failure path there."""
+    Image = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    # two tiny synthetic PNGs with known pixel stats
+    def png_bytes(val: int) -> bytes:
+        img = Image.new("L", (4, 4), color=val)
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png_bytes(0)), (2, png_bytes(200))]
+    assets = spark.createDataFrame(
+        [(i, p, {"format": "png", "source": "unit", "n_bytes": len(p)}) for i, p in rows],
+        "asset_id long, payload binary, "
+        "meta struct<format:string,source:string,n_bytes:bigint>",
+    )
+    out = {r["asset_id"]: r for r in extract_features(assets, decode_stub=False).collect()}
+    assert out[1]["byte_mean"] == 0.0 and out[1]["byte_entropy_proxy"] == 1
+    assert out[2]["byte_mean"] == 200.0 and out[2]["byte_entropy_proxy"] == 1
+    # n_bytes stays the ENCODED size — decode changes features, not provenance
+    assert out[1]["n_bytes"] == len(rows[0][1])
 
 
 def test_scalar_pandas_udf_normalization(spark):

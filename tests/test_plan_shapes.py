@@ -708,3 +708,44 @@ def test_artifact_consumers_never_cartesian_or_serial(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_q94_single_lineitem_scan_window_min(spark):
+    """q94 (TPC-H Q2 shape): the correlated per-part min must be a
+    WINDOW, not a join-back — a join-back re-executes the whole
+    eligible subtree (lineitem scanned and distinct'd twice, as the
+    first draft's plan showed). Pin: exactly one lineitem scan, the
+    part filter broadcast-joined BELOW the distinct, a Window node,
+    and no sort-merge join anywhere."""
+    plan = plan_of(spark, "q94_min_cost_supplier")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [IsNotNull(p_size), IsNotNull(p_type)" in plan or (
+        "LessThanOrEqual(p_size,10)" in plan
+    ), plan
+
+
+def test_q95_anti_join_and_broadcast_cutoff(spark):
+    """q95 (TPC-H Q22 shape): the no-orders test is an anti join (never
+    a distinct+outer-join emulation), the global-average cutoff rides a
+    1-row broadcast, and the positive-balance filter reaches the
+    customer scan."""
+    plan = plan_of(spark, "q95_sales_opportunity")
+    assert "LeftAnti" in plan
+    assert "GreaterThan(c_acctbal,0.0)" in plan, plan
+    # the scalar cutoff joins as a broadcast (nested-loop on 1 row is fine)
+    assert "BroadcastExchange" in plan
+
+
+def test_q96_two_level_agg_three_exchanges(spark):
+    """q96: lineitem collapses through ONE map-side-combinable
+    (partkey, suppkey) aggregation, the part total is a window over the
+    already-reduced table, and supplier decorates via broadcast — three
+    exchanges total ((pk,sk) agg, pk window, final s_name rollup), no
+    sort-merge join."""
+    plan = plan_of(spark, "q96_dominant_supplier")
+    assert plan.count("+- Exchange") == 3, plan
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1
