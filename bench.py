@@ -197,6 +197,9 @@ HEADLINE = [
     "q95_sales_opportunity",
     "q96_dominant_supplier",
     "a15_recall_curve",
+    "q97_waiting_orders",
+    "d17_substring_dedup",
+    "t27_dsir_importance",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

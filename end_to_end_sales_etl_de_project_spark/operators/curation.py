@@ -1111,3 +1111,181 @@ SELECT {id_col}, CAST(n_words AS BIGINT) AS n_words,
               + (CASE WHEN n_words > c75 THEN 1 ELSE 0 END) AS BIGINT) AS phase
 FROM sized, cuts
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance weights (round 7)
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR; Xie et al.
+    2023) re-expressed: score every document by how much more likely
+    its hashed-bigram features are under the TARGET distribution
+    (docs where ``target_col == target_value``) than under the
+    complement (source) distribution, using add-1-smoothed bucket
+    counts over ``n_buckets`` hash buckets.
+
+    DETERMINISM DEVIATION (documented, deliberate): the paper sums
+    log-ratios; natural log is NOT bit-identical across DuckDB and
+    the JVM (measured: 76/1592 mismatches on small-integer ratios),
+    so this operator folds the RAW likelihood ratios
+    ``p_target(f)/p_source(f)`` — each one is three IEEE-rounded
+    double ops on exact integers, bit-identical in both engines —
+    in pinned position order (the t21 fold pattern). Same features,
+    same distributions, same ranking intent; arithmetic that can be
+    hash-checked exactly.
+
+    Output: (doc_id, is_target, n_features, sum_ratio, avg_ratio)
+    for EVERY doc; docs with <2 tokens have 0 features and 0.0
+    scores.
+
+    Scale: the bucket-count model is ONE map-side-combinable
+    aggregation to exactly ``n_buckets`` rows + a 1-row totals
+    aggregate — both broadcast; decorating the positional feature
+    stream is a broadcast join, so the only corpus-sized exchange is
+    the per-doc rollup. Counts stay exact in doubles up to 2^53
+    feature occurrences; at larger scale the two-step division form
+    below keeps every intermediate near unity instead of overflowing
+    a count product."""
+    is_tgt = (F.col(target_col) == target_value).cast("int")
+    toked = docs.select(
+        F.col(id_col).alias("doc"), is_tgt.alias("tgt"), tokens(text_col).alias("toks")
+    )
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    pairs = toked.select(
+        "doc",
+        "tgt",
+        F.posexplode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, n1),
+                F.slice(F.col("toks"), 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("pos0", "bg"),
+    ).select(
+        "doc",
+        "tgt",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        (
+            h60(F.concat(F.col("bg.w1"), F.lit(" "), F.col("bg.w2"))) % n_buckets
+        ).alias("bucket"),
+    )
+    counts = pairs.groupBy("bucket").agg(
+        F.sum("tgt").cast("bigint").alias("ct"),
+        F.sum(1 - F.col("tgt")).cast("bigint").alias("cs"),
+    )
+    totals = counts.agg(
+        F.sum("ct").cast("bigint").alias("t_total"),
+        F.sum("cs").cast("bigint").alias("s_total"),
+    )
+    scored = (
+        pairs.join(F.broadcast(counts), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc",
+            "pos",
+            (
+                (
+                    (F.col("ct") + 1).cast("double")
+                    / (F.col("t_total") + n_buckets).cast("double")
+                )
+                / (
+                    (F.col("cs") + 1).cast("double")
+                    / (F.col("s_total") + n_buckets).cast("double")
+                )
+            ).alias("ratio"),
+        )
+    )
+    agg = scored.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_features"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("ratio")))
+        ).alias("seq"),
+    )
+    sum_ratio = F.aggregate(
+        F.transform(F.col("seq"), lambda s: s.getField("ratio")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per = agg.select(
+        "doc",
+        "n_features",
+        sum_ratio.alias("sum_ratio"),
+        (sum_ratio / F.col("n_features")).alias("avg_ratio"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), is_tgt.alias("is_target"))
+        .join(per, F.col("doc_id") == per.doc, "left")
+        .select(
+            "doc_id",
+            F.col("is_target").cast("bigint").alias("is_target"),
+            F.coalesce("n_features", F.lit(0).cast("bigint")).alias("n_features"),
+            F.coalesce("sum_ratio", F.lit(0.0)).alias("sum_ratio"),
+            F.coalesce("avg_ratio", F.lit(0.0)).alias("avg_ratio"),
+        )
+    )
+
+
+def dsir_importance_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 4096,
+    table: str = "documents",
+) -> str:
+    toks = tokens_sql(text_col)
+    bg = h60_sql("(w1 || ' ' || w2)")
+    return f"""
+WITH toked AS (
+  SELECT {id_col} AS doc,
+         CASE WHEN {target_col} = '{target_value}' THEN 1 ELSE 0 END AS tgt,
+         {toks} AS toks
+  FROM {table}
+),
+pairs AS (
+  SELECT doc, tgt, CAST(i AS BIGINT) AS pos, toks[i] AS w1, toks[i + 1] AS w2
+  FROM toked, UNNEST(range(1, len(toks))) AS t(i)
+),
+feats AS (
+  SELECT doc, tgt, pos, {bg} % {n_buckets} AS bucket FROM pairs
+),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(tgt) AS BIGINT) AS ct,
+         CAST(SUM(1 - tgt) AS BIGINT) AS cs
+  FROM feats GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS t_total, CAST(SUM(cs) AS BIGINT) AS s_total
+  FROM counts
+),
+scored AS (
+  SELECT f.doc, f.pos,
+         (CAST(c.ct + 1 AS DOUBLE) / CAST(tot.t_total + {n_buckets} AS DOUBLE))
+           / (CAST(c.cs + 1 AS DOUBLE) / CAST(tot.s_total + {n_buckets} AS DOUBLE))
+           AS ratio
+  FROM feats f JOIN counts c USING (bucket), tot
+),
+agg AS (
+  SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_features,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(ratio ORDER BY pos)),
+                     (acc, x) -> acc + x) AS sum_ratio
+  FROM scored GROUP BY 1
+)
+SELECT d.{id_col} AS doc_id,
+       CAST(CASE WHEN d.{target_col} = '{target_value}' THEN 1 ELSE 0 END AS BIGINT)
+         AS is_target,
+       COALESCE(a.n_features, 0) AS n_features,
+       COALESCE(a.sum_ratio, 0.0) AS sum_ratio,
+       COALESCE(a.sum_ratio / a.n_features, 0.0) AS avg_ratio
+FROM {table} d LEFT JOIN agg a ON d.{id_col} = a.doc
+"""

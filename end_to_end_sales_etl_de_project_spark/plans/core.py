@@ -3846,3 +3846,102 @@ def q96_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_dominant_parts"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q97: suppliers who kept orders waiting (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+
+_Q97_ORACLE = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+ps AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(SUM(late) AS BIGINT) AS n_late_lines
+  FROM l GROUP BY 1, 2
+),
+w AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         SUM(CASE WHEN n_late_lines > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_orderkey) AS n_late_supp
+  FROM ps
+)
+SELECT s_name, n_name, CAST(SUM(n_late_lines) AS BIGINT) AS numwait
+FROM w
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_late_lines > 0 AND n_supp >= 2 AND n_late_supp = 1
+  AND n_regionkey = 2
+GROUP BY 1, 2
+"""
+
+
+@_register("q97_waiting_orders", _Q97_ORACLE)
+def q97_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: region-2 suppliers who were the SOLE late
+    shipper in a finished multi-supplier order (late = shipped >60
+    days after order date; the testdata has no commit/receipt dates).
+    Q21's textbook form is two correlated EXISTS/NOT-EXISTS self-joins
+    on lineitem; re-expressed Spark-first as ONE window pass — the
+    exists ("another supplier in the order") is a per-order distinct
+    supplier set of size >= 2, the not-exists ("no OTHER late
+    supplier") is a distinct LATE-supplier set of size exactly 1, both
+    via bounded collect_set windows (suppliers per order is bounded by
+    the schema, ~7).
+
+    Scale shape: ONE lineitem scan, ONE corpus-sized exchange. The
+    orders join is stats-gated (broadcast at test SF; sort-merge on
+    orderkey at 100 TB — and then the orderkey WINDOW reuses the
+    join's partitioning, so the big exchange count stays at one
+    either way). The textbook form would scan lineitem three times
+    and shuffle twice more. supplier/nation are bounded dims —
+    broadcast. numwait counts late line rows, matching Q21's
+    COUNT(*) over l1."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    l = li.join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            1,
+        )
+        .otherwise(0)
+        .alias("late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = l.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("late") == 1, F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
+    ).filter(
+        (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    dims = supplier.join(
+        F.broadcast(nation.filter(F.col("n_regionkey") == 2)),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", "s_name", "n_name")
+    return (
+        flagged.join(F.broadcast(dims), flagged.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )

@@ -2508,3 +2508,34 @@ def t26_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", 3,
         hashed_shingles=_shingle_index(spark, sf_dir, 3),
     )
+
+
+@_register(
+    "d17_substring_dedup",
+    dedup.substring_dup_groups_sql("doc_id", "text"),
+)
+def d17_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (span) duplicate detection over content-defined
+    anchors — the ExactSubstr dedup signal (Lee et al. 2022) that
+    catches verbatim repeated 32-char spans (license boilerplate,
+    memorized passages) inside otherwise-different docs, which
+    whole-doc Jaccard (d02) and MinHash (d03) cannot see. Anchoring is
+    content-defined (hash of the 8-char lead gram mod 4), so sampled
+    positions survive edits/offset shifts that break fixed-stride
+    sampling. Counts only — order-independent, exactly hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.substring_dup_groups(docs, "doc_id", "text")
+
+
+@_register("t27_dsir_importance", curation.dsir_importance_sql())
+def t27_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weight per document (Xie et al. 2023):
+    hashed-bigram likelihood ratio of the English (target) language
+    model over the non-English (source) model, add-1 smoothed over
+    4096 buckets — the importance-resampling signal that upsamples
+    target-like raw docs in a pretraining mix. Ratio-sum variant of
+    the paper's log-ratio (cross-engine ln is not bit-stable; see
+    operator docstring), folded in pinned position order. Bucket
+    model broadcast; one corpus-sized rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dsir_importance(docs)

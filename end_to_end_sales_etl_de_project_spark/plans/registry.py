@@ -58,18 +58,21 @@ DRIVER_WINDOW_SIZE = 50
 # queries with NO driver evidence — the round-6 stragglers a14/t26
 # (registered after the r6 rotation, which turned
 # tests/test_registry_window.py red) plus the round-7 additions
-# (q93 permissive rescue, q94-q96 TPC-H Q2/Q22/Q11 shapes, a15
-# recall curve), (b) ALL 34 queries flagged STALE by
+# (q93 permissive rescue, q94-q97 TPC-H Q2/Q22/Q11/Q21 shapes, a15
+# recall curve, d17 substring dedup, t27 DSIR importance), (b) ALL 34
+# queries flagged STALE by
 # scripts/driver_evidence.py — green evidence but their function or a
 # directly-called package function changed since the evidence round
 # (the r6 de-broadcast touched q76/q82/q85/q86/q87/q01g; the
 # _staging_dir refactor touched the roundtrips; the shingle index/
 # df-cap work touched the d-family; the ground-truth hoist touched
 # a06; the r7 real-decode branch touched m02) — and (c)
-# oldest-evidence refresh: the remaining 9 r02-era rows. The r03-era
-# rows (a01, c03, d04, d05, e04-e06, e10-e15, q59, t04-t15, q50) are
-# first in line for the r8 window; all rotated-out queries stay under
-# local parity at sf0.001 every run (tests/test_oracle_parity.py).
+# oldest-evidence refresh: the remaining r02-era rows (q51/q53/q54
+# yielded their slots to the late-round-7 additions q97/d17/t27 and
+# join the r8 refresh queue). The r03-era rows (a01, c03, d04, d05,
+# e04-e06, e10-e15, q59, t04-t15, q50) are first in line for the r8
+# window; all rotated-out queries stay under local parity at sf0.001
+# every run (tests/test_oracle_parity.py).
 DRIVER_WINDOW: list[str] = [
     # -- no driver evidence yet (round-6 stragglers + round-7 new)
     "a14_knn_label_agreement",
@@ -79,6 +82,9 @@ DRIVER_WINDOW: list[str] = [
     "q95_sales_opportunity",
     "q96_dominant_supplier",
     "a15_recall_curve",
+    "q97_waiting_orders",
+    "d17_substring_dedup",
+    "t27_dsir_importance",
     # -- stale: code changed since evidence round (driver_evidence.py)
     "a04_ann_ivf",
     "a06_ann_recall_report",
@@ -122,9 +128,6 @@ DRIVER_WINDOW: list[str] = [
     "e09_json_extract",
     "m01_multimodal_assets",
     "q31_salted_agg",
-    "q51_filtered_aggregates",
-    "q53_posexplode_tokens",
-    "q54_unpivot",
     "q55_string_agg",
     "t02_language_id",
 ]

@@ -749,3 +749,35 @@ def test_q96_two_level_agg_three_exchanges(spark):
     assert "Window" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_q97_single_scan_single_big_exchange(spark):
+    """q97 (TPC-H Q21 shape): the textbook two-self-join form scans
+    lineitem three times; the window re-expression must scan it ONCE
+    and shuffle corpus-sized data ONCE (the orderkey window — which at
+    SMJ scale reuses the join exchange). Dims ride broadcasts."""
+    plan = plan_of(spark, "q97_waiting_orders")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("hashpartitioning(l_orderkey") == 1, plan
+
+
+def test_d17_no_python_partial_agg(spark):
+    """d17 substring dedup: the anchor hash + window hash run inside
+    codegen (no Python eval nodes), and the win_hash rollup is
+    map-side combinable (partial_count before the exchange)."""
+    plan = plan_of(spark, "d17_substring_dedup")
+    assert "EvalPython" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert plan.count("documents.parquet") == 1, plan
+
+
+def test_t27_bucket_model_rides_broadcasts(spark):
+    """t27 DSIR: the 4096-row bucket-count model and the 1-row totals
+    both decorate the feature stream via BROADCAST joins — the only
+    corpus-sized exchange is the per-doc rollup."""
+    plan = plan_of(spark, "t27_dsir_importance")
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan, plan
