@@ -23,7 +23,7 @@ from end_to_end_sales_etl_de_project_spark.operators import (
     similarity,
     text,
 )
-from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+from end_to_end_sales_etl_de_project_spark.sources.tables import load_table, spread
 
 DOC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 DOC_ORACLES: dict[str, str] = {}
@@ -629,7 +629,9 @@ def _knn_graph_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
         del _KNN_GRAPH[key]
     key = (app, sf_dir)
     if key not in _KNN_GRAPH:
-        emb = load_table(spark, sf_dir, "embeddings")
+        # spread: per-vector PQ/LSH fan-out over a 1-split scan would
+        # serialize on one core (tables.spread; no-op at real scale)
+        emb = spread(load_table(spark, sf_dir, "embeddings"))
         graph = similarity.lsh_topk_multiprobe(emb, emb, k=3)
         _KNN_GRAPH[key] = graph.localCheckpoint(eager=True)
     return _KNN_GRAPH[key]
@@ -717,7 +719,9 @@ def a13_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned pair's reranked score equals the exact cosine (recomputed
     in-query with the same fixed-order fold) — 'compression shapes the
     shortlist, never the scores', as a driver-checkable row."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread: per-vector PQ/LSH fan-out over a 1-split scan would
+    # serialize on one core (tables.spread; no-op at real scale)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     if sf_dir not in _PQ_MODELS:
         _PQ_MODELS[sf_dir] = similarity.pq_train(emb)
     exact, lsh = _ann_baselines(spark, sf_dir)
@@ -1001,7 +1005,7 @@ def t15_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source boilerplate audit: top-5 3-gram shingles by document
     frequency within each source — what you inspect before capping hot
     shingles (d08). Explode → distinct → count → bounded rank window."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return curation.boilerplate_ngrams(docs)
 
 
@@ -1291,7 +1295,9 @@ def a09_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket occupancy, never |corpus|² (the brute-force graph would be
     quadratic — exactly what the banding exists to avoid). Deterministic
     ⇒ the full graph is hash-checked."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread: per-vector PQ/LSH fan-out over a 1-split scan would
+    # serialize on one core (tables.spread; no-op at real scale)
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     return similarity.lsh_topk_multiprobe(emb, emb, k=3)
 
 
@@ -2537,5 +2543,5 @@ def t27_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the paper's log-ratio (cross-engine ln is not bit-stable; see
     operator docstring), folded in pinned position order. Bucket
     model broadcast; one corpus-sized rollup."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return curation.dsir_importance(docs)

@@ -123,12 +123,20 @@ DRIVER_WINDOW: list[str] = [
     "t03_quality_score",
     "t14_doc_chunking",
     "t20_contamination_spans",
+    # -- stale via the narrowed spread() perf patch (late round 7):
+    # a09/a13 inline-spread their corpus scan, t15 its doc explode —
+    # the three A/B-confirmed wins (−1.1/−1.2/−1.9 s at sf0.1); the
+    # broad spread (shared _emb helper, shingle/split artifacts, d04/
+    # t09/t19/t21) measured a net REGRESSION and was reverted — the
+    # rest of the emb family re-evaluates in r8 when slots free up
+    "a09_knn_graph",
+    "a13_pq_recall_audit",
+    "t15_boilerplate_ngrams",
     # -- oldest evidence: remaining r02-era rows (q19's top-k plan
-    # shape is separately pinned by test_topk_uses_take_ordered)
+    # shape is separately pinned by test_topk_uses_take_ordered);
+    # m01/q31/q55 yielded their refresh slots to the spread winners
+    # and rejoin the r8 refresh queue
     "e09_json_extract",
-    "m01_multimodal_assets",
-    "q31_salted_agg",
-    "q55_string_agg",
     "t02_language_id",
 ]
 

@@ -79,3 +79,33 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a file-count-bound scan across the session's shuffle
+    width before FAN-OUT-HEAVY work (explode, per-row vector math,
+    shingle/window hashing).
+
+    Why: Spark parallelizes scans by file splits, and a parquet file
+    is only split at row-group boundaries — the single-file,
+    single-row-group tables this sandbox benches on therefore scan as
+    ONE partition, serializing the whole map stage (scan → explode →
+    hash → partial agg) on one core regardless of ``local[32]``. A
+    round-robin repartition before the fan-out trades one narrow
+    shuffle of the SMALL pre-fanout rows for a fully parallel heavy
+    stage (measured 3.5-5x on the substring-dedup and shingle-index
+    builds at sf0.1).
+
+    Scale honesty: this is deliberately a NO-OP whenever the input
+    already has at least the session's shuffle width of partitions —
+    i.e. on any real multi-file / multi-row-group 100 TB table — so
+    plans at scale are untouched; only degenerate tiny-file inputs
+    get rescued. Do NOT use it in front of cheap scan→filter→agg
+    plans (the exchange would cost more than the serial stage; the
+    q-family stays pure)."""
+    n = min_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
