@@ -781,3 +781,26 @@ def test_t27_bucket_model_rides_broadcasts(spark):
     assert plan.count("BroadcastExchange") >= 2, plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan, plan
+
+
+def test_spread_is_noop_on_wide_input(spark):
+    """tables.spread() exists to rescue 1-split scans, NOT to inject an
+    exchange into real plans: on input at/above the session's shuffle
+    width it must return the SAME DataFrame (no repartition node), and
+    on a 1-partition input it must widen to the shuffle width. Pins the
+    'no-op on any real multi-split table' promise the 100 TB design
+    relies on."""
+    from end_to_end_sales_etl_de_project_spark.sources.tables import spread
+
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wide = spark.range(0, 1000, 1, width)
+    assert spread(wide) is wide
+    wider = spark.range(0, 1000, 1, width + 7)
+    assert spread(wider) is wider
+
+    narrow = spark.range(0, 1000, 1, 1)
+    out = spread(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == width
+    # round-robin repartition preserves rows exactly
+    assert out.count() == 1000
