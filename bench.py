@@ -200,6 +200,8 @@ HEADLINE = [
     "q97_waiting_orders",
     "d17_substring_dedup",
     "t27_dsir_importance",
+    "t28_repetition_ratio",
+    "c10_sequence_packing",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -78,3 +78,102 @@ def swept_peaks(
         .groupBy("hour_s")
         .agg(F.max("live").cast("bigint").alias("peak_concurrency"))
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus in ``id_col``
+    order and cut it into fixed-``capacity`` token sequences, letting
+    documents SPAN sequence boundaries — the layout a pretraining data
+    loader actually materializes. Per doc:
+
+      (doc_id, n_tokens, first_seq, n_seqs, seq_offset)
+
+    where ``first_seq`` is the sequence holding the doc's first token,
+    ``n_seqs`` how many sequences the doc touches, and ``seq_offset``
+    the doc's starting position within ``first_seq``. Zero-token docs
+    keep their stream position with ``n_seqs = 0``.
+
+    The global token prefix sum is the whole computation, and a naive
+    ``SUM() OVER (ORDER BY doc_id)`` is ONE sorted partition — the
+    same trap :func:`swept_peaks` avoids. Identical two-level
+    decomposition: doc-id range blocks of ``bucket_width`` docs give a
+    tiny spine (the only unpartitioned window, |docs|/bucket_width
+    rows); per-block running sums are windowed inside each block
+    partition; block offsets ride a broadcast. All arithmetic is
+    integer (``div``/``pmod``) so the oracle is bit-exact at any
+    magnitude.
+    """
+    from end_to_end_sales_etl_de_project_spark.operators.text import token_count
+
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+    ).withColumn("bkt", F.expr("doc div " + str(int(bucket_width))))
+    tot = base.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_tokens"))
+    w_spine = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = tot.withColumn(
+        "offset", F.sum("bkt_tokens").over(w_spine) - F.col("bkt_tokens")
+    ).select("bkt", "offset")
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cap = F.lit(int(capacity))
+    enriched = (
+        base.withColumn("run_end", F.sum("n_tokens").over(w_in))
+        .join(F.broadcast(offsets), "bkt")
+        .withColumn("cum_end", F.col("run_end") + F.col("offset"))
+        .withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+    )
+    first_seq = F.expr(f"cum_start div {int(capacity)}")
+    last_seq = F.expr(f"(cum_end - 1) div {int(capacity)}")
+    return enriched.select(
+        F.col("doc").alias(id_col),
+        F.col("n_tokens"),
+        first_seq.alias("first_seq"),
+        F.when(F.col("n_tokens") > 0, last_seq - first_seq + 1)
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_seqs"),
+        F.pmod(F.col("cum_start"), cap).cast("bigint").alias("seq_offset"),
+    )
+
+
+def pack_sequences_sql(
+    capacity: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` — the sequential prefix-sum
+    form the distributed decomposition must equal bit-for-bit."""
+    from end_to_end_sales_etl_de_project_spark.operators.text import token_count_sql
+
+    ntok = token_count_sql(text_col)
+    cap = int(capacity)
+    return f"""
+WITH t AS (SELECT {id_col} AS doc, {ntok} AS n_tokens FROM {table}),
+c AS (
+  SELECT doc, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+  FROM t
+)
+SELECT doc AS {id_col},
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum_end - n_tokens) // {cap} AS BIGINT) AS first_seq,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN (cum_end - 1) // {cap} - (cum_end - n_tokens) // {cap} + 1
+                 ELSE 0 END AS BIGINT) AS n_seqs,
+       CAST((cum_end - n_tokens) % {cap} AS BIGINT) AS seq_offset
+FROM c
+"""

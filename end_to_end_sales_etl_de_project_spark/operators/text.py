@@ -462,3 +462,76 @@ def normalized_text_pandas(col: Column | str) -> Column:
 
     c = F.col(col) if isinstance(col, str) else col
     return _normalize(c)
+
+
+def repetition_profile(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document repetition audit (the Gopher-style duplicate
+    n-gram quality filter): per doc, the fraction of k-gram OCCURRENCES
+    that are duplicates of an earlier occurrence — templated/looping
+    text (boilerplate headers, generation loops) scores high and is
+    dropped before training.
+
+    ``dup_frac = (n_ngrams - n_distinct) / n_ngrams`` over the
+    POSITIONAL k-gram stream (:func:`positional_shingles_from_tokens`
+    — dedup here would erase exactly the signal being measured). One
+    explode + one per-doc aggregation: counts are map-side combinable
+    and per-doc distinct state is bounded by doc length, so the shape
+    survives any corpus size. Docs shorter than k tokens have no
+    k-grams: dup_frac is NULL and they are never flagged. Integer
+    counts + one IEEE division ⇒ hash-exact oracle.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("toks")
+    )
+    grams = toked.select(
+        "doc", F.explode(positional_shingles_from_tokens(F.col("toks"), k)).alias("g")
+    )
+    per_doc = grams.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.countDistinct("g").alias("n_distinct"),
+    )
+    dup = (F.col("n_ngrams") - F.col("n_distinct")).cast("double") / F.col("n_ngrams")
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("bigint").alias("n_ngrams"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).cast("bigint").alias("n_distinct"),
+            dup.alias("dup_frac"),
+            F.coalesce(dup > F.lit(threshold), F.lit(False)).alias("repetitive"),
+        )
+    )
+
+
+def repetition_profile_sql(
+    k: int = 3,
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    toks = tokens_sql(text_col)
+    grams = positional_shingles_sql_from_toks("toks", k)
+    return f"""
+WITH toked AS (SELECT {id_col} AS doc, {toks} AS toks FROM {table}),
+g AS (SELECT doc, unnest({grams}) AS g FROM toked),
+per_doc AS (
+  SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
+  FROM g GROUP BY doc
+)
+SELECT d.{id_col} AS doc_id,
+       COALESCE(p.n_ngrams, 0) AS n_ngrams,
+       COALESCE(p.n_distinct, 0) AS n_distinct,
+       CAST(p.n_ngrams - p.n_distinct AS DOUBLE) / p.n_ngrams AS dup_frac,
+       COALESCE(CAST(p.n_ngrams - p.n_distinct AS DOUBLE) / p.n_ngrams
+                > {threshold}, FALSE) AS repetitive
+FROM {table} d LEFT JOIN per_doc p ON d.{id_col} = p.doc
+"""

@@ -20,6 +20,7 @@ from end_to_end_sales_etl_de_project_spark.operators import (
     curation,
     dedup,
     multimodal,
+    sequences,
     similarity,
     text,
 )
@@ -2545,3 +2546,28 @@ def t27_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     model broadcast; one corpus-sized rollup."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return curation.dsir_importance(docs)
+
+
+@_register("t28_repetition_ratio", text.repetition_profile_sql())
+def t28_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition filter (Gopher-style duplicate-3-gram
+    fraction): templated/looping documents score high and get dropped
+    before training. Positional n-gram explode (dedup would erase the
+    signal) + one map-side-combinable per-doc rollup; short docs are
+    NULL-frac, never flagged. spread() rescues the 1-split sandbox
+    scan in front of the explode (no-op at real scale)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return text.repetition_profile(docs)
+
+
+@_register("c10_sequence_packing", sequences.pack_sequences_sql())
+def c10_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch layout: pack the corpus (doc_id order) into
+    fixed-2048-token sequences with docs spanning boundaries — per doc
+    its (first_seq, n_seqs, seq_offset) placement. The global token
+    prefix sum runs as sequences.pack_sequences' two-level
+    decomposition (tiny doc-block spine + per-block windows), never a
+    single sorted partition; the DuckDB oracle is the sequential
+    SUM() OVER form it must equal bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sequences.pack_sequences(docs)

@@ -132,12 +132,13 @@ DRIVER_WINDOW: list[str] = [
     "a09_knn_graph",
     "a13_pq_recall_audit",
     "t15_boilerplate_ngrams",
-    # -- oldest evidence: remaining r02-era rows (q19's top-k plan
-    # shape is separately pinned by test_topk_uses_take_ordered);
-    # m01/q31/q55 yielded their refresh slots to the spread winners
-    # and rejoin the r8 refresh queue
-    "e09_json_extract",
-    "t02_language_id",
+    # -- late round-7 additions (no evidence yet): the remaining two
+    # refresh slots host NEW queries instead — e09/m01/q31/q55/t02
+    # all hold green r02 evidence, are not stale, and rejoin the r8
+    # refresh queue (r02/r03-era rows lead it: a01, c03, d04, d05,
+    # e04-e06, e09-e15, m01, q31, q50, q55, t02, t04-t15)
+    "t28_repetition_ratio",
+    "c10_sequence_packing",
 ]
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a

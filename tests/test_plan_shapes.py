@@ -804,3 +804,26 @@ def test_spread_is_noop_on_wide_input(spark):
     assert out.rdd.getNumPartitions() == width
     # round-robin repartition preserves rows exactly
     assert out.count() == 1000
+
+
+def test_c10_packing_window_is_partitioned(spark):
+    """c10 sequence packing: the corpus-sized running sum must be
+    windowed INSIDE doc-block partitions (two-level prefix sum) — the
+    only SinglePartition exchange is the tiny block spine. A global
+    ORDER BY window over the corpus would silently serialize at
+    scale."""
+    plan = plan_of(spark, "c10_sequence_packing")
+    assert "windowspecdefinition(bkt" in plan, plan
+    assert plan.count("SinglePartition") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_t28_repetition_partial_aggs(spark):
+    """t28 repetition ratio: the n-gram explode feeds map-side partial
+    counts (never raw gram rows into one reducer) and the per-doc
+    distinct runs as the two-level partial_count(distinct) expansion;
+    everything stays in codegen."""
+    plan = plan_of(spark, "t28_repetition_ratio")
+    assert "partial_count" in plan, plan
+    assert "partial_count(distinct" in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -275,3 +275,66 @@ def test_containment_dominates_jaccard_on_shared_corpus(spark, sf_dir):
             j = jac[pair]
             n_common = j * (n_a + n_b) / (1 + j)
             assert abs(n_common - min(n_a, n_b)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences ≡ sequential prefix-sum packing (hypothesis)
+# ---------------------------------------------------------------------------
+
+PACK_DOCS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=100_000),  # sparse doc ids
+        st.text(
+            alphabet="ab c",  # spaces included -> variable token counts
+            max_size=40,
+        ),
+    ),
+    unique_by=lambda t: t[0],
+    max_size=60,
+)
+
+
+@given(docs=PACK_DOCS, cap=st.sampled_from([1, 7, 32]), bw=st.sampled_from([1, 8, 4096]))
+@settings(**_SETTINGS)
+def test_pack_sequences_match_sequential_packing(spark, docs, cap, bw):
+    """The two-level decomposition must equal a sequential walk of the
+    token stream for ANY doc-id distribution (sparse ids, empty docs,
+    capacity 1, degenerate 1-doc blocks) — and per-doc spans must tile
+    the stream with no gaps or overlaps."""
+    import re
+
+    from end_to_end_sales_etl_de_project_spark.operators.sequences import pack_sequences
+    from end_to_end_sales_etl_de_project_spark.operators.text import TOKEN_REGEX
+
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(5)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["first_seq"], r["n_seqs"], r["seq_offset"])
+        for r in pack_sequences(df, capacity=cap, bucket_width=bw).collect()
+    }
+    cum = 0
+    pat = re.compile(TOKEN_REGEX)
+    for doc_id, text in sorted(docs):
+        n = len(pat.findall(text))
+        first, off = cum // cap, cum % cap
+        n_seqs = ((cum + n - 1) // cap - first + 1) if n > 0 else 0
+        assert got[doc_id] == (n, first, n_seqs, off), (doc_id, got[doc_id])
+        cum += n
+    assert len(got) == len(docs)
+
+
+def test_repetition_profile_flags_looping_text(spark):
+    """A doc that is one phrase repeated must flag; distinct-word text
+    must not; sub-k docs get NULL frac and never flag."""
+    from end_to_end_sales_etl_de_project_spark.operators.text import repetition_profile
+
+    rows = [
+        (1, "spam ham eggs " * 20),                      # pure loop
+        (2, "one two three four five six seven eight"),  # all distinct
+        (3, "hi"),                                       # shorter than k
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_profile(df, k=3).collect()}
+    assert out[1]["repetitive"] and out[1]["dup_frac"] > 0.9
+    assert not out[2]["repetitive"] and out[2]["dup_frac"] == 0.0
+    assert out[3]["n_ngrams"] == 0 and out[3]["dup_frac"] is None
+    assert not out[3]["repetitive"]
