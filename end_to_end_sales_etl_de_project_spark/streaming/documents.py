@@ -1,0 +1,88 @@
+"""Streaming document ingestion with a quality gate — the front door
+of a training-data pipeline run continuously instead of as nightly
+batches: documents land as parquet files, every doc gets its admission
+decision (the same ``text.quality_bucket`` + token accounting the batch
+curation stages apply), and per-source admission totals stay current.
+
+Design:
+
+- **Decisions are stateless** (per-row projection), so the decision
+  stream runs in append mode with zero state — at any corpus rate the
+  only cost is the projection itself, and batch ≡ stream is exact by
+  construction (same column expressions, same engine).
+- **Accounting is a keyed aggregation without event time** (the
+  documents table carries none): bounded state = one row per
+  (source, bucket), emitted in update/complete mode. Cardinality is
+  |sources| × 3 buckets — driver-safe at any scale.
+- **Thresholds are shared** with t03/c01/c04 (one ``quality_bucket``
+  definition), so the streaming gate can never drift from the batch
+  curation policy it fronts.
+
+The reference has no streaming surface (SURVEY §2.9); this module is
+Spark-native capability layered on the reference's validate→route
+semantics (``/root/reference/src/validation/validate.py`` routes whole
+files; the gate routes rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from end_to_end_sales_etl_de_project_spark.operators.text import (
+    quality_bucket,
+    token_count,
+)
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession,
+    src_dir: str,
+    max_files_per_trigger: int | None = 1,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """File-source stream over a documents landing zone. Defaults to
+    the canonical documents schema so ingestion can be armed on an
+    EMPTY directory (no batch peek needed)."""
+    reader = spark.readStream.schema(schema or DOCUMENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Per-document admission decision — works identically on a static
+    or streaming frame (stateless projection): (doc_id, source, bucket,
+    n_tokens, admitted)."""
+    return docs.select(
+        "doc_id",
+        "source",
+        quality_bucket("text").alias("bucket"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+        (quality_bucket("text") == "ok").alias("admitted"),
+    )
+
+
+def ingest_accounting(gated: DataFrame) -> DataFrame:
+    """Per-(source, bucket) admission totals — the dashboard row a
+    continuously-running ingest exposes: how many docs/tokens each
+    source contributed and how many the gate refused. Keyed streaming
+    aggregation with |sources|×|buckets| state rows."""
+    return gated.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(F.when(F.col("admitted"), F.col("n_tokens")).otherwise(0)).alias(
+            "admitted_tokens"
+        ),
+    )

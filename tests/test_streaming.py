@@ -398,3 +398,85 @@ def test_anomaly_stream_matches_batch_scoring(spark, sf_dir, events_src):
     want = _canon(batch.select("hour", "n_events", "robust_z", "is_outlier"))
     assert got == want
     assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming document-ingest quality gate (streaming/documents.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def docs_src(spark, sf_dir, tmpdir):
+    """Landing zone = the corpus file + a second 'arriving' file with
+    planted gate-rejected docs (the sf0.001 corpus alone is all-'ok',
+    which would make the admission split vacuous)."""
+    src = f"{tmpdir}/doc-landing"
+    import os
+
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/docs-000.parquet")
+    import duckdb as dk
+
+    puncty = "!!! ??? !!! ??? " * 12
+    dk.connect().execute(
+        "COPY (SELECT * FROM (VALUES "
+        "(100001, 'too short', 'en', 'planted', 9), "
+        f"(100002, '{puncty}', 'en', 'planted', {len(puncty)})"
+        ") t(doc_id, text, lang, source, n_chars)) "
+        f"TO '{src}/docs-001.parquet' (FORMAT PARQUET)"
+    )
+    return src
+
+
+def test_doc_quality_gate_stream_equals_batch(spark, docs_src):
+    """Per-doc admission decisions: stream output must be row-for-row
+    identical to the same gate over the static table (stateless
+    projection ⇒ exact, not approximate, equality)."""
+    from end_to_end_sales_etl_de_project_spark.streaming.documents import (
+        quality_gate,
+        read_documents_stream,
+    )
+
+    stream = read_documents_stream(spark, docs_src)
+    result = run_to_memory_sink(quality_gate(stream), "doc_gate_test", "append")
+    batch = quality_gate(spark.read.parquet(docs_src))
+    got, want = _canon(result), _canon(batch)
+    assert len(want) > 0 and got == want
+    # the gate must actually split the corpus (non-vacuous fixture)
+    admitted = {r for r in want if r[4]}
+    assert 0 < len(admitted) < len(want)
+
+
+def test_doc_ingest_accounting_stream_equals_batch(spark, docs_src):
+    """Per-(source, bucket) admission totals in complete mode must
+    equal the batch rollup bit-for-bit (integer counts/sums only)."""
+    from end_to_end_sales_etl_de_project_spark.streaming.documents import (
+        ingest_accounting,
+        quality_gate,
+        read_documents_stream,
+    )
+
+    stream = read_documents_stream(spark, docs_src)
+    result = run_to_memory_sink(
+        ingest_accounting(quality_gate(stream)), "doc_acct_test", "complete"
+    )
+    batch = ingest_accounting(quality_gate(spark.read.parquet(docs_src)))
+    assert len(_canon(result)) > 0
+    assert _canon(result) == _canon(batch)
+
+
+def test_doc_stream_arms_on_empty_landing_zone(spark, tmpdir):
+    """The canonical schema default lets ingestion start BEFORE any
+    file arrives — the failure mode read_events_stream documents."""
+    import os
+
+    src = f"{tmpdir}/empty-landing"
+    os.makedirs(src)
+    from end_to_end_sales_etl_de_project_spark.streaming.documents import (
+        quality_gate,
+        read_documents_stream,
+    )
+
+    stream = read_documents_stream(spark, src)
+    result = run_to_memory_sink(quality_gate(stream), "doc_empty_test", "append")
+    assert result.collect() == []
