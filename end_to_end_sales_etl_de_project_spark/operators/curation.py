@@ -1155,7 +1155,11 @@ def dsir_importance(
     feature occurrences; at larger scale the two-step division form
     below keeps every intermediate near unity instead of overflowing
     a count product."""
-    is_tgt = (F.col(target_col) == target_value).cast("int")
+    # NULL target_col must count as SOURCE (0), matching the SQL twin's
+    # CASE WHEN ... ELSE 0 END — a bare (col == value).cast("int") would
+    # null-propagate, silently dropping NULL-lang docs from BOTH
+    # smoothed distributions and emitting is_target = NULL
+    is_tgt = F.when(F.col(target_col) == target_value, 1).otherwise(0)
     toked = docs.select(
         F.col(id_col).alias("doc"), is_tgt.alias("tgt"), tokens(text_col).alias("toks")
     )
@@ -1178,10 +1182,13 @@ def dsir_importance(
             h60(F.concat(F.col("bg.w1"), F.lit(" "), F.col("bg.w2"))) % n_buckets
         ).alias("bucket"),
     )
+    # the model is <= n_buckets rows: materialize it ONCE so the totals
+    # aggregate and the probe-side broadcast don't each re-execute the
+    # corpus-sized tokenize+posexplode pipeline (3 scans -> 2)
     counts = pairs.groupBy("bucket").agg(
         F.sum("tgt").cast("bigint").alias("ct"),
         F.sum(1 - F.col("tgt")).cast("bigint").alias("cs"),
-    )
+    ).localCheckpoint(eager=True)
     totals = counts.agg(
         F.sum("ct").cast("bigint").alias("t_total"),
         F.sum("cs").cast("bigint").alias("s_total"),

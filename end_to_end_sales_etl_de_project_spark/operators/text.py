@@ -471,20 +471,24 @@ def repetition_profile(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Intra-document repetition audit (the Gopher-style duplicate
-    n-gram quality filter): per doc, the fraction of k-gram OCCURRENCES
-    that are duplicates of an earlier occurrence — templated/looping
-    text (boilerplate headers, generation loops) scores high and is
-    dropped before training.
+    """Duplicated n-gram CHARACTER mass per document (the Gopher /
+    MassiveText quality filter, Rae et al. 2021 §A1.1): of all the
+    characters flowing through the doc's k-gram occurrence stream, the
+    fraction belonging to occurrences BEYOND the first of their gram —
+    templated/looping text (boilerplate headers, generation loops)
+    carries most of its mass in repeats and gets dropped before
+    training.
 
-    ``dup_frac = (n_ngrams - n_distinct) / n_ngrams`` over the
-    POSITIONAL k-gram stream (:func:`positional_shingles_from_tokens`
-    — dedup here would erase exactly the signal being measured). One
-    explode + one per-doc aggregation: counts are map-side combinable
-    and per-doc distinct state is bounded by doc length, so the shape
-    survives any corpus size. Docs shorter than k tokens have no
-    k-grams: dup_frac is NULL and they are never flagged. Integer
-    counts + one IEEE division ⇒ hash-exact oracle.
+    Distinct from :func:`t07_repetition`'s occurrence-count ratio
+    (1 − distinct/total, a zero-shuffle projection): weighting by
+    gram LENGTH requires per-(doc, gram) occurrence counts, so this
+    is the grouped form — explode the POSITIONAL stream
+    (:func:`positional_shingles_from_tokens`; dedup would erase the
+    signal), count per (doc, gram), then one per-doc rollup. Both
+    aggregations are map-side combinable and per-doc state is bounded
+    by doc length. Docs shorter than k tokens have no k-grams:
+    dup_char_frac is NULL and they are never flagged. Integer char
+    sums + one IEEE division ⇒ hash-exact oracle.
     """
     toked = docs.select(
         F.col(id_col).alias("doc"), tokens(text_col).alias("toks")
@@ -492,20 +496,26 @@ def repetition_profile(
     grams = toked.select(
         "doc", F.explode(positional_shingles_from_tokens(F.col("toks"), k)).alias("g")
     )
-    per_doc = grams.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_ngrams"),
-        F.countDistinct("g").alias("n_distinct"),
+    per_gram = grams.groupBy("doc", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    glen = F.length("g").cast("bigint")
+    per_doc = per_gram.groupBy("doc").agg(
+        F.sum("cnt").cast("bigint").alias("n_ngrams"),
+        F.sum((F.col("cnt") - 1) * glen).cast("bigint").alias("dup_chars"),
+        F.sum(F.col("cnt") * glen).cast("bigint").alias("total_chars"),
     )
-    dup = (F.col("n_ngrams") - F.col("n_distinct")).cast("double") / F.col("n_ngrams")
+    frac = F.col("dup_chars").cast("double") / F.col("total_chars")
     return (
         docs.select(F.col(id_col).alias("doc"))
         .join(per_doc, "doc", "left")
         .select(
             F.col("doc").alias("doc_id"),
             F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("bigint").alias("n_ngrams"),
-            F.coalesce(F.col("n_distinct"), F.lit(0)).cast("bigint").alias("n_distinct"),
-            dup.alias("dup_frac"),
-            F.coalesce(dup > F.lit(threshold), F.lit(False)).alias("repetitive"),
+            F.coalesce(F.col("dup_chars"), F.lit(0)).cast("bigint").alias("dup_chars"),
+            F.coalesce(F.col("total_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("total_chars"),
+            frac.alias("dup_char_frac"),
+            F.coalesce(frac > F.lit(threshold), F.lit(False)).alias("repetitive"),
         )
     )
 
@@ -522,16 +532,22 @@ def repetition_profile_sql(
     return f"""
 WITH toked AS (SELECT {id_col} AS doc, {toks} AS toks FROM {table}),
 g AS (SELECT doc, unnest({grams}) AS g FROM toked),
+per_gram AS (
+  SELECT doc, g, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY doc, g
+),
 per_doc AS (
-  SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
-         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
-  FROM g GROUP BY doc
+  SELECT doc,
+         CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+         CAST(SUM((cnt - 1) * length(g)) AS BIGINT) AS dup_chars,
+         CAST(SUM(cnt * length(g)) AS BIGINT) AS total_chars
+  FROM per_gram GROUP BY doc
 )
 SELECT d.{id_col} AS doc_id,
        COALESCE(p.n_ngrams, 0) AS n_ngrams,
-       COALESCE(p.n_distinct, 0) AS n_distinct,
-       CAST(p.n_ngrams - p.n_distinct AS DOUBLE) / p.n_ngrams AS dup_frac,
-       COALESCE(CAST(p.n_ngrams - p.n_distinct AS DOUBLE) / p.n_ngrams
-                > {threshold}, FALSE) AS repetitive
+       COALESCE(p.dup_chars, 0) AS dup_chars,
+       COALESCE(p.total_chars, 0) AS total_chars,
+       CAST(p.dup_chars AS DOUBLE) / p.total_chars AS dup_char_frac,
+       COALESCE(CAST(p.dup_chars AS DOUBLE) / p.total_chars > {threshold}, FALSE)
+         AS repetitive
 FROM {table} d LEFT JOIN per_doc p ON d.{id_col} = p.doc
 """

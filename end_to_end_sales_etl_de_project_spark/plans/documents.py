@@ -2550,10 +2550,11 @@ def t27_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("t28_repetition_ratio", text.repetition_profile_sql())
 def t28_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Intra-doc repetition filter (Gopher-style duplicate-3-gram
-    fraction): templated/looping documents score high and get dropped
-    before training. Positional n-gram explode (dedup would erase the
-    signal) + one map-side-combinable per-doc rollup; short docs are
+    """Duplicated-3-gram CHARACTER-mass filter (Gopher/MassiveText,
+    Rae et al. 2021): the char-weighted complement of t07's zero-
+    shuffle occurrence ratio — length weighting needs per-(doc, gram)
+    occurrence counts, so this is the grouped form over the positional
+    n-gram stream (dedup would erase the signal); short docs are
     NULL-frac, never flagged. spread() rescues the 1-split sandbox
     scan in front of the explode (no-op at real scale)."""
     docs = spread(load_table(spark, sf_dir, "documents"))

@@ -355,3 +355,37 @@ def test_contamination_report_rejects_mismatched_artifact(spark):
         curation.contamination_report(docs, sh_base=art)  # default k=5
     # matching width passes through fine
     curation.contamination_report(docs, k=3, sh_base=art).collect()
+
+
+def test_dsir_importance_null_lang_matches_oracle(spark, tmp_path):
+    """NULL target_col must count as SOURCE in BOTH engines — the bare
+    (col == value).cast('int') form null-propagated, dropping NULL-lang
+    docs from both smoothed distributions while the SQL twin's CASE
+    WHEN ... ELSE 0 counted them as source; one NULL-lang doc then
+    shifted every doc's ratios (regression for the round-7 review
+    finding)."""
+    import duckdb
+
+    rows = [
+        (1, "the cat sat on the mat today", "en", "s", 28),
+        (2, "le chat est sur le tapis aujourd'hui", "fr", "s", 36),
+        (3, "unknown words drift through empty space", None, "s", 39),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pq = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(pq)
+
+    got = {
+        r["doc_id"]: (r["is_target"], r["n_features"], r["sum_ratio"], r["avg_ratio"])
+        for r in curation.dsir_importance(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    want = {
+        row[0]: tuple(row[1:])
+        for row in con.execute(curation.dsir_importance_sql()).fetchall()
+    }
+    assert got == want
+    assert got[3][0] == 0  # NULL lang is SOURCE, never NULL

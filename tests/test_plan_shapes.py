@@ -775,11 +775,15 @@ def test_d17_no_python_partial_agg(spark):
 
 def test_t27_bucket_model_rides_broadcasts(spark):
     """t27 DSIR: the 4096-row bucket-count model and the 1-row totals
-    both decorate the feature stream via BROADCAST joins — the only
-    corpus-sized exchange is the per-doc rollup."""
+    both decorate the feature stream via BROADCAST joins, and the
+    model is materialized ONCE (exactly two corpus scans: the probe
+    pipeline + the final doc list — not three; round-7 review #2).
+    The final decorate join of two corpus-sized sides is allowed to
+    shuffle (broadcasting per-doc scores would be a toy-scale-only
+    plan)."""
     plan = plan_of(spark, "t27_dsir_importance")
     assert plan.count("BroadcastExchange") >= 2, plan
-    assert "SortMergeJoin" not in plan
+    assert plan.count("documents.parquet") == 2, plan
     assert "EvalPython" not in plan, plan
 
 
@@ -819,11 +823,11 @@ def test_c10_packing_window_is_partitioned(spark):
 
 
 def test_t28_repetition_partial_aggs(spark):
-    """t28 repetition ratio: the n-gram explode feeds map-side partial
-    counts (never raw gram rows into one reducer) and the per-doc
-    distinct runs as the two-level partial_count(distinct) expansion;
-    everything stays in codegen."""
+    """t28 repetition mass: the n-gram explode feeds map-side partial
+    counts at the (doc, gram) level and map-side partial char sums at
+    the doc level (never raw gram rows into one reducer); everything
+    stays in codegen."""
     plan = plan_of(spark, "t28_repetition_ratio")
     assert "partial_count" in plan, plan
-    assert "partial_count(distinct" in plan, plan
+    assert "partial_sum" in plan, plan
     assert "EvalPython" not in plan, plan

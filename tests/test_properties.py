@@ -324,7 +324,8 @@ def test_pack_sequences_match_sequential_packing(spark, docs, cap, bw):
 
 def test_repetition_profile_flags_looping_text(spark):
     """A doc that is one phrase repeated must flag; distinct-word text
-    must not; sub-k docs get NULL frac and never flag."""
+    must not; sub-k docs get NULL frac and never flag. Char-mass
+    bookkeeping must tie out: dup + first-occurrence chars = total."""
     from end_to_end_sales_etl_de_project_spark.operators.text import repetition_profile
 
     rows = [
@@ -334,7 +335,9 @@ def test_repetition_profile_flags_looping_text(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in repetition_profile(df, k=3).collect()}
-    assert out[1]["repetitive"] and out[1]["dup_frac"] > 0.9
-    assert not out[2]["repetitive"] and out[2]["dup_frac"] == 0.0
-    assert out[3]["n_ngrams"] == 0 and out[3]["dup_frac"] is None
+    assert out[1]["repetitive"] and out[1]["dup_char_frac"] > 0.9
+    assert not out[2]["repetitive"] and out[2]["dup_char_frac"] == 0.0
+    assert out[3]["n_ngrams"] == 0 and out[3]["dup_char_frac"] is None
     assert not out[3]["repetitive"]
+    for r in out.values():
+        assert r["dup_chars"] <= r["total_chars"]
