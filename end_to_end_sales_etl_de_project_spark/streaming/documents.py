@@ -86,3 +86,27 @@ def ingest_accounting(gated: DataFrame) -> DataFrame:
             "admitted_tokens"
         ),
     )
+
+
+def dedup_documents_stream(docs: DataFrame) -> DataFrame:
+    """Streaming exact content dedup at the ingest door: the first
+    document carrying each text hash is admitted, every later copy
+    (re-crawls, mirror sites, redelivered files) is dropped — the
+    streaming twin of the batch incremental-ingest dedup
+    (``operators/dedup.py`` d10 semantics, which joins a new batch
+    against the corpus index).
+
+    State: ``dropDuplicates`` on the 60-bit content hash keeps ONE
+    8-byte key per distinct document forever — for exact dedup that is
+    the honest minimum (a copy can arrive years later), and it is the
+    hash-index footprint, not the corpus (‰-scale of the data). The
+    documents table carries no event time, so there is no watermark to
+    bound it; a deployment that can tolerate a dedup horizon adds an
+    ingest-time column and switches to
+    ``dropDuplicatesWithinWatermark`` (the ``dedup_stream`` pattern).
+    """
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60
+
+    return docs.withColumn("text_hash", h60(F.col("text"))).dropDuplicates(
+        ["text_hash"]
+    )

@@ -480,3 +480,25 @@ def test_doc_stream_arms_on_empty_landing_zone(spark, tmpdir):
     stream = read_documents_stream(spark, src)
     result = run_to_memory_sink(quality_gate(stream), "doc_empty_test", "append")
     assert result.collect() == []
+
+
+def test_doc_dedup_stream_admits_each_content_once(spark, sf_dir, docs_src):
+    """Redeliver the corpus file — every distinct text hash must be
+    admitted exactly once across both deliveries."""
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{docs_src}/docs-redelivered.parquet")
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60
+    from end_to_end_sales_etl_de_project_spark.streaming.documents import (
+        dedup_documents_stream,
+        read_documents_stream,
+    )
+
+    stream = read_documents_stream(spark, docs_src, max_files_per_trigger=1)
+    result = run_to_memory_sink(
+        dedup_documents_stream(stream), "doc_dedup_test", "append"
+    )
+    hashes = [r["text_hash"] for r in result.select("text_hash").collect()]
+    assert len(hashes) == len(set(hashes)), "a content hash was admitted twice"
+    n_distinct = (
+        spark.read.parquet(docs_src).select(h60("text").alias("h")).distinct().count()
+    )
+    assert len(hashes) == n_distinct
