@@ -1,0 +1,155 @@
+"""Planted-NULL oracle parity: the canonical testdata has no NULL
+text/lang/source, so a Spark-vs-DuckDB NULL-semantics divergence can
+hide behind green driver rows indefinitely (exactly how the round-7
+dsir_importance bug stayed invisible). This suite re-runs the
+document-family queries of the CURRENT driver window over a corpus
+with NULLs planted in every nullable column — any divergence must be
+fixed while the query already holds a window slot (so re-earning
+driver evidence is already scheduled), never discovered later.
+
+Scope is deliberately the window ∩ documents-readers: out-of-window
+queries are exercised as they rotate in (extending this corpus is the
+r8+ follow-up), keeping fixes staleness-safe by construction.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+from end_to_end_sales_etl_de_project_spark.plans.registry import (
+    DRIVER_WINDOW,
+    ORACLES,
+)
+from end_to_end_sales_etl_de_project_spark.testing import (
+    compare_spark_to_oracle,
+    run_oracle,
+)
+
+# in-window queries whose plans (and oracles) read the documents table
+WINDOW_DOC_QUERIES = [
+    "t26_shingle_novelty",
+    "d17_substring_dedup",
+    "t27_dsir_importance",
+    "t28_repetition_ratio",
+    "c10_sequence_packing",
+    "c01_curate_corpus",
+    "c02_training_manifest",
+    "c03_dataset_mix",
+    "c08_decontamination_agreement",
+    "d02_ngram_jaccard",
+    "d03_minhash_lsh",
+    "d06_neardup_resolve",
+    "d07_decontaminate",
+    "d08_jaccard_stopshingle",
+    "d09_minhash_estimate_audit",
+    "d11_chunk_neardup",
+    "t03_quality_score",
+    "t14_doc_chunking",
+    "t15_boilerplate_ngrams",
+    "t20_contamination_spans",
+]
+
+_PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"
+
+
+def _planted_rows():
+    """Docs exercising every NULL/degenerate corner the synthetic
+    corpus lacks, plus enough normal/near-dup content that the dedup
+    paths stay non-vacuous. d15 requires texts >= 16 chars or < 16
+    uniformly — keep every non-NULL text >= 16 chars."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy badgers watch from the old stone bridge" + _PAR * 3
+    )
+    rows = [
+        (0, base, "en", "web", len(base)),
+        (1, base + " appended tail words here", "en", "web", len(base) + 25),
+        (2, base, "en", "books", len(base)),  # exact dup of 0, other source
+        (3, "completely different arctic penguins assemble quietly near "
+            "the frozen shoreline under pale green auroras tonight" + _PAR * 2,
+         "fr", "web", 113),
+        (4, None, "en", "web", 0),            # NULL text
+        (5, base[:40] + " un texte distinct pour la suite du corpus" + _PAR,
+         None, "web", 82),                    # NULL lang
+        (6, "another moderately long document about rivers mountains "
+            "oceans forests and the deserts beyond them" + _PAR * 2,
+         "en", None, 98),                     # NULL source
+        (7, None, None, None, None),          # all NULL
+    ]
+    return rows
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(spark, sf_dir, tmp_path_factory):
+    """A full sf-dir clone whose documents.parquet is the planted
+    corpus — queries and oracles both read it through their normal
+    loaders, so NULL semantics are compared end-to-end."""
+    d = tmp_path_factory.mktemp("null-corpus")
+    for name in os.listdir(sf_dir):
+        if name != "documents.parquet":
+            shutil.copy(os.path.join(sf_dir, name), d / name)
+    df = spark.createDataFrame(
+        _planted_rows(),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    staged = str(d / "_docs_staged")
+    df.coalesce(1).write.parquet(staged)
+    part = [f for f in os.listdir(staged) if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(staged, part), d / "documents.parquet")
+    shutil.rmtree(staged)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def null_con(null_sf_dir):
+    from end_to_end_sales_etl_de_project_spark.testing import duckdb_connection
+
+    return duckdb_connection(null_sf_dir)
+
+
+def test_scope_is_current(spark):
+    """The scoped list must track the window: every listed query holds
+    a slot and has an oracle (rotations must update this list)."""
+    for name in WINDOW_DOC_QUERIES:
+        assert name in DRIVER_WINDOW, f"{name} rotated out — update scope"
+        assert name in ORACLES, name
+
+
+def test_d15_fail_loud_guard_fires_on_null_text(spark, null_sf_dir):
+    """d15's documented precondition (every text >= 16 chars for the
+    16-byte prefix blocks) must fail LOUDLY on a NULL-text corpus,
+    never silently miss pairs — so it is excluded from the parity
+    sweep and pinned here instead."""
+    with pytest.raises(Exception, match="prefix blocking requires"):
+        E.queries()["d15_prefix_duplicates"](spark, null_sf_dir).collect()
+
+
+def test_t02_null_divergence_is_known(spark, null_sf_dir, null_con):
+    """KNOWN r8 DEBT (out-of-window, evidence r02): predicted_lang on
+    NULL text diverges — Spark's score comparisons see non-NULL zeros
+    and elect the first language, DuckDB's NULL conditions fall through
+    to the CASE ELSE. Harmless on the NULL-free driver corpus; MUST be
+    fixed (NULL text → pinned prediction in both engines) when t02
+    rotates into the r8 window. This pin flips the moment someone fixes
+    one side, forcing the scope list update."""
+    r = compare_spark_to_oracle(
+        "t02_language_id",
+        E.queries()["t02_language_id"](spark, null_sf_dir),
+        run_oracle(null_con, E.oracle_sql()["t02_language_id"]),
+    )
+    assert not r.match, "t02 now NULL-clean — move it into WINDOW_DOC_QUERIES"
+
+
+@pytest.mark.parametrize("name", WINDOW_DOC_QUERIES)
+def test_null_corpus_oracle_parity(spark, null_sf_dir, null_con, name):
+    r = compare_spark_to_oracle(
+        name,
+        E.queries()[name](spark, null_sf_dir),
+        run_oracle(null_con, E.oracle_sql()[name]),
+    )
+    assert r.match, f"{name} diverges on NULLs: {r.mismatches[:3]}"
