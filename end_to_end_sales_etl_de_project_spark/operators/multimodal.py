@@ -104,12 +104,17 @@ def extract_features(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
                         "real decode requires Pillow on the executors; "
                         "this environment ships none (stub only)"
                     ) from e
-                decoded = [pixel_features(bytes(b)) for b in pdf["payload"]]
+                decoded = [
+                    (0.0, 0) if b is None else pixel_features(bytes(b))
+                    for b in pdf["payload"]
+                ]
                 yield pd.DataFrame(
                     {
                         "asset_id": pdf["asset_id"],
                         "format": [m["format"] for m in pdf["meta"]],
-                        "n_bytes": pdf["payload"].map(len).astype("int64"),
+                        "n_bytes": pdf["payload"]
+                        .map(len, na_action="ignore")
+                        .astype("Int64"),
                         "byte_mean": [d[0] for d in decoded],
                         "byte_entropy_proxy": pd.Series(
                             [d[1] for d in decoded], dtype="int64"
@@ -122,14 +127,21 @@ def extract_features(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
                 {
                     "asset_id": pdf["asset_id"],
                     "format": [m["format"] for m in pdf["meta"]],
-                    "n_bytes": payloads.map(len).astype("int64"),
+                    # NULL payload (no content) -> NULL n_bytes but
+                    # zero-valued features, matching the oracle's
+                    # LEFT JOIN + COALESCE semantics
+                    "n_bytes": payloads.map(len, na_action="ignore").astype(
+                        "Int64"
+                    ),
                     # deterministic byte-level "features" standing in for
                     # decoded-content features
                     "byte_mean": payloads.map(
-                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                        lambda b: 0.0
+                        if b is None or not len(b)
+                        else float(sum(b)) / len(b)
                     ),
                     "byte_entropy_proxy": payloads.map(
-                        lambda b: len(set(b))
+                        lambda b: 0 if b is None else len(set(b))
                     ).astype("int64"),
                 }
             )

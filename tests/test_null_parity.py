@@ -32,6 +32,7 @@ from end_to_end_sales_etl_de_project_spark.testing import (
 
 # in-window queries whose plans (and oracles) read the documents table
 WINDOW_DOC_QUERIES = [
+    "m02_multimodal_features",
     "t26_shingle_novelty",
     "d17_substring_dedup",
     "t27_dsir_importance",
@@ -112,12 +113,36 @@ def null_con(null_sf_dir):
     return duckdb_connection(null_sf_dir)
 
 
+# In-window document-readers deliberately OUTSIDE the parity sweep,
+# each with its own dedicated pin below.
+SWEEP_EXCLUSIONS = {
+    "d15_prefix_duplicates",  # fail-loud precondition, pinned below
+}
+
+
 def test_scope_is_current(spark):
     """The scoped list must track the window: every listed query holds
     a slot and has an oracle (rotations must update this list)."""
     for name in WINDOW_DOC_QUERIES:
         assert name in DRIVER_WINDOW, f"{name} rotated out — update scope"
         assert name in ORACLES, name
+
+
+def test_scope_is_complete():
+    """No in-window document-reader silently skips the NULL sweep: any
+    window query whose ORACLE references the documents table must be
+    either in the sweep or on the documented exclusion list (this is
+    how the m02 NULL-payload crash was found — it was the one reader
+    the hand-written scope missed)."""
+    import re
+
+    readers = {
+        n
+        for n in DRIVER_WINDOW
+        if n in ORACLES and re.search(r"\bdocuments\b", ORACLES[n])
+    }
+    unswept = readers - set(WINDOW_DOC_QUERIES) - SWEEP_EXCLUSIONS
+    assert not unswept, f"document-readers missing from the NULL sweep: {sorted(unswept)}"
 
 
 def test_d15_fail_loud_guard_fires_on_null_text(spark, null_sf_dir):
@@ -127,6 +152,18 @@ def test_d15_fail_loud_guard_fires_on_null_text(spark, null_sf_dir):
     sweep and pinned here instead."""
     with pytest.raises(Exception, match="prefix blocking requires"):
         E.queries()["d15_prefix_duplicates"](spark, null_sf_dir).collect()
+
+
+def test_m03_null_crash_is_known(spark, null_sf_dir):
+    """KNOWN r8 DEBT (out-of-window, evidence r06): sample_frames'
+    frame_batches does `bytes(payload)` without a NULL guard, so m03
+    crashes on a NULL-text corpus. m03 is out-of-window and the
+    staleness window has zero free slots this round, so the fix (skip
+    frame emission for NULL payloads, matching the oracle's inner-join
+    semantics) must land with m03's r8 rotation. This pin flips the
+    moment sample_frames goes NULL-safe, forcing the scope update."""
+    with pytest.raises(Exception, match="NoneType"):
+        E.queries()["m03_frame_sample"](spark, null_sf_dir).collect()
 
 
 def test_t02_null_divergence_is_known(spark, null_sf_dir, null_con):
