@@ -502,3 +502,53 @@ def test_doc_dedup_stream_admits_each_content_once(spark, sf_dir, docs_src):
         spark.read.parquet(docs_src).select(h60("text").alias("h")).distinct().count()
     )
     assert len(hashes) == n_distinct
+
+
+def test_doc_dedup_stream_nulls_pass_state_is_bounded(spark, tmpdir):
+    """NULL-text docs pass the dedup door UNDEDUPED (no content to
+    compare — the downstream quality gate judges them), and the
+    dedup state is exactly one row per distinct non-NULL doc,
+    measured from the query's stateOperators progress metrics (the
+    quantified bound the docstring promises)."""
+    import os
+
+    import duckdb as dk
+
+    src = f"{tmpdir}/doc-dedup-nulls"
+    os.makedirs(src)
+    dk.connect().execute(
+        "COPY (SELECT * FROM (VALUES "
+        "(1, 'alpha content one', 'en', 'web', 17), "
+        "(2, 'alpha content one', 'en', 'web', 17), "  # exact dup of 1
+        "(3, 'beta content two', 'en', 'web', 16), "
+        "(4, NULL, 'en', 'web', 0), "
+        "(5, NULL, NULL, NULL, NULL)"
+        ") t(doc_id, text, lang, source, n_chars)) "
+        f"TO '{src}/docs-000.parquet' (FORMAT PARQUET)"
+    )
+    from end_to_end_sales_etl_de_project_spark.streaming.documents import (
+        dedup_documents_stream,
+        read_documents_stream,
+    )
+
+    stream = read_documents_stream(spark, src)
+    q = (
+        dedup_documents_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("doc_dedup_null_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT doc_id, text FROM doc_dedup_null_test").collect()
+    admitted = {r["doc_id"] for r in rows}
+    # both NULL-text docs pass; exactly one of the dup pair survives
+    assert {3, 4, 5} <= admitted
+    assert len(admitted & {1, 2}) == 1
+    # measured state bound: one state row per distinct non-NULL doc
+    state = progress["stateOperators"]
+    assert sum(op["numRowsTotal"] for op in state) == 2, state
