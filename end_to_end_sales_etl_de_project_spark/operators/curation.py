@@ -1182,13 +1182,21 @@ def dsir_importance(
             h60(F.concat(F.col("bg.w1"), F.lit(" "), F.col("bg.w2"))) % n_buckets
         ).alias("bucket"),
     )
-    # the model is <= n_buckets rows: materialize it ONCE so the totals
+    # the model is <= n_buckets rows: persist() it so the totals
     # aggregate and the probe-side broadcast don't each re-execute the
-    # corpus-sized tokenize+posexplode pipeline (3 scans -> 2)
+    # corpus-sized tokenize+posexplode pipeline (3 scans -> 2).
+    # persist, NOT localCheckpoint: checkpoint (even eager=False)
+    # calls queryExecution.toRdd at plan-construction time, which
+    # under AQE executes the aggregation's query stages — so merely
+    # BUILDING the t27 plan ran a corpus-sized job in explain-only
+    # contexts, and the checkpointed blocks had no lineage to
+    # recompute on executor loss (ADVICE r7). persist keeps both:
+    # lazy until the first action, lineage-backed after it. 4096-row
+    # cache entry, never worth unpersisting.
     counts = pairs.groupBy("bucket").agg(
         F.sum("tgt").cast("bigint").alias("ct"),
         F.sum(1 - F.col("tgt")).cast("bigint").alias("cs"),
-    ).localCheckpoint(eager=True)
+    ).persist()
     totals = counts.agg(
         F.sum("ct").cast("bigint").alias("t_total"),
         F.sum("cs").cast("bigint").alias("s_total"),

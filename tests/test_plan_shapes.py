@@ -780,11 +780,45 @@ def test_t27_bucket_model_rides_broadcasts(spark):
     pipeline + the final doc list — not three; round-7 review #2).
     The final decorate join of two corpus-sized sides is allowed to
     shuffle (broadcasting per-doc scores would be a toy-scale-only
-    plan)."""
+    plan). The model rides a persist() (lazy, lineage-backed —
+    ADVICE r7): the plan must read it via InMemoryTableScan, so at
+    runtime the corpus pipeline under it executes once (cache fill)
+    no matter how many consumers; the cached subtree's own scan still
+    PRINTS in explain, hence <= 3 parquet scan nodes in text but 3
+    runtime scans total (fill + probe + final doc list)."""
     plan = plan_of(spark, "t27_dsir_importance")
     assert plan.count("BroadcastExchange") >= 2, plan
-    assert plan.count("documents.parquet") == 2, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert plan.count("documents.parquet") <= 3, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_t27_plan_build_runs_no_corpus_job(spark):
+    """Building the t27 plan must not execute the corpus aggregation:
+    the bucket model rides persist() (lazy), not localCheckpoint —
+    checkpoint builds toRdd at construction time, which under AQE ran
+    the corpus-sized shuffle job per plan build (ADVICE r7). What a
+    plan build MAY still run is spark.read.parquet metadata (footer
+    schema inference: 1-task jobs); the old eager bug showed up as a
+    multi-task shuffle stage, so the pin is: no stage in the build's
+    job group may have more than one task."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("t27-lazy-pin", "plan build must not run corpus jobs")
+    try:
+        df = QUERIES["t27_dsir_importance"](spark, SF)
+        _ = df.schema  # force analysis, not execution
+        jobs = tracker.getJobIdsForGroup("t27-lazy-pin")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    for jid in jobs:
+        jinfo = tracker.getJobInfo(jid)
+        for sid in jinfo.stageIds:
+            sinfo = tracker.getStageInfo(sid)
+            assert sinfo is None or sinfo.numTasks <= 1, (
+                f"plan build ran a {sinfo.numTasks}-task stage "
+                f"(job {jid}) — the corpus pipeline executed at build time"
+            )
 
 
 def test_spread_is_noop_on_wide_input(spark):
