@@ -15,6 +15,7 @@ there).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 INTERARRIVAL_SCHEMA = T.StructType(
@@ -34,6 +35,10 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
     result is exact and engine-independent (pandas' even-count median
     averages the two middle values, the same IEEE mean DuckDB's
     ``median`` computes). Users with <2 events yield null gaps.
+    Un-timestamped events are dropped explicitly on both engines — a
+    gap to/from a NULL ts is undefined, and leaving them in made
+    n_events engine-dependent (r8 planted-NULL events sweep; same
+    convention as operators/windows.py).
     """
 
     def per_user(pdf):
@@ -52,6 +57,7 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
 
     return (
         events.select("user_id", "ts")
+        .filter(F.col("ts").isNotNull())
         .groupBy("user_id")
         .applyInPandas(per_user, schema=INTERARRIVAL_SCHEMA)
     )
@@ -68,6 +74,7 @@ WITH gaps AS (
               - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS DOUBLE)
            / 1000000.0 AS gap_s
   FROM {table}
+  WHERE ts IS NOT NULL
 )
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -179,7 +179,9 @@ def sample_frames(
     frame emit a single truncated frame, and any tail bytes beyond the
     last full frame emit a final truncated frame — every asset's end
     stays visible downstream, so the checksum column can detect loss
-    or truncation at either end of the payload. The UDF is a closure (pickled by value); payload bytes
+    or truncation at either end of the payload. NULL payloads emit no
+    frames (nothing to decode; matches the SQL oracle, where a NULL
+    length falls out of every frame-window predicate). The UDF is a closure (pickled by value); payload bytes
     never leave the executor, and the output carries its own checksum
     so a lost/duplicated frame is detectable after any downstream
     shuffle.
@@ -198,6 +200,12 @@ def sample_frames(
                 "asset_id", "frame_id", "frame_offset", "frame_bytes", "frame_checksum"
             )}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL payload → no frames, matching the oracle's
+                    # NULL-comparison fall-through (every frame CTE
+                    # filters on length(text), and NULL >= k is never
+                    # true) — the m02 NULL-skip pattern.
+                    continue
                 b = bytes(payload)
                 if len(b) >= frame_size:
                     offsets = list(range(0, len(b) - frame_size + 1, hop))

@@ -130,7 +130,13 @@ def stopword_hits_sql(expr: str, lang: str) -> str:
 
 def predicted_lang(col: Column | str) -> Column:
     """Argmax language by stopword hits; ties break in LANG_STOPWORDS
-    declaration order (same CASE-chain in the SQL twin)."""
+    declaration order (same CASE-chain in the SQL twin). NULL text →
+    NULL prediction on BOTH engines: without the explicit guard Spark's
+    score comparisons would see non-NULL zeros (size of an empty token
+    array) and elect the first language while DuckDB's NULL conditions
+    fall through the CASE — the divergence the planted-NULL sweep
+    caught in round 7 (tests/test_null_parity.py)."""
+    c = F.col(col) if isinstance(col, str) else col
     langs = list(LANG_STOPWORDS)
     scores = {lg: stopword_hits(col, lg) for lg in langs}
     expr = F.lit(langs[-1])
@@ -139,16 +145,16 @@ def predicted_lang(col: Column | str) -> Column:
     for i in range(len(langs) - 2, -1, -1):
         cond = None
         for j in range(i + 1, len(langs)):
-            c = scores[langs[i]] >= scores[langs[j]]
-            cond = c if cond is None else (cond & c)
+            cj = scores[langs[i]] >= scores[langs[j]]
+            cond = cj if cond is None else (cond & cj)
         expr = F.when(cond, langs[i]).otherwise(expr)
-    return expr
+    return F.when(c.isNotNull(), expr)
 
 
 def predicted_lang_sql(expr: str) -> str:
     langs = list(LANG_STOPWORDS)
     score = {lg: stopword_hits_sql(expr, lg) for lg in langs}
-    clauses = []
+    clauses = [f"WHEN {expr} IS NULL THEN NULL"]
     for i in range(len(langs) - 1):
         conds = " AND ".join(
             f"{score[langs[i]]} >= {score[langs[j]]}" for j in range(i + 1, len(langs))

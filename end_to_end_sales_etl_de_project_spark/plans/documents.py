@@ -527,7 +527,14 @@ def m02_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _M03_ORACLE = """
 WITH b AS (SELECT doc_id AS asset_id, text, CAST(length(text) AS BIGINT) AS n
            FROM documents),
-offs AS (SELECT CAST(i AS BIGINT) AS off FROM generate_series(0, 16384, 1024) t(i)),
+guard AS (
+  SELECT CASE WHEN (SELECT COALESCE(MAX(n), 0) FROM b) > 16384
+    THEN error('m03 oracle position ceiling (16384) exceeded by a doc of '
+               || (SELECT MAX(n) FROM b) || ' chars — raise the series bounds')
+    ELSE 1 END AS ok
+),
+offs AS (SELECT CAST(i AS BIGINT) AS off FROM generate_series(0, 16384, 1024) t(i)
+         WHERE (SELECT ok FROM guard) = 1),
 full_frames AS (
   SELECT b.asset_id, b.n, offs.off
   FROM b JOIN offs ON b.n >= 256 AND offs.off <= b.n - 256
@@ -967,7 +974,8 @@ def _t12_oracle() -> str:
     return f"""
 WITH ranked AS (
   SELECT doc_id, source,
-         ROW_NUMBER() OVER (PARTITION BY source ORDER BY {order_h}, doc_id)
+         ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY {order_h} ASC NULLS LAST, doc_id)
            AS rank_in_source
   FROM documents
 )
@@ -988,8 +996,11 @@ def t12_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from end_to_end_sales_etl_de_project_spark.functions.hashing import h60
 
     docs = load_table(spark, sf_dir, "documents")
+    # NULL text -> NULL hash: rank it LAST explicitly on both sides
+    # (Spark defaults to NULLS FIRST asc, DuckDB to NULLS LAST — the
+    # divergence the planted-NULL sweep caught in r8)
     w = Window.partitionBy("source").orderBy(
-        h60(F.concat(F.lit("cap-v1"), F.col("text"))), "doc_id"
+        F.asc_nulls_last(h60(F.concat(F.lit("cap-v1"), F.col("text")))), "doc_id"
     )
     return (
         docs.select(

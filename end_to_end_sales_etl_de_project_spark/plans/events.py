@@ -52,6 +52,7 @@ SELECT date_trunc('hour', ts) AS window_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -73,6 +74,7 @@ SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT))
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events, (SELECT unnest([0, 1]) AS k) k
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -93,6 +95,7 @@ WITH flagged AS (
                    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS is_new
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sessions AS (
@@ -202,7 +205,9 @@ def e07_sessionize_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window pass, no native session_window."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # un-timestamped events cannot be sessionized — dropped explicitly
+    # on both engines (see operators/windows.py; r8 planted-NULL sweep)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts")
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
     gap = F.expr("INTERVAL 30 MINUTES")
@@ -255,7 +260,9 @@ def e14_interarrival_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact sort-based median."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # un-timestamped events cannot be sessionized — dropped explicitly
+    # on both engines (see operators/windows.py; r8 planted-NULL sweep)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts")
     gap = (
         F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))

@@ -312,3 +312,29 @@ def test_skewed_bucket_prunes_and_balances_partitions(spark):
     assert dedup.lsh_candidate_pairs(sigs, 4, 4, max_bucket_size=None).count() >= (
         400 * 399 // 2
     )
+
+
+def test_substring_oracle_ceiling_fails_loudly():
+    """The d17 DuckDB oracle samples positions from a fixed ceiling
+    (generate_series can't take lateral bounds): a doc longer than the
+    ceiling must raise via the guard CTE, never silently drop windows
+    and surface as a mystery driver hash mismatch (ADVICE r7)."""
+    import duckdb
+    import pytest
+
+    con = duckdb.connect()
+    long_doc = "abcdefgh" * 40  # 320 chars
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        f"(1, '{long_doc}'), (2, '{long_doc}')) t(doc_id, text)"
+    )
+    # ceiling below the doc length -> loud error
+    with pytest.raises(Exception, match="position ceiling"):
+        con.execute(
+            dedup.substring_dup_groups_sql("doc_id", "text", max_len=128)
+        ).fetchall()
+    # ceiling above -> runs clean and still finds the planted dup spans
+    rows = con.execute(
+        dedup.substring_dup_groups_sql("doc_id", "text", max_len=1024)
+    ).fetchall()
+    assert rows and all(r[1] == 2 for r in rows)

@@ -31,28 +31,29 @@ from end_to_end_sales_etl_de_project_spark.testing import (
 )
 
 # in-window queries whose plans (and oracles) read the documents table
+# (r8 rotation: m03 and t02 join the sweep with their NULL fixes —
+# the two r7 debt pins below flipped to parity coverage)
 WINDOW_DOC_QUERIES = [
-    "m02_multimodal_features",
-    "t26_shingle_novelty",
-    "d17_substring_dedup",
+    "m03_frame_sample",
+    "t02_language_id",
     "t27_dsir_importance",
-    "t28_repetition_ratio",
-    "c10_sequence_packing",
-    "c01_curate_corpus",
-    "c02_training_manifest",
-    "c03_dataset_mix",
-    "c08_decontamination_agreement",
-    "d02_ngram_jaccard",
-    "d03_minhash_lsh",
-    "d06_neardup_resolve",
-    "d07_decontaminate",
-    "d08_jaccard_stopshingle",
-    "d09_minhash_estimate_audit",
-    "d11_chunk_neardup",
-    "t03_quality_score",
-    "t14_doc_chunking",
-    "t15_boilerplate_ngrams",
-    "t20_contamination_spans",
+    "d17_substring_dedup",
+    "d04_simhash",
+    "m01_multimodal_assets",
+    "q53_posexplode_tokens",
+    "t04_doc_fingerprint",
+    "t06_corpus_split",
+    "t07_repetition",
+    "t08_stratified_sample",
+    "t09_tfidf_top_terms",
+    "t10_pii_redact",
+    "t11_token_packing",
+    "t12_source_cap",
+    "t13_token_rarity",
+    "a08_source_drift",
+    "c04_policy_diff",
+    "d01_dedup_exact",
+    "d10_incremental_dedup",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"
@@ -154,32 +155,17 @@ def test_d15_fail_loud_guard_fires_on_null_text(spark, null_sf_dir):
         E.queries()["d15_prefix_duplicates"](spark, null_sf_dir).collect()
 
 
-def test_m03_null_crash_is_known(spark, null_sf_dir):
-    """KNOWN r8 DEBT (out-of-window, evidence r06): sample_frames'
-    frame_batches does `bytes(payload)` without a NULL guard, so m03
-    crashes on a NULL-text corpus. m03 is out-of-window and the
-    staleness window has zero free slots this round, so the fix (skip
-    frame emission for NULL payloads, matching the oracle's inner-join
-    semantics) must land with m03's r8 rotation. This pin flips the
-    moment sample_frames goes NULL-safe, forcing the scope update."""
-    with pytest.raises(Exception, match="NoneType"):
-        E.queries()["m03_frame_sample"](spark, null_sf_dir).collect()
-
-
-def test_t02_null_divergence_is_known(spark, null_sf_dir, null_con):
-    """KNOWN r8 DEBT (out-of-window, evidence r02): predicted_lang on
-    NULL text diverges — Spark's score comparisons see non-NULL zeros
-    and elect the first language, DuckDB's NULL conditions fall through
-    to the CASE ELSE. Harmless on the NULL-free driver corpus; MUST be
-    fixed (NULL text → pinned prediction in both engines) when t02
-    rotates into the r8 window. This pin flips the moment someone fixes
-    one side, forcing the scope list update."""
-    r = compare_spark_to_oracle(
-        "t02_language_id",
-        E.queries()["t02_language_id"](spark, null_sf_dir),
-        run_oracle(null_con, E.oracle_sql()["t02_language_id"]),
-    )
-    assert not r.match, "t02 now NULL-clean — move it into WINDOW_DOC_QUERIES"
+def test_m03_null_payload_emits_no_frames(spark, null_sf_dir):
+    """r7 debt pin FLIPPED (r8): sample_frames now skips NULL payloads
+    (no frames — nothing to decode), matching the oracle where NULL
+    lengths fall out of every frame-window predicate. The full
+    oracle-parity check runs in the sweep below; this pin keeps the
+    specific regression visible by name."""
+    frames = E.queries()["m03_frame_sample"](spark, null_sf_dir)
+    null_doc_ids = {4, 7}  # _planted_rows: the NULL-text docs
+    got = {r["asset_id"] for r in frames.select("asset_id").distinct().collect()}
+    assert not (got & null_doc_ids), "NULL-payload docs emitted frames"
+    assert got, "non-NULL docs must still emit frames"
 
 
 @pytest.mark.parametrize("name", WINDOW_DOC_QUERIES)
