@@ -74,71 +74,76 @@ DRIVER_WINDOW_SIZE = 50
 # window; all rotated-out queries stay under local parity at sf0.001
 # every run (tests/test_oracle_parity.py).
 DRIVER_WINDOW: list[str] = [
-    # -- no driver evidence yet (round-6 stragglers + round-7 new)
-    "a14_knn_label_agreement",
-    "t26_shingle_novelty",
-    "q93_permissive_rescue",
-    "q94_min_cost_supplier",
-    "q95_sales_opportunity",
-    "q96_dominant_supplier",
-    "a15_recall_curve",
-    "q97_waiting_orders",
-    "d17_substring_dedup",
+    # ---- Round-8 rotation (VERDICT r7 #3). Every r7-window query is
+    # green in CORRECTNESS_r07, so slots go to (a) queries whose code
+    # or oracle changed this round, (b) the full r02/r03-era refresh
+    # queue (the standing queue from the r7 registry comment — every
+    # one of its rows now holds a slot), (c) oldest r04-era refresh.
+    # -- changed this round (driver_evidence.py stale set): the m03
+    # NULL-payload fix (sample_frames guard), the t02 NULL-text
+    # election fix (predicted_lang), the t27 persist() laziness fix
+    # (ADVICE r7), the d17 oracle ceiling guard (oracle text changed
+    # — not tracked by the tool, slotted defensively), and the three
+    # late-r7 edits the tool flags (e07/q58/q62)
+    "m03_frame_sample",
+    "t02_language_id",
     "t27_dsir_importance",
-    # -- stale: code changed since evidence round (driver_evidence.py)
-    "a04_ann_ivf",
-    "a06_ann_recall_report",
-    "c01_curate_corpus",
-    "c02_training_manifest",
-    "c08_decontamination_agreement",
-    "d02_ngram_jaccard",
-    "d03_minhash_lsh",
-    "d06_neardup_resolve",
-    "d07_decontaminate",
-    "d08_jaccard_stopshingle",
-    "d09_minhash_estimate_audit",
-    "d15_prefix_duplicates",
+    "d17_substring_dedup",
     "e07_sessionize_lag",
-    "q01g_customer_monthly_spend_grouped",
-    "q32_approx_aggs",
-    "q34_partitioned_write_readback",
-    "q35_shipping_priority",
-    "q56_orc_roundtrip",
-    "q57_jsonl_roundtrip",
     "q58_sorted_layout_readback",
-    "q60_star_join",
-    "q61_union_by_name",
     "q62_incremental_agg",
-    "q69_csv_quoted_roundtrip",
-    "q76_large_orders",
-    "q82_mom_growth",
-    "q85_nation_volume",
-    "q86_market_share",
-    "q87_returned_items",
-    # -- stale via operator-function deps (attribute-qualified calls,
-    # caught after the round-7 dep-expansion fix)
-    "c03_dataset_mix",
-    "d11_chunk_neardup",
-    "m02_multimodal_features",
-    "t03_quality_score",
-    "t14_doc_chunking",
-    "t20_contamination_spans",
-    # -- stale via the narrowed spread() perf patch (late round 7):
-    # a09/a13 inline-spread their corpus scan, t15 its doc explode —
-    # the three A/B-confirmed wins (−1.1/−1.2/−1.9 s at sf0.1); the
-    # broad spread (shared _emb helper, shingle/split artifacts, d04/
-    # t09/t19/t21) measured a net REGRESSION and was reverted — the
-    # rest of the emb family re-evaluates in r8 when slots free up
-    "a09_knn_graph",
-    "a13_pq_recall_audit",
-    "t15_boilerplate_ngrams",
-    # -- late round-7 additions (no evidence yet): the remaining two
-    # refresh slots host NEW queries instead — e09/m01/q31/q55/t02
-    # all hold green r02 evidence, are not stale, and rejoin the r8
-    # refresh queue (r02/r03-era rows lead it: a01, c03, d04, d05,
-    # e04-e06, e09-e15, m01, q31, q50, q55, t02, t04-t15)
-    "t28_repetition_ratio",
-    "c10_sequence_packing",
+    # -- r02/r03-era evidence refresh (the whole standing queue)
+    "a01_ann_bruteforce",
+    "d04_simhash",
+    "d05_embedding_neardup",
+    "e04_user_activity_rollup",
+    "e05_asof_join",
+    "e06_range_join",
+    "e09_json_extract",
+    "e10_value_deciles",
+    "e11_ohlc_hourly",
+    "e12_cohort_retention",
+    "e13_change_intervals",
+    "e14_interarrival_native",
+    "e15_funnel",
+    "m01_multimodal_assets",
+    "q19_orderby_limit",
+    "q31_salted_agg",
+    "q50_map_functions",
+    "q51_filtered_aggregates",
+    "q53_posexplode_tokens",
+    "q54_unpivot",
+    "q55_string_agg",
+    "q59_data_profile",
+    "t04_doc_fingerprint",
+    "t06_corpus_split",
+    "t07_repetition",
+    "t08_stratified_sample",
+    "t09_tfidf_top_terms",
+    "t10_pii_redact",
+    "t11_token_packing",
+    "t12_source_cap",
+    "t13_token_rarity",
+    # -- stale via the r8 NULL-semantics fixes to shared operator
+    # bodies (windows.py _timed filter touches e01/e02/e03; grouped.py
+    # interarrival filter touches e08/e14 — all others already hold
+    # slots above)
+    "e02_sliding_hourly_30m",
+    # -- oldest r04-era refresh fills the remaining slots (displaced
+    # first if late-round additions need slots — new queries MUST
+    # hold one per the union invariant; a02_ann_lsh yielded its slot
+    # to the e02 staleness row and leads the r9 refresh queue)
+    "a03_ann_lsh_multiprobe",
+    "a05_ann_pq",
+    "a07_quantization_audit",
+    "a08_source_drift",
+    "c04_policy_diff",
+    "d01_dedup_exact",
+    "d10_incremental_dedup",
+    "e01_tumbling_hourly",
+    "e03_session_window",
+    "e08_interarrival_stats",
+    "e16_rolling_1h",
 ]
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a
