@@ -679,8 +679,13 @@ def a05_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes (64x smaller than the raw vectors), approx scores from
     codebook dot-products, top-20 shortlist reranked exactly against
     the fetched vectors. The memory-bound ANN shape; recall gate in
-    tests/test_ivf_recall.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    tests/test_ivf_recall.py.
+
+    spread: the per-vector PQ encode is the same code-math fan-out as
+    a13, and the r8 fresh-JVM A/B confirmed the win here too (2.37-2.89
+    s spread vs 3.08-5.49 s base; a04/a07/a08 measured noise-only and
+    stay unspread — PERF.md Round 8)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     if sf_dir not in _PQ_MODELS:
         _PQ_MODELS[sf_dir] = similarity.pq_train(emb)
     return similarity.pq_topk(
