@@ -1657,14 +1657,19 @@ GROUP BY 1
 @_register("q55_string_agg", _Q55_ORACLE)
 def q55_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (LISTAGG shape): collect, sort for
-    determinism, join — collect_list order alone is shuffle-dependent."""
+    determinism, join — collect_list order alone is shuffle-dependent.
+    Both engines skip NULL elements, but an ALL-NULL group is where
+    they differ: string_agg yields NULL, array_join of the empty list
+    yielded '' — the guard pins the SQL semantics (r8 sales-star
+    planted-NULL sweep)."""
     nation = load_table(spark, sf_dir, "nation")
     supplier = load_table(spark, sf_dir, "supplier")
+    names = F.sort_array(F.collect_list("s_name"))
     return (
         nation.join(supplier, nation.n_nationkey == supplier.s_nationkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias("suppliers"),
+            F.when(F.size(names) > 0, F.array_join(names, ",")).alias("suppliers"),
             F.count(F.lit(1)).alias("n_suppliers"),
         )
     )
