@@ -202,6 +202,8 @@ HEADLINE = [
     "t27_dsir_importance",
     "t28_repetition_ratio",
     "c10_sequence_packing",
+    # round-8 additions
+    "a16_knn_pagerank",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

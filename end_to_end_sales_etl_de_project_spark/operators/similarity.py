@@ -1446,3 +1446,150 @@ FROM (
 {per_k}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# kNN PageRank (graph-centrality data selection over the corpus kNN graph)
+# ---------------------------------------------------------------------------
+
+
+def knn_pagerank(
+    emb: DataFrame,
+    graph: DataFrame | None = None,
+    k: int = 3,
+    damping: float = 0.85,
+    iterations: int = 2,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+) -> DataFrame:
+    """PageRank over the corpus kNN graph, a FIXED number of power
+    iterations — the graph-centrality signal for representativeness-
+    based data selection (a highly-linked vector sits in a dense
+    semantic region; leaves are outliers): (vec_id, outdeg, pagerank).
+
+    Fixed-iteration design: ``iterations`` power steps from the uniform
+    vector, damping ``d``:  ``p'(v) = (1-d)/n + d * sum_{u->v}
+    p(u)/outdeg(u)``. Dangling mass (vectors whose LSH buckets yielded
+    no neighbors) is deliberately DROPPED, not redistributed — the
+    output is a ranking signal, not a probability distribution, and
+    dropping keeps every term attributable to a concrete edge. Two
+    iterations already separate hubs from leaves on a k-regular-ish
+    graph; convergence-loop variants belong to the d06 fail-loud
+    pattern, not an oracle-checked query.
+
+    Exactness: every per-node in-sum folds in PINNED src order
+    (array_sort -> sequential F.aggregate; the dsir/t21 fold pattern),
+    so the doubles are bit-identical to the DuckDB twin's
+    ``list_reduce(list(... ORDER BY src))``. That exactness costs the
+    map-side combine a plain float sum would get — the documented
+    tradeoff: at 100 TB you would accept last-bit nondeterminism and
+    use ``F.sum``, halving shuffle volume; the plan shape (shuffle
+    contributions on dst, k|V| message rows per iteration) is
+    unchanged either way.
+
+    Scale: edges = k|V| rows of 16 bytes; each iteration is one
+    shuffle of contributions on dst plus a co-partitioned join back to
+    the rank table — the standard Pregel-free distributed PageRank.
+    In-degree is unbounded (a hub vector can be everyone's neighbor);
+    the per-dst collect_list is the skew point, bounded in practice by
+    LSH bucket occupancy, and the hot-bucket guard upstream
+    (lsh_candidate_pairs) is the escape hatch if a degenerate corpus
+    concentrates buckets.
+    """
+    if graph is None:
+        graph = lsh_topk_multiprobe(emb, emb, k=k, dim=dim, sig_bits=sig_bits)
+    edges = graph.select(F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
+    # IEEE 1-d computed in PYTHON and injected as the same double into
+    # both engines: DuckDB would otherwise evaluate 1.0 - 0.85 in exact
+    # DECIMAL (0.15) while Spark folds doubles (0x3FC3333333333332) —
+    # a one-ULP divergence the a16 oracle caught at first run
+    base = F.lit(1.0 - damping) / F.col("n")
+
+    def _fold(contribs: DataFrame) -> DataFrame:
+        # pinned-order float fold per dst (bit-identical cross-engine)
+        seq = F.array_sort(F.collect_list(F.struct(F.col("src"), F.col("c"))))
+        s = F.aggregate(
+            F.transform(seq, lambda x: x.getField("c")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return contribs.groupBy("dst").agg(s.alias("s"))
+
+    # iteration state: (node, p); start uniform
+    ranks = nodes.crossJoin(n_row).select("node", (F.lit(1.0) / F.col("n")).alias("p"))
+    for _ in range(iterations):
+        contribs = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("src", "dst", (F.col("p") / F.col("outdeg").cast("double")).alias("c"))
+        )
+        ranks = (
+            nodes.join(_fold(contribs), nodes.node == F.col("dst"), "left")
+            .crossJoin(n_row)
+            .select(
+                "node",
+                (base + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("p"),
+            )
+        )
+    return (
+        ranks.join(deg, ranks.node == deg.src, "left")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.coalesce(F.col("outdeg"), F.lit(0).cast("bigint")).alias("outdeg"),
+            F.col("p").alias("pagerank"),
+        )
+    )
+
+
+def knn_pagerank_sql(
+    k: int = 3,
+    damping: float = 0.85,
+    iterations: int = 2,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin: the same fixed power iterations with the in-sum as
+    ``list_reduce(list_prepend(0.0, list(c ORDER BY src)), +)`` — the
+    identical left fold the Spark side runs. The damping constants are
+    Python-computed doubles injected as string-cast literals: DuckDB
+    decimal-literal arithmetic is exact, Spark's is IEEE, so sharing
+    the pre-folded double is the only way the CASE arithmetic can
+    hash-match."""
+    graph = lsh_topk_multiprobe_sql("TRUE", k=k, dim=dim, sig_bits=sig_bits, table=table)
+    it_cte = []
+    prev = "p0"
+    for i in range(1, iterations + 1):
+        it_cte.append(f"""contrib{i} AS (
+  SELECT e.dst, e.src, {prev}.p / CAST(d.outdeg AS DOUBLE) AS c
+  FROM edges e JOIN deg d ON e.src = d.src JOIN {prev} ON {prev}.node = e.src
+),
+fold{i} AS (
+  SELECT dst,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY src)),
+                     (a, b) -> a + b) AS s
+  FROM contrib{i} GROUP BY dst
+),
+p{i} AS (
+  SELECT v.vec_id AS node,
+         CAST('{1.0 - damping!r}' AS DOUBLE) / nn.n
+           + CAST('{damping!r}' AS DOUBLE) * COALESCE(f.s, 0.0) AS p
+  FROM {table} v CROSS JOIN nn LEFT JOIN fold{i} f ON v.vec_id = f.dst
+)""")
+        prev = f"p{i}"
+    iters = ",\n".join(it_cte)
+    return f"""
+WITH graph AS ({graph}),
+edges AS (SELECT query_id AS src, neighbor_id AS dst FROM graph),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM {table}),
+p0 AS (SELECT vec_id AS node, 1.0 / nn.n AS p FROM {table} CROSS JOIN nn),
+{iters}
+SELECT {prev}.node AS vec_id,
+       COALESCE(d.outdeg, CAST(0 AS BIGINT)) AS outdeg,
+       {prev}.p AS pagerank
+FROM {prev} LEFT JOIN deg d ON {prev}.node = d.src
+"""

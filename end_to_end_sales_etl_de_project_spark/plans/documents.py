@@ -1332,6 +1332,19 @@ def a14_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("a16_knn_pagerank", similarity.knn_pagerank_sql(k=3))
+def a16_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-centrality data selection: two PageRank power iterations
+    over the a09 kNN graph — hub vectors sit in dense semantic regions
+    (representativeness signal for coreset selection), near-zero ranks
+    flag outliers. Reads the session graph artifact (build once, audit
+    many, like a14); in-sums fold in pinned src order so the doubles
+    hash-match the DuckDB twin exactly (see operator docstring for the
+    scale tradeoff of that pin)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_pagerank(emb, graph=_knn_graph_artifact(spark, sf_dir), k=3)
+
+
 def _t19_oracle() -> str:
     toks = text.tokens_sql("text")
     return f"""

@@ -129,11 +129,12 @@ DRIVER_WINDOW: list[str] = [
     # interarrival filter touches e08/e14 — all others already hold
     # slots above)
     "e02_sliding_hourly_30m",
+    # -- round-8 additions (no evidence yet): new queries MUST hold a
+    # slot per the union invariant; a02/a03 yielded their slots (to
+    # the e02 staleness row and a16) and lead the r9 refresh queue
+    "a16_knn_pagerank",
     # -- oldest r04-era refresh fills the remaining slots (displaced
-    # first if late-round additions need slots — new queries MUST
-    # hold one per the union invariant; a02_ann_lsh yielded its slot
-    # to the e02 staleness row and leads the r9 refresh queue)
-    "a03_ann_lsh_multiprobe",
+    # first if late-round additions need slots)
     "a05_ann_pq",
     "a07_quantization_audit",
     "a08_source_drift",

@@ -865,3 +865,15 @@ def test_t28_repetition_partial_aggs(spark):
     assert "partial_count" in plan, plan
     assert "partial_sum" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_a16_pagerank_stays_jvm_side(spark):
+    """a16 kNN PageRank: two power iterations entirely in built-in
+    column expressions — no Python anywhere, no cartesian product (the
+    only nested-loop joins are the 1-row scalar n join-backs), and the
+    pinned-order in-sum folds ride array_sort+aggregate inside the
+    aggregation, not a UDF."""
+    plan = plan_of(spark, "a16_knn_pagerank")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "aggregate(" in plan or "Aggregate" in plan
