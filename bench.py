@@ -204,6 +204,7 @@ HEADLINE = [
     "c10_sequence_packing",
     # round-8 additions
     "a16_knn_pagerank",
+    "t29_vocab_overlap",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -557,3 +557,113 @@ SELECT d.{id_col} AS doc_id,
          AS repetitive
 FROM {table} d LEFT JOIN per_doc p ON d.{id_col} = p.doc
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source vocabulary overlap (corpus-mix drift audit)
+# ---------------------------------------------------------------------------
+
+
+def vocab_overlap(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Pairwise Jaccard of the top-``top_k`` token vocabularies between
+    sources — the corpus-mix drift audit: two sources whose head
+    vocabularies barely overlap contribute genuinely different text;
+    near-1 overlap flags a mirrored/duplicated source feeding the mix
+    twice under two names (the corpus-level cousin of d02's per-doc
+    Jaccard). Output: (source_a, source_b, vocab_a, vocab_b, n_common,
+    jaccard), source_a < source_b.
+
+    Determinism: per-source top-k elects by (count DESC, token ASC) —
+    a total order, so the vocab sets are identical cross-engine and
+    every output is integer counts + one division.
+
+    Scale: token counting is one map-side-combinable aggregation over
+    the token stream (|sources| x |vocab| partial rows); the rank
+    window partitions by source — |sources| partitions is the skew
+    point, the same documented shape as t12's per-source cap (at
+    extreme skew: pre-aggregate is already done, so each partition
+    holds DISTINCT tokens of one source, bounded by vocabulary not
+    corpus size). Everything after the top-k filter is
+    |sources| * top_k rows — control-plane sized, broadcast by stats.
+    NULL sources form their own group and drop out of the pair join
+    (NULL < s is never true, both engines); NULL text contributes no
+    tokens.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.col(source_col).alias("src"), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("src", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("n").desc(), F.col("tok").asc())
+    top = counts.select(
+        "src", "tok", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= top_k)
+    sizes = top.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    a = top.select(F.col("src").alias("source_a"), "tok")
+    b = top.select(F.col("src").alias("source_b"), "tok")
+    common = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("src").alias("source_a"), F.col("vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("src").alias("source_b"), F.col("vocab").alias("vocab_b"))
+    return (
+        common.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def vocab_overlap_sql(
+    source_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 50,
+    table: str = "documents",
+) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+WITH counts AS (
+  SELECT {source_col} AS src, tok, COUNT(*) AS n
+  FROM {table}, UNNEST({toks}) AS u(tok)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT src, tok
+  FROM (SELECT src, tok,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY n DESC, tok ASC) AS rk
+        FROM counts)
+  WHERE rk <= {top_k}
+),
+sizes AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS vocab FROM top GROUP BY src),
+common AS (
+  SELECT a.src AS source_a, b.src AS source_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM top a JOIN top b ON a.tok = b.tok AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT c.source_a, c.source_b,
+       sa.vocab AS vocab_a, sb.vocab AS vocab_b, c.n_common,
+       CAST(c.n_common AS DOUBLE)
+         / CAST(sa.vocab + sb.vocab - c.n_common AS DOUBLE) AS jaccard
+FROM common c
+JOIN sizes sa ON c.source_a = sa.src
+JOIN sizes sb ON c.source_b = sb.src
+"""

@@ -2601,3 +2601,14 @@ def c10_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SUM() OVER form it must equal bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     return sequences.pack_sequences(docs)
+
+
+@_register("t29_vocab_overlap", text.vocab_overlap_sql())
+def t29_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source head-vocabulary Jaccard (top-50 tokens per source
+    by (count DESC, token ASC)) — the corpus-mix drift audit: near-1
+    overlap flags a mirrored source feeding the mix twice, near-0
+    flags genuinely different text. Everything after the top-k filter
+    is |sources| x 50 rows; integer counts + one division, hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_overlap(docs)

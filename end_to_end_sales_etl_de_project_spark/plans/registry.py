@@ -130,13 +130,14 @@ DRIVER_WINDOW: list[str] = [
     # slots above)
     "e02_sliding_hourly_30m",
     # -- round-8 additions (no evidence yet): new queries MUST hold a
-    # slot per the union invariant; a02/a03 yielded their slots (to
-    # the e02 staleness row and a16) and lead the r9 refresh queue
+    # slot per the union invariant; a02/a03/a07 yielded their slots
+    # (to the e02 staleness row, a16, and t29) and lead the r9
+    # refresh queue
     "a16_knn_pagerank",
+    "t29_vocab_overlap",
     # -- oldest r04-era refresh fills the remaining slots (displaced
     # first if late-round additions need slots)
     "a05_ann_pq",
-    "a07_quantization_audit",
     "a08_source_drift",
     "c04_policy_diff",
     "d01_dedup_exact",

@@ -54,6 +54,7 @@ WINDOW_DOC_QUERIES = [
     "c04_policy_diff",
     "d01_dedup_exact",
     "d10_incremental_dedup",
+    "t29_vocab_overlap",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"
