@@ -205,6 +205,12 @@ HEADLINE = [
     # round-8 additions
     "a16_knn_pagerank",
     "t29_vocab_overlap",
+    "q98_line_priority",
+    "q99_profit_by_nation",
+    "q100_heavy_small_part_suppliers",
+    "t30_zipf_slope",
+    "t31_token_concentration",
+    "q101_bucketed_join",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

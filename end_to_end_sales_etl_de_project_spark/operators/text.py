@@ -667,3 +667,200 @@ FROM common c
 JOIN sizes sa ON c.source_a = sa.src
 JOIN sizes sb ON c.source_b = sb.src
 """
+
+
+def zipf_slope(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 300,
+    scale: int = 100_000,
+) -> DataFrame:
+    """Per-source Zipf fit: least-squares slope of ln(frequency) on
+    ln(rank) over the top-``top_k`` terms — natural text sits near -1;
+    a flat slope flags templated/generated content, a cliff flags a
+    tiny vocabulary looping (the corpus-level cousin of t28's per-doc
+    repetition mass). Output: (source, n_terms, zipf_slope, fit_r2).
+
+    Determinism: ln values are quantized to ``scale`` (=1e5) and the
+    regression runs on exact BIGINT sufficient statistics — the only
+    float steps are the final divisions on identical exact integers,
+    so the hash matches cross-engine. (The quantization grid is the
+    a08 trick: a half-ulp straddle of a rounding boundary would need
+    ln(x)*1e5 within one ulp of .5 — not present on any fixture and
+    loud in the parity gate if a future corpus ever lands on one.)
+    Overflow headroom: |x_q| <= ln(top_k)*scale (~5.7e5), |y_q| <=
+    ln(n)*scale (~2.8e6 even at n=1e12 occurrences), so every product
+    and the n*Sxy/Sx*Sy cross terms stay under ~1e17 << 2^63.
+
+    Scale: one map-side-combinable token count (the corpus-sized
+    stage), a rank window partitioned by source over DISTINCT terms
+    only (vocabulary-bounded, same documented skew shape as t29), and
+    a |sources|-row regression rollup. Nothing after the top-k filter
+    exceeds |sources| * top_k rows.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.col(source_col).alias("src"), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("src", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("n").desc(), F.col("tok").asc())
+    ranked = counts.select(
+        "src", "n", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= top_k)
+    xq = F.round(F.log(F.col("rk").cast("double")) * scale).cast("bigint")
+    yq = F.round(F.log(F.col("n").cast("double")) * scale).cast("bigint")
+    stats = ranked.select(
+        "src", xq.alias("xq"), yq.alias("yq")
+    ).groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+    )
+    numer = F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("cnt") * F.col("syy") - F.col("sy") * F.col("sy")
+    return stats.select(
+        F.col("src").alias("source"),
+        F.col("cnt").alias("n_terms"),
+        (numer.cast("double") / den_x.cast("double")).alias("zipf_slope"),
+        (
+            (numer.cast("double") * numer.cast("double"))
+            / (den_x.cast("double") * den_y.cast("double"))
+        ).alias("fit_r2"),
+    )
+
+
+def zipf_slope_sql(
+    source_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 300,
+    scale: int = 100_000,
+    table: str = "documents",
+) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+WITH counts AS (
+  SELECT {source_col} AS src, tok, COUNT(*) AS n
+  FROM {table}, UNNEST({toks}) AS u(tok)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT src, n,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY n DESC, tok ASC) AS rk
+  FROM counts
+  QUALIFY rk <= {top_k}
+),
+quant AS (
+  SELECT src,
+         CAST(ROUND(LN(CAST(rk AS DOUBLE)) * {scale}) AS BIGINT) AS xq,
+         CAST(ROUND(LN(CAST(n AS DOUBLE)) * {scale}) AS BIGINT) AS yq
+  FROM ranked
+),
+stats AS (
+  SELECT src,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(xq) AS BIGINT) AS sx,
+         CAST(SUM(yq) AS BIGINT) AS sy,
+         CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+         CAST(SUM(yq * yq) AS BIGINT) AS syy,
+         CAST(SUM(xq * yq) AS BIGINT) AS sxy
+  FROM quant GROUP BY src
+)
+SELECT src AS source,
+       cnt AS n_terms,
+       CAST(cnt * sxy - sx * sy AS DOUBLE)
+         / CAST(cnt * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+       (CAST(cnt * sxy - sx * sy AS DOUBLE) * CAST(cnt * sxy - sx * sy AS DOUBLE))
+         / (CAST(cnt * sxx - sx * sx AS DOUBLE)
+            * CAST(cnt * syy - sy * sy AS DOUBLE)) AS fit_r2
+FROM stats
+"""
+
+
+def token_concentration(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token-mass concentration: the share of all token
+    occurrences held by the top decile of the vocabulary (by
+    frequency) — the head-heaviness number behind source weighting
+    decisions: a source whose top 10% of terms carries ~99% of its
+    mass is boilerplate-dominated however long its documents are.
+    Output: (source, vocab_size, total_tokens, top_decile_terms,
+    top_decile_share).
+
+    Determinism: everything is BIGINT counts until one final division;
+    the decile cut ``(V + 9) // 10`` is integer arithmetic and the
+    rank order (n DESC, tok ASC) is total, so the cut set is identical
+    cross-engine.
+
+    Scale: one map-side-combinable token count, then a single window
+    exchange partitioned by source over distinct terms
+    (vocabulary-bounded — t29's documented skew shape), then a
+    |sources|-row rollup. No second corpus pass.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.col(source_col).alias("src"), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("src", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_src = Window.partitionBy("src")
+    w_ord = Window.partitionBy("src").orderBy(F.col("n").desc(), F.col("tok").asc())
+    ranked = counts.select(
+        "src",
+        "n",
+        F.row_number().over(w_ord).alias("rk"),
+        F.count(F.lit(1)).over(w_src).cast("bigint").alias("vocab"),
+        F.sum("n").over(w_src).cast("bigint").alias("total"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= F.expr("(vocab + 9) div 10"))
+        .groupBy(F.col("src").alias("source"))
+        .agg(
+            F.max("vocab").alias("vocab_size"),
+            F.max("total").alias("total_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("top_decile_terms"),
+            (
+                F.sum("n").cast("double") / F.max("total").cast("double")
+            ).alias("top_decile_share"),
+        )
+    )
+
+
+def token_concentration_sql(
+    source_col: str = "source",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+WITH counts AS (
+  SELECT {source_col} AS src, tok, COUNT(*) AS n
+  FROM {table}, UNNEST({toks}) AS u(tok)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT src, n,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY n DESC, tok ASC) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS vocab,
+         CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS total
+  FROM counts
+)
+SELECT src AS source,
+       MAX(vocab) AS vocab_size,
+       MAX(total) AS total_tokens,
+       CAST(COUNT(*) AS BIGINT) AS top_decile_terms,
+       CAST(SUM(n) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS top_decile_share
+FROM ranked
+WHERE rk <= (vocab + 9) // 10
+GROUP BY src
+"""

@@ -3950,3 +3950,239 @@ def q97_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name", "n_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q98: line priority by status (TPC-H Q12 shape)
+# ---------------------------------------------------------------------------
+
+_Q98_ORACLE = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+@_register("q98_line_priority", _Q98_ORACLE)
+def q98_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (the testdata carries no shipmode, so line
+    status stands in for it): lines shipped in 1996, split per status
+    into high- vs low-priority order counts — the conditional-sum
+    pivot over a fact-to-fact join.
+
+    Scale shape: the shipdate range filter is pushed to the lineitem
+    scan (min/max row-group pruning skips whole years); both sides of
+    the orderkey join scale with the fact, so it is a shuffle join on
+    the join key — no broadcast to outgrow — followed by a two-group
+    map-side-combinable conditional aggregation. The CASE sums are
+    exact integers."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99: product-line profit by nation and year (TPC-H Q9 shape)
+# ---------------------------------------------------------------------------
+
+_Q99_ORACLE = """
+SELECT n_name AS nation,
+       substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+@_register("q99_profit_by_nation", _Q99_ORACLE)
+def q99_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'widget' parts per supplier nation
+    and order year (the testdata has no partsupp, so retail price *
+    quantity stands in for supply cost). Profit is revenue minus cost,
+    all in exact decimals, so the sum is shuffle-order-independent.
+
+    Scale shape: the LIKE-narrowed part projection broadcasts under
+    the fact (the first join cuts lineitem to the matching-part slice
+    before anything shuffles); supplier+nation fold into one bounded
+    broadcast decorate; the orderkey join is the single corpus-sized
+    exchange (both sides scale — shuffle join on the key); the final
+    rollup is map-side combinable on |nations| x |years| keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+
+    supp_nation = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    one = F.lit(1).cast("decimal(18,2)")
+    profit = money("l_extendedprice") * (one - money("l_discount")) - money(
+        "p_retailprice"
+    ) * money("l_quantity")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.substring(F.col("o_orderdate").cast("string"), 1, 4).alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q100: heavy small-part suppliers (TPC-H Q20 shape)
+# ---------------------------------------------------------------------------
+
+_Q100_ORACLE = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_regionkey = 0
+  AND EXISTS (
+    SELECT 1 FROM shipped JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey = s_suppkey
+      AND p_name LIKE 'small %'
+      AND qty > 30
+  )
+"""
+
+
+@_register("q100_heavy_small_part_suppliers", _Q100_ORACLE)
+def q100_heavy_small_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: region-0 suppliers who shipped more than 30
+    units of some 'small'-prefix part during 1996 — the nested
+    IN/EXISTS with a correlated aggregate subquery, re-expressed
+    Spark-first as aggregate -> filter -> LEFT SEMI join (the exact
+    relational form Catalyst rewrites the subquery into, declared
+    directly).
+
+    Scale shape: lineitem is range-pruned at the scan, reduced to
+    (partkey, suppkey) partials in one map-side-combinable shuffle,
+    narrowed by the broadcast prefix-filtered part dim, and collapsed
+    to a distinct suppkey set; the semi join probes the bounded
+    supplier dim against it. The quantity threshold compares exact
+    decimals."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small %"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    heavy_supps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(money("l_quantity")).alias("qty"))
+        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(heavy_supps, supplier.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(nation.filter(F.col("n_regionkey") == 0)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q101: bucketed co-located join readback
+# ---------------------------------------------------------------------------
+
+_Q101_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+@_register("q101_bucketed_join", _Q101_ORACLE)
+def q101_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join readback: both join sides are
+    written as external tables bucketed (and sorted) on the order key,
+    then joined and rolled up — the pre-shuffle layout for a join that
+    runs repeatedly at 100 TB. With both sides bucketed on the key at
+    the same bucket count, the sort-merge join needs ZERO exchanges
+    (pinned in tests/test_plan_shapes.py with broadcast disabled;
+    tests/test_bucketing.py holds the shuffle-vs-bucket control pair).
+    The aggregation that follows is map-side combinable and exact
+    (decimal sums), so the readback hash-matches the plain-parquet
+    oracle — proving the bucketed layout changed the PLAN, not the
+    answer.
+
+    Scale shape: the one-time bucketing write IS a shuffle — the point
+    is amortization: every later join on the key reads co-located,
+    pre-sorted buckets. Bucket count is 8 at test SF; at 100 TB it is
+    sized so each bucket file lands near the parquet row-group sweet
+    spot (~1 GB), and both sides MUST agree on it."""
+    import hashlib
+
+    out = _staging_dir(spark, "bucketrt", sf_dir)
+    suffix = hashlib.md5(out.encode()).hexdigest()[:8]
+    li_tbl, ord_tbl = f"b_li_{suffix}", f"b_ord_{suffix}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{out}/lineitem")
+        .mode("overwrite")
+        .saveAsTable(li_tbl)
+    )
+    (
+        orders.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{out}/orders")
+        .mode("overwrite")
+        .saveAsTable(ord_tbl)
+    )
+    return (
+        spark.table(li_tbl)
+        .join(spark.table(ord_tbl), "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            money_sum("l_quantity").alias("sum_qty"),
+        )
+    )

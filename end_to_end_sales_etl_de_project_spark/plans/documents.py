@@ -2612,3 +2612,23 @@ def t29_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |sources| x 50 rows; integer counts + one division, hash-exact."""
     docs = load_table(spark, sf_dir, "documents")
     return text.vocab_overlap(docs)
+
+@_register("t30_zipf_slope", text.zipf_slope_sql())
+def t30_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf fit over the top-300 terms: least-squares slope
+    of ln(freq) on ln(rank) plus R² — natural text sits near -1, flat
+    or cliffed slopes flag templated/looping content. The regression
+    runs on quantized-integer sufficient statistics (the a08 trick),
+    so every emitted float is a single division of exact BIGINTs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.zipf_slope(docs)
+
+
+@_register("t31_token_concentration", text.token_concentration_sql())
+def t31_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source head-heaviness: share of all token occurrences held
+    by the top decile of the vocabulary — the boilerplate-domination
+    number behind source-weighting decisions. BIGINT counts with an
+    integer decile cut; one final division, hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_concentration(docs)

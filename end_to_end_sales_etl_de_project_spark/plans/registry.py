@@ -109,7 +109,6 @@ DRIVER_WINDOW: list[str] = [
     "m01_multimodal_assets",
     "q19_orderby_limit",
     "q31_salted_agg",
-    "q50_map_functions",
     "q51_filtered_aggregates",
     "q53_posexplode_tokens",
     "q54_unpivot",
@@ -131,21 +130,28 @@ DRIVER_WINDOW: list[str] = [
     "e02_sliding_hourly_30m",
     # -- round-8 additions (no evidence yet): new queries MUST hold a
     # slot per the union invariant; a02/a03/a07 yielded their slots
-    # (to the e02 staleness row, a16, and t29) and lead the r9
-    # refresh queue
+    # (to the e02 staleness row, a16, and t29), and the late-round
+    # batch (q98/q99/q100 TPC-H Q12/Q9/Q20 shapes, t30 Zipf fit, t31
+    # token concentration, q101 bucketed co-located join) displaced the
+    # a08/c04/d01/d10/e16/q50 refresh rows — all six hold green prior
+    # evidence and join a02/a03/a07 at the head of the r9 refresh queue
     "a16_knn_pagerank",
     "t29_vocab_overlap",
+    "q98_line_priority",
+    "q99_profit_by_nation",
+    "q100_heavy_small_part_suppliers",
+    "t30_zipf_slope",
+    "t31_token_concentration",
+    "q101_bucketed_join",
     # -- oldest r04-era refresh fills the remaining slots (displaced
-    # first if late-round additions need slots)
+    # first if late-round additions need slots); a05 keeps its slot
+    # (spread() applied to its PQ encode this round — stale evidence),
+    # e01/e03 keep theirs (windows.py NULL-fix staleness), e08 keeps
+    # its (grouped.py interarrival filter staleness)
     "a05_ann_pq",
-    "a08_source_drift",
-    "c04_policy_diff",
-    "d01_dedup_exact",
-    "d10_incremental_dedup",
     "e01_tumbling_hourly",
     "e03_session_window",
     "e08_interarrival_stats",
-    "e16_rolling_1h",
 ]
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a

@@ -32,7 +32,9 @@ from end_to_end_sales_etl_de_project_spark.testing import (
 
 # in-window queries whose plans (and oracles) read the documents table
 # (r8 rotation: m03 and t02 join the sweep with their NULL fixes —
-# the two r7 debt pins below flipped to parity coverage)
+# the two r7 debt pins below flipped to parity coverage; late-r8:
+# a08/c04/d01/d10 yielded their window slots to t30/t31 + the q98-q101
+# relational batch and left the sweep with them)
 WINDOW_DOC_QUERIES = [
     "m03_frame_sample",
     "t02_language_id",
@@ -50,11 +52,9 @@ WINDOW_DOC_QUERIES = [
     "t11_token_packing",
     "t12_source_cap",
     "t13_token_rarity",
-    "a08_source_drift",
-    "c04_policy_diff",
-    "d01_dedup_exact",
-    "d10_incremental_dedup",
     "t29_vocab_overlap",
+    "t30_zipf_slope",
+    "t31_token_concentration",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"

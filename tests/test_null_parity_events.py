@@ -47,7 +47,6 @@ WINDOW_EVENT_QUERIES = [
     "e13_change_intervals",
     "e14_interarrival_native",
     "e15_funnel",
-    "e16_rolling_1h",
     "q62_incremental_agg",
 ]
 

@@ -38,13 +38,16 @@ SALES_TABLES = ["lineitem", "orders", "customer", "supplier", "part", "nation", 
 WINDOW_SALES_QUERIES = [
     "q19_orderby_limit",
     "q31_salted_agg",
-    "q50_map_functions",
     "q51_filtered_aggregates",
     "q54_unpivot",
     "q55_string_agg",
     "q58_sorted_layout_readback",
     "q59_data_profile",
     "q62_incremental_agg",
+    "q98_line_priority",
+    "q99_profit_by_nation",
+    "q100_heavy_small_part_suppliers",
+    "q101_bucketed_join",
 ]
 
 # per-table NULL masks: (column, modulus) — key % modulus == 0 nulls

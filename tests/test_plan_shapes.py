@@ -877,3 +877,21 @@ def test_a16_pagerank_stays_jvm_side(spark):
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "aggregate(" in plan or "Aggregate" in plan
+
+
+def test_q101_bucketed_join_no_exchange(spark):
+    """The bucketed co-located join (q101) must join with ZERO shuffle
+    exchanges once broadcast is off — the layout, not the optimizer,
+    provides the co-location. (test_bucketing.py holds the
+    unbucketed-control twin.)"""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "q101_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # exactly ONE shuffle total — the rollup's own exchange; the join
+    # itself rides the bucketed layout with no exchange on either side
+    assert _shuffle_exchanges(plan) == 1, plan
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
