@@ -211,6 +211,8 @@ HEADLINE = [
     "t30_zipf_slope",
     "t31_token_concentration",
     "q101_bucketed_join",
+    "q102_constraint_audit",
+    "q103_partition_completeness",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -153,3 +153,170 @@ def fk_orphans_sql(fks: list[tuple[str, str, str, str, str]]) -> str:
             f"  ON c.{ck} = p.__pk"
         )
     return "\nUNION ALL\n".join(rows)
+
+
+# (name, SQL predicate over the table's columns) — the predicate names
+# the VIOLATION. Written in the Spark∩DuckDB SQL subset so one string
+# drives both engines (F.expr on the Spark side, FILTER on the oracle
+# side).
+RowChecks = list[tuple[str, str]]
+UniqueChecks = list[tuple[str, list[str]]]
+
+
+def expectations_report(
+    df: DataFrame, row_checks: RowChecks, unique_checks: UniqueChecks
+) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ/Great-
+    Expectations suite shape): one row per check — (check_name, kind,
+    n_rows, n_violations, passed). Row-level checks (not-null, range,
+    accepted values, non-negative, …) are violation predicates;
+    uniqueness checks count every row of every key group that occurs
+    more than once. (Referential integrity is the same report shape via
+    :func:`fk_orphans` — q63.)
+
+    Scale shape: ALL row checks fold into ONE conditional aggregation
+    over ONE scan (`stack()` unpivots the 1-row aggregate — profiling
+    N checks costs one pass regardless of N); each uniqueness check is
+    one map-side-combinable groupBy whose rollup derives n_rows as
+    SUM(cnt) — no second scan, no scalar join-back. Everything is
+    exact BIGINTs.
+
+    NULL semantics, pinned: row predicates run under SQL three-valued
+    logic (a NULL predicate is NOT a violation — write an explicit
+    IS NULL check for null-freeness); uniqueness groups NULL keys
+    together (GROUP BY equality), so two all-NULL keys count as
+    duplicates in both engines.
+    """
+    aggs: list = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    stack_args: list[str] = []
+    for name, pred in row_checks:
+        aggs.append(
+            F.sum(F.when(F.expr(pred), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{name}__viol")
+        )
+        stack_args.append(f"'{name}', {name}__viol")
+    legs = [
+        df.agg(*aggs).select(
+            F.expr(
+                f"stack({len(row_checks)}, {', '.join(stack_args)}) AS "
+                "(check_name, n_violations)"
+            ),
+            "n_rows",
+        )
+    ]
+    for name, key_cols in unique_checks:
+        grouped = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+        legs.append(
+            grouped.agg(
+                F.lit(name).alias("check_name"),
+                F.coalesce(
+                    F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("n_violations"),
+                F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_rows"),
+            )
+        )
+    out = legs[0].select("check_name", "n_rows", "n_violations")
+    for leg in legs[1:]:
+        out = out.unionByName(leg.select("check_name", "n_rows", "n_violations"))
+    return out.select(
+        "check_name",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+def expectations_report_sql(
+    row_checks: RowChecks, unique_checks: UniqueChecks, table: str
+) -> str:
+    """DuckDB twin: one FILTER'd SELECT per row check, one grouped
+    rollup per uniqueness check, UNION ALL'd."""
+    rows = []
+    for name, pred in row_checks:
+        rows.append(
+            f"SELECT '{name}' AS check_name,\n"
+            f"       CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+            f"       CAST(COUNT(*) FILTER (WHERE {pred}) AS BIGINT)"
+            f" AS n_violations\nFROM {table}"
+        )
+    for name, key_cols in unique_checks:
+        keys = ", ".join(key_cols)
+        rows.append(
+            f"SELECT '{name}' AS check_name,\n"
+            f"       CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,\n"
+            f"       CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0)"
+            f" AS BIGINT) AS n_violations\n"
+            f"FROM (SELECT COUNT(*) AS cnt FROM {table} GROUP BY {keys})"
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return (
+        f"SELECT check_name, n_rows, n_violations,\n"
+        f"       n_violations = 0 AS passed\nFROM ({union})"
+    )
+
+
+def month_completeness(df: DataFrame, date_col: str) -> DataFrame:
+    """Partition-completeness audit over a month spine: every calendar
+    month between the table's min and max date gets (sales_month,
+    n_rows, present) — a month with zero rows is a HOLE a downstream
+    incremental consumer must know about (a missed load, an upstream
+    outage), invisible to per-partition profiling because the partition
+    simply isn't there.
+
+    Scale shape: one map-side-combinable month rollup over the fact +
+    a 1-row min/max aggregate exploded into the bounded month spine
+    (|months| rows — control-plane sized, broadcast by stats) left-
+    joined against the rollup. NULL dates are excluded from both the
+    bounds and the counts in both engines, explicitly.
+    """
+    dated = df.filter(F.col(date_col).isNotNull())
+    month = F.date_trunc("month", F.col(date_col))
+    per_month = dated.groupBy(month.alias("month_start")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    spine = (
+        dated.agg(
+            F.date_trunc("month", F.min(date_col)).alias("mn"),
+            F.date_trunc("month", F.max(date_col)).alias("mx"),
+        )
+        .select(
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 month"))
+            ).alias("month_start")
+        )
+    )
+    return (
+        spine.join(per_month, "month_start", "left")
+        .select(
+            F.substring(F.col("month_start").cast("string"), 1, 7).alias(
+                "sales_month"
+            ),
+            F.coalesce(F.col("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
+            (F.coalesce(F.col("n_rows"), F.lit(0)) > 0).alias("present"),
+        )
+    )
+
+
+def month_completeness_sql(date_col: str, table: str) -> str:
+    return f"""
+WITH dated AS (SELECT {date_col} AS d FROM {table} WHERE {date_col} IS NOT NULL),
+bounds AS (
+  SELECT date_trunc('month', MIN(d)) AS mn, date_trunc('month', MAX(d)) AS mx
+  FROM dated
+),
+spine AS (
+  SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 MONTH)) AS month_start
+  FROM bounds
+),
+per_month AS (
+  SELECT date_trunc('month', d) AS month_start, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM dated GROUP BY 1
+)
+SELECT substr(CAST(s.month_start AS VARCHAR), 1, 7) AS sales_month,
+       CAST(COALESCE(p.n_rows, 0) AS BIGINT) AS n_rows,
+       COALESCE(p.n_rows, 0) > 0 AS present
+FROM spine s LEFT JOIN per_month p ON s.month_start = p.month_start
+"""

@@ -4186,3 +4186,53 @@ def q101_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("l_quantity").alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q102/q103: declarative expectations suite + partition completeness
+# ---------------------------------------------------------------------------
+
+from end_to_end_sales_etl_de_project_spark.operators.profiling import (  # noqa: E402
+    expectations_report,
+    expectations_report_sql,
+    month_completeness,
+    month_completeness_sql,
+)
+
+_Q102_ROW_CHECKS = [
+    ("not_null_quantity", "l_quantity IS NULL"),
+    ("not_null_shipdate", "l_shipdate IS NULL"),
+    ("range_quantity", "l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 60)"),
+    (
+        "accepted_returnflag",
+        "l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N', 'R')",
+    ),
+    ("nonnegative_extendedprice", "l_extendedprice IS NOT NULL AND l_extendedprice < 0"),
+]
+_Q102_UNIQUE_CHECKS = [("unique_line_key", ["l_orderkey", "l_linenumber"])]
+
+
+@_register(
+    "q102_constraint_audit",
+    expectations_report_sql(_Q102_ROW_CHECKS, _Q102_UNIQUE_CHECKS, "lineitem"),
+)
+def q102_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over the fact table
+    (not-null, range, accepted-values, non-negative, unique line key)
+    — the per-batch constraint suite a production load gates on
+    (q59 profiles, THIS asserts; q63 is the referential leg). All row
+    checks ride one conditional aggregation over one scan; the unique
+    check is one groupBy whose rollup derives n_rows as SUM(cnt)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return expectations_report(li, _Q102_ROW_CHECKS, _Q102_UNIQUE_CHECKS)
+
+
+@_register("q103_partition_completeness", month_completeness_sql("o_orderdate", "orders"))
+def q103_partition_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-spine completeness over orders: every calendar month
+    between the table's first and last order, with its row count and a
+    present flag — a zero-count month is a missed load a per-partition
+    profile can't see (the partition simply isn't there). Planted-gap
+    detection proven in tests/test_profiling.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    return month_completeness(orders, "o_orderdate")

@@ -93,9 +93,7 @@ DRIVER_WINDOW: list[str] = [
     "q58_sorted_layout_readback",
     "q62_incremental_agg",
     # -- r02/r03-era evidence refresh (the whole standing queue)
-    "a01_ann_bruteforce",
     "d04_simhash",
-    "d05_embedding_neardup",
     "e04_user_activity_rollup",
     "e05_asof_join",
     "e06_range_join",
@@ -133,8 +131,10 @@ DRIVER_WINDOW: list[str] = [
     # (to the e02 staleness row, a16, and t29), and the late-round
     # batch (q98/q99/q100 TPC-H Q12/Q9/Q20 shapes, t30 Zipf fit, t31
     # token concentration, q101 bucketed co-located join) displaced the
-    # a08/c04/d01/d10/e16/q50 refresh rows — all six hold green prior
-    # evidence and join a02/a03/a07 at the head of the r9 refresh queue
+    # a08/c04/d01/d10/e16/q50 refresh rows, and q102 (expectations
+    # suite) + q103 (partition completeness) displaced a01/d05 — all
+    # eight hold green prior evidence and join a02/a03/a07 at the head
+    # of the r9 refresh queue
     "a16_knn_pagerank",
     "t29_vocab_overlap",
     "q98_line_priority",
@@ -143,6 +143,8 @@ DRIVER_WINDOW: list[str] = [
     "t30_zipf_slope",
     "t31_token_concentration",
     "q101_bucketed_join",
+    "q102_constraint_audit",
+    "q103_partition_completeness",
     # -- oldest r04-era refresh fills the remaining slots (displaced
     # first if late-round additions need slots); a05 keeps its slot
     # (spread() applied to its PQ encode this round — stale evidence),

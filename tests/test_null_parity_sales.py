@@ -48,6 +48,8 @@ WINDOW_SALES_QUERIES = [
     "q99_profit_by_nation",
     "q100_heavy_small_part_suppliers",
     "q101_bucketed_join",
+    "q102_constraint_audit",
+    "q103_partition_completeness",
 ]
 
 # per-table NULL masks: (column, modulus) — key % modulus == 0 nulls

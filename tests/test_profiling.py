@@ -98,3 +98,63 @@ def test_incremental_agg_merge_equals_full(spark):
         F.count(F.lit(1)).alias("n"),
     )
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_expectations_fire_on_planted_violations(spark):
+    """The sf corpora are clean, so the oracle-parity run alone proves
+    only the all-pass path — this plants one violation per check kind
+    and asserts each detector fires with the right count."""
+    from end_to_end_sales_etl_de_project_spark.operators.profiling import (
+        expectations_report,
+    )
+
+    rows = [
+        (1, 1, 5.0, "A"),
+        (1, 1, None, "N"),     # dup key (with row 1) + null qty
+        (2, 1, 99.0, "R"),     # out of range
+        (2, 2, -3.0, "X"),     # range (negative) + bad flag
+        (3, 1, 10.0, None),    # NULL flag: NOT a violation (3VL)
+    ]
+    df = spark.createDataFrame(rows, "k long, ln int, qty double, flag string")
+    out = {
+        r["check_name"]: r
+        for r in expectations_report(
+            df,
+            row_checks=[
+                ("not_null_qty", "qty IS NULL"),
+                ("range_qty", "qty IS NOT NULL AND (qty < 0 OR qty > 60)"),
+                ("accepted_flag", "flag IS NOT NULL AND flag NOT IN ('A','N','R')"),
+            ],
+            unique_checks=[("unique_key", ["k", "ln"])],
+        ).collect()
+    }
+    assert all(r["n_rows"] == 5 for r in out.values())
+    assert out["not_null_qty"]["n_violations"] == 1
+    assert out["range_qty"]["n_violations"] == 2
+    assert out["accepted_flag"]["n_violations"] == 1   # NULL flag exempt
+    assert out["unique_key"]["n_violations"] == 2      # both rows of the dup group
+    assert not any(r["passed"] for r in out.values())
+
+
+def test_month_completeness_flags_planted_gap(spark):
+    """A fact with March missing must surface 2024-03 as a zero-count,
+    present=False spine row — the hole per-partition profiling cannot
+    see."""
+    import datetime as dt
+
+    from end_to_end_sales_etl_de_project_spark.operators.profiling import (
+        month_completeness,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 15)),
+        (2, dt.datetime(2024, 2, 1)),
+        (3, dt.datetime(2024, 2, 20)),
+        (4, dt.datetime(2024, 4, 2)),   # March skipped
+        (5, None),                      # NULL date: excluded everywhere
+    ]
+    df = spark.createDataFrame(rows, "k long, d timestamp")
+    out = {r["sales_month"]: r for r in month_completeness(df, "d").collect()}
+    assert sorted(out) == ["2024-01", "2024-02", "2024-03", "2024-04"]
+    assert out["2024-03"]["n_rows"] == 0 and out["2024-03"]["present"] is False
+    assert out["2024-02"]["n_rows"] == 2 and out["2024-02"]["present"] is True
