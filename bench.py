@@ -213,6 +213,7 @@ HEADLINE = [
     "q101_bucketed_join",
     "q102_constraint_audit",
     "q103_partition_completeness",
+    "m07_phash_neardup",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -341,3 +341,181 @@ def resize_assets(
             yield pd.DataFrame(cols)
 
     return assets.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+
+
+PHASH_BITS = 60
+PHASH_BANDS = 4  # 4 bands x 15 bits: lossless candidate recall for hamming <= 3
+
+SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("sig", T.LongType()),
+    ]
+)
+
+
+def phash_signatures(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Per-asset 60-bit perceptual signature via ``mapInPandas`` — the
+    SimHash of the payload's byte 4-grams (alignment-robust, unlike a
+    positional dHash: an insertion shifts every byte position but
+    leaves most 4-grams intact). In production this stage decodes the
+    asset and pHashes pixels; the stub hashes raw payload bytes with
+    the portable h60 (md5-based) so the whole Python seam is
+    oracle-recomputable on the ASCII corpus — a non-ASCII payload
+    surfaces as a LOUD hash mismatch (the m02/m05 contract), never a
+    silent divergence. NULL or <4-byte payloads emit no signature (no
+    content to fingerprint), matching the oracle's length filter.
+
+    With ``decode_stub=False`` the workers require Pillow and raise
+    NotImplementedError in this sandbox — the same honest real-decode
+    seam as extract_features.
+
+    Scale: one Arrow-batched pass over the payloads; only 16-byte
+    (asset_id, sig) rows leave the executors — payload bytes never
+    shuffle. The JVM-native twin of this computation is d04's
+    codegen simhash (token features); the Python seam here is where a
+    real decoder plugs in.
+    """
+
+    def sig_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        bit_idx = np.arange(PHASH_BITS, dtype=np.int64)
+
+        def signature(b) -> int | None:
+            if b is None:
+                return None
+            bb = bytes(b)
+            if len(bb) < 4:
+                return None
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(bb[i : i + 4]).hexdigest()[:15], 16)
+                    for i in range(len(bb) - 3)
+                ),
+                dtype=np.int64,
+            )
+            votes = (2 * ((hs[:, None] >> bit_idx) & 1) - 1).sum(axis=0)
+            return int(((votes > 0).astype(np.int64) << bit_idx).sum())
+
+        for pdf in batches:
+            if not decode_stub:
+                try:
+                    import PIL  # noqa: F401
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "real pHash requires Pillow on the executors; "
+                        "this environment ships none (stub only)"
+                    ) from e
+            sigs = [signature(b) for b in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "sig": pd.Series(sigs, dtype="Int64"),
+                }
+            )
+            yield out[out["sig"].notna()]
+
+    return assets.mapInPandas(sig_batches, schema=SIG_SCHEMA)
+
+
+def phash_neardup_pairs(
+    assets: DataFrame, hamming_max: int = 3, decode_stub: bool = True
+) -> DataFrame:
+    """Perceptual near-duplicate asset pairs: signatures within
+    ``hamming_max`` bits — re-encoded crops, metadata-stamped copies,
+    and re-uploads that exact dedup (m06's payload-md5) can never
+    match. Output: (asset_a, asset_b, hamming), asset_a < asset_b.
+
+    Scale shape: candidates come from a banded equi-join on the
+    (band, 15-bit band value) key — 4 bands over 60 bits, so any pair
+    within 3 flipped bits shares at least one intact band (pigeonhole:
+    3 flips cannot touch 4 bands) — candidate recall is LOSSLESS for
+    ``hamming_max`` <= 3, never all-pairs. The exact ``bit_count(xor)``
+    filter then removes band-collision false positives. Everything
+    after the signature pass is |assets| x 4 16-byte rows.
+    """
+    if hamming_max >= PHASH_BANDS:
+        raise ValueError(
+            f"banded recall is lossless only for hamming_max < {PHASH_BANDS}"
+        )
+    sigs = phash_signatures(assets, decode_stub=decode_stub)
+    bands = sigs.select(
+        "asset_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), 15 * b)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("val"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("asset_id", "sig", "bk.band", "bk.val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("bigint")
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .select("asset_a", "asset_b", "hamming")
+    )
+
+
+def phash_neardup_sql(hamming_max: int = 3, table: str = "documents") -> str:
+    """DuckDB twin: recomputes the byte-4-gram SimHash from the text
+    (ASCII corpus: one char == one byte) and compares ALL pairs — the
+    oracle proves the banded join loses nothing. Same 16384 position
+    ceiling discipline as m02/m03: a longer doc errors loudly."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(PHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(PHASH_BITS)
+    )
+    return f"""
+WITH b AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           FROM {table} WHERE text IS NOT NULL AND length(text) >= 4),
+guard AS (
+  SELECT CASE WHEN (SELECT COALESCE(MAX(n), 0) FROM b) > 16384
+    THEN error('m07 oracle position ceiling (16384) exceeded')
+    ELSE 1 END AS ok
+),
+pos AS (SELECT CAST(i AS BIGINT) AS i FROM generate_series(1, 16384, 1) t(i)),
+grams AS (
+  SELECT b.doc_id,
+         CAST(('0x' || substr(md5(substr(b.text, CAST(pos.i AS INT), 4)), 1, 15))
+              AS UBIGINT)::BIGINT AS h
+  FROM b JOIN pos ON pos.i <= b.n - 3
+),
+votes AS (SELECT doc_id, {votes} FROM grams GROUP BY doc_id),
+sigs AS (SELECT doc_id, {fp} AS sig FROM votes, guard WHERE guard.ok = 1)
+SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {hamming_max}
+"""

@@ -2632,3 +2632,14 @@ def t31_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer decile cut; one final division, hash-exact."""
     docs = load_table(spark, sf_dir, "documents")
     return text.token_concentration(docs)
+
+@_register("m07_phash_neardup", multimodal.phash_neardup_sql())
+def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate asset pairs: Arrow-batched byte-4-gram
+    SimHash signatures (the decode+pHash seam; stub hashes payload
+    bytes with the portable h60), then a 4-band x 15-bit equi-join —
+    lossless for hamming <= 3 by pigeonhole — and the exact
+    bit_count(xor) filter. The all-pairs DuckDB oracle proves the
+    banded path loses nothing. Payload bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.phash_neardup_pairs(multimodal.documents_as_assets(docs))

@@ -113,7 +113,6 @@ DRIVER_WINDOW: list[str] = [
     "q55_string_agg",
     "q59_data_profile",
     "t04_doc_fingerprint",
-    "t06_corpus_split",
     "t07_repetition",
     "t08_stratified_sample",
     "t09_tfidf_top_terms",
@@ -132,7 +131,8 @@ DRIVER_WINDOW: list[str] = [
     # batch (q98/q99/q100 TPC-H Q12/Q9/Q20 shapes, t30 Zipf fit, t31
     # token concentration, q101 bucketed co-located join) displaced the
     # a08/c04/d01/d10/e16/q50 refresh rows, and q102 (expectations
-    # suite) + q103 (partition completeness) displaced a01/d05 — all
+    # suite) + q103 (partition completeness) displaced a01/d05, and m07
+    # (perceptual near-dup) displaced t06 — all
     # eight hold green prior evidence and join a02/a03/a07 at the head
     # of the r9 refresh queue
     "a16_knn_pagerank",
@@ -145,6 +145,7 @@ DRIVER_WINDOW: list[str] = [
     "q101_bucketed_join",
     "q102_constraint_audit",
     "q103_partition_completeness",
+    "m07_phash_neardup",
     # -- oldest r04-era refresh fills the remaining slots (displaced
     # first if late-round additions need slots); a05 keeps its slot
     # (spread() applied to its PQ encode this round — stale evidence),

@@ -172,3 +172,51 @@ def test_resize_assets_stub_semantics(spark):
     assert one["resized_checksum"] == sum(bytes(one["resized"])) % (1 << 31)
     assert out[2]["resized_bytes"] == 1  # 2 bytes, every 4th -> first only
     assert out[3]["orig_bytes"] == 0 and out[3]["resized_bytes"] == 0
+
+
+def test_phash_neardup_detects_planted_perturbation(spark):
+    """A few flipped bytes must keep the pair within hamming <= 3; an
+    unrelated payload must not pair — and the banded candidate path
+    must equal an all-pairs check (losslessness on real data, not just
+    the pigeonhole argument)."""
+    from end_to_end_sales_etl_de_project_spark.operators.multimodal import (
+        phash_neardup_pairs,
+        phash_signatures,
+    )
+
+    base = (
+        b"the quick brown fox jumps over the lazy dog near the river "
+        b"bank while seventeen sleepy badgers watch from the bridge " * 8
+    )
+    perturbed = bytearray(base)
+    perturbed[10:14] = b"XXXX"  # a handful of 4-grams change, most survive
+    unrelated = bytes(reversed(base)) + b" entirely different trailing content"
+    rows = [
+        (1, bytes(base), ("txt", "web", len(base))),
+        (2, bytes(perturbed), ("txt", "web", len(perturbed))),
+        (3, unrelated, ("txt", "web", len(unrelated))),
+        (4, None, ("txt", "web", 0)),   # NULL payload: no signature
+        (5, b"abc", ("txt", "web", 3)), # <4 bytes: no signature
+    ]
+    assets = spark.createDataFrame(
+        rows,
+        "asset_id long, payload binary, "
+        "meta struct<format:string,source:string,n_bytes:long>",
+    )
+    pairs = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in phash_neardup_pairs(assets).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3, pairs
+    assert all(3 not in p and 4 not in p and 5 not in p for p in pairs), pairs
+
+    # losslessness: banded pairs == brute-force pairs over signatures
+    sigs = {r["asset_id"]: r["sig"] for r in phash_signatures(assets).collect()}
+    assert set(sigs) == {1, 2, 3}
+    brute = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert set(pairs) == brute

@@ -44,7 +44,6 @@ WINDOW_DOC_QUERIES = [
     "m01_multimodal_assets",
     "q53_posexplode_tokens",
     "t04_doc_fingerprint",
-    "t06_corpus_split",
     "t07_repetition",
     "t08_stratified_sample",
     "t09_tfidf_top_terms",
@@ -55,6 +54,7 @@ WINDOW_DOC_QUERIES = [
     "t29_vocab_overlap",
     "t30_zipf_slope",
     "t31_token_concentration",
+    "m07_phash_neardup",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"
