@@ -384,6 +384,21 @@ def phash_signatures(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
         import pandas as pd
 
         bit_idx = np.arange(PHASH_BITS, dtype=np.int64)
+        # md5-per-gram is the stub's hot loop; the corpus's DISTINCT
+        # 4-grams are orders of magnitude fewer than its total grams
+        # (natural text), so hash each distinct gram once per worker.
+        # Semantics are untouched: votes are still weighted by the
+        # gram's multiplicity, exactly as the oracle counts it.
+        h60_cache: dict[int, int] = {}
+
+        def h60_of(key: int) -> int:
+            v = h60_cache.get(key)
+            if v is None:
+                v = h60_cache[key] = int(
+                    hashlib.md5(int(key).to_bytes(4, "little")).hexdigest()[:15],
+                    16,
+                )
+            return v
 
         def signature(b) -> int | None:
             if b is None:
@@ -391,14 +406,18 @@ def phash_signatures(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
             bb = bytes(b)
             if len(bb) < 4:
                 return None
-            hs = np.fromiter(
-                (
-                    int(hashlib.md5(bb[i : i + 4]).hexdigest()[:15], 16)
-                    for i in range(len(bb) - 3)
-                ),
-                dtype=np.int64,
+            arr = np.frombuffer(bb, dtype=np.uint8)
+            grams = (
+                np.lib.stride_tricks.sliding_window_view(arr, 4)
+                .copy()
+                .view(np.uint32)
+                .ravel()
             )
-            votes = (2 * ((hs[:, None] >> bit_idx) & 1) - 1).sum(axis=0)
+            uniq, counts = np.unique(grams, return_counts=True)
+            hs = np.fromiter((h60_of(k) for k in uniq), dtype=np.int64)
+            votes = (
+                (2 * ((hs[:, None] >> bit_idx) & 1) - 1) * counts[:, None]
+            ).sum(axis=0)
             return int(((votes > 0).astype(np.int64) << bit_idx).sum())
 
         for pdf in batches:
