@@ -895,3 +895,53 @@ def test_q101_bucketed_join_no_exchange(spark):
     assert _shuffle_exchanges(plan) == 1, plan
     assert "SortMergeJoin" in plan
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
+def test_q98_range_pushdown_single_shuffle(spark):
+    """q98: the 1996 ship-window reaches the lineitem scan (row-group
+    pruning skips whole years) and the plan needs exactly one shuffle
+    (the rollup's); the orders join is stats-gated, never forced."""
+    plan = plan_of(spark, "q98_line_priority")
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan, plan
+    assert "LessThan(l_shipdate,1997-01-01" in plan, plan
+    assert _shuffle_exchanges(plan) <= 2, plan
+
+
+def test_q99_like_pushdown_and_broadcast_dims(spark):
+    """q99: the '%widget%' narrowing reaches the part scan as a
+    StringContains pushed filter, supplier+nation ride broadcasts, and
+    the only shuffle is the final rollup's."""
+    plan = plan_of(spark, "q99_profit_by_nation")
+    assert "StringContains(p_name,widget)" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert _shuffle_exchanges(plan) <= 2, plan
+
+
+def test_q100_prefix_pushdown_semi_join(spark):
+    """q100: the 'small ' prefix reaches the part scan as
+    StringStartsWith, the region filter reaches the nation scan, and
+    the EXISTS runs as a LeftSemi — one aggregate shuffle total."""
+    plan = plan_of(spark, "q100_heavy_small_part_suppliers")
+    assert "StringStartsWith(p_name,small )" in plan, plan
+    assert "EqualTo(n_regionkey,0)" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert _shuffle_exchanges(plan) <= 2, plan
+
+
+@pytest.mark.parametrize("name", ["t30_zipf_slope", "t31_token_concentration"])
+def test_vocab_analytics_window_over_vocab_not_corpus(spark, name):
+    """t30/t31: the corpus-sized stage is ONE map-side-combinable token
+    count; the rank window's input is the (source, token) rollup —
+    vocabulary-bounded, never the token stream."""
+    import re
+
+    plan = plan_of(spark, name)
+    assert plan.count("HashAggregate") >= 2, plan  # partial+final token count
+    # the window must sit ABOVE the token-count aggregate, not on the
+    # exploded stream: exactly one Generate node (the explode), and in
+    # the plan tree (children print BELOW parents) every Window node
+    # appears before it
+    gen_nodes = re.findall(r"^\s*\+- Generate", plan, flags=re.M)
+    assert len(gen_nodes) == 1, plan
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert tree.index("Window") < tree.index("Generate"), tree
