@@ -320,3 +320,35 @@ SELECT substr(CAST(s.month_start AS VARCHAR), 1, 7) AS sales_month,
        COALESCE(p.n_rows, 0) > 0 AS present
 FROM spine s LEFT JOIN per_month p ON s.month_start = p.month_start
 """
+
+
+def violation_monitor_agg(
+    events: DataFrame,
+    row_checks: RowChecks,
+    time_col: str = "ts",
+    size: str = "1 hour",
+) -> DataFrame:
+    """Hourly-windowed violation totals for a declarative check list —
+    the SHARED aggregation body behind the batch audit and the live
+    streaming monitor (``streaming/events.violation_monitor_stream``):
+    one row per event-time window with the row count and each check's
+    violation count. Batch ≡ stream is exact by construction (same
+    column expressions, same engine).
+
+    Scale: conditional sums over an event-time window groupBy — one
+    map-side-combinable exchange; state in the streaming form is one
+    row per open window, closed by the watermark. Same three-valued-
+    logic contract as expectations_report (NULL predicate ≠ violation).
+    """
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")] + [
+        F.sum(F.when(F.expr(pred), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"{name}_violations")
+        for name, pred in row_checks
+    ]
+    return (
+        events.groupBy(F.window(time_col, size).alias("w"))
+        .agg(*aggs)
+        .select(F.col("w.start").alias("window_start"), "*")
+        .drop("w")
+    )

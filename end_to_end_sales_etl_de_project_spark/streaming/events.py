@@ -247,3 +247,42 @@ def anomaly_score_stream(
         z.alias("robust_z"),
         flag.alias("is_outlier"),
     )
+
+
+# The default live-monitor check list: the q102 contract applied to the
+# event stream (same three-valued-logic semantics). The spike check is
+# a monitoring rule, not an integrity rule — it fires on the clean
+# corpus, proving the monitor emits non-zero counts end-to-end.
+EVENT_CHECKS: list[tuple[str, str]] = [
+    ("null_value", "value IS NULL"),
+    ("negative_value", "value IS NOT NULL AND value < 0"),
+    (
+        "unknown_type",
+        "event_type IS NOT NULL AND event_type NOT IN "
+        "('signup','click','error','view','purchase')",
+    ),
+    ("value_spike", "value IS NOT NULL AND value > 250"),
+]
+
+
+def violation_monitor_stream(
+    events: DataFrame,
+    row_checks: list[tuple[str, str]] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Live data-quality monitor: the declarative expectations contract
+    (q102 / ``profiling.expectations_report``) running continuously —
+    per event-time hour, the row count and each check's violation
+    count, emitted as windows close. SAME aggregation body as the
+    batch form (``profiling.violation_monitor_agg``), so the alert
+    thresholds a team tunes on batch history apply unchanged to the
+    live stream. State: one row per open window, closed by the
+    watermark — bounded at any corpus rate.
+    """
+    from end_to_end_sales_etl_de_project_spark.operators.profiling import (
+        violation_monitor_agg,
+    )
+
+    return violation_monitor_agg(
+        events.withWatermark("ts", watermark), row_checks or EVENT_CHECKS
+    )

@@ -552,3 +552,28 @@ def test_doc_dedup_stream_nulls_pass_state_is_bounded(spark, tmpdir):
     # measured state bound: one state row per distinct non-NULL doc
     state = progress["stateOperators"]
     assert sum(op["numRowsTotal"] for op in state) == 2, state
+
+
+def test_violation_monitor_stream_equals_batch(spark, sf_dir, events_src):
+    """The live expectations monitor must emit exactly the batch
+    windowed audit of the same input (shared aggregation body), and
+    the spike check must be non-zero — the monitor proves it counts,
+    not just that it runs."""
+    from end_to_end_sales_etl_de_project_spark.operators.profiling import (
+        violation_monitor_agg,
+    )
+    from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+    from end_to_end_sales_etl_de_project_spark.streaming.events import (
+        EVENT_CHECKS,
+        violation_monitor_stream,
+    )
+
+    stream = read_events_stream(spark, events_src)
+    result = run_to_memory_sink(
+        violation_monitor_stream(stream), "violmon_test", "complete"
+    )
+    batch = violation_monitor_agg(load_table(spark, sf_dir, "events"), EVENT_CHECKS)
+    assert _canon(result) == _canon(batch)
+    rows = result.collect()
+    assert sum(r["value_spike_violations"] for r in rows) > 0
+    assert all(r["null_value_violations"] == 0 for r in rows)
