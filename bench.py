@@ -214,6 +214,8 @@ HEADLINE = [
     "q102_constraint_audit",
     "q103_partition_completeness",
     "m07_phash_neardup",
+    "q104_promo_revenue",
+    "t32_domain_mixture",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -1304,3 +1304,94 @@ SELECT d.{id_col} AS doc_id,
        COALESCE(a.sum_ratio / a.n_features, 0.0) AS avg_ratio
 FROM {table} d LEFT JOIN agg a ON d.{id_col} = a.doc
 """
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture reweighting (DoReMi-lite): per-source sampling weights
+# that move the token mix toward a target distribution
+# ---------------------------------------------------------------------------
+
+MIXTURE_WEIGHT_CAP = 5.0
+
+
+def domain_mixture(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    cap: float = MIXTURE_WEIGHT_CAP,
+) -> DataFrame:
+    """Per-source mixture weights toward a UNIFORM token target — the
+    control table a mixture-aware sampler consumes (Doremi, Xie et al.
+    2023 fixes weights by optimization; the uniform-target ratio here
+    is its closed-form seed and what practitioners actually ship
+    first).
+
+    For each source: document count, token mass, realized token share,
+    and ``mix_weight = min(cap, target_share / token_share)`` — >1
+    upsamples an under-represented source, <1 downsamples an
+    over-represented one, and the cap bounds the repetition factor any
+    single source can be asked for (unbounded upsampling of a tiny
+    source degrades to verbatim repetition). A zero-token source takes
+    the cap outright (its share ratio is unbounded); NULL text counts
+    zero tokens, NULL source forms its own group on both engines.
+
+    Scale shape: ONE corpus scan -> per-source partial counts (map-side
+    combinable, |sources| keys). The global totals come from an
+    unpartitioned window OVER THE TINY PER-SOURCE AGGREGATE — |sources|
+    rows collapse to one partition, which is exactly right — rather
+    than a second aggregate branch: a ``per_source.agg(...)`` subtree
+    would make Catalyst re-scan and RE-TOKENIZE the full corpus a
+    second time (two Scan nodes in the physical plan), doubling the
+    dominant cost at 100 TB. Every float is a fixed tree of single
+    IEEE ops over exact integers — identical under any partitioning,
+    hence hash-exact vs the oracle.
+    """
+    toks = F.coalesce(token_count(F.col(text_col)).cast("bigint"), F.lit(0))
+    per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    total_tokens = F.sum("n_tokens").over(everything).cast("bigint")
+    n_sources = F.count(F.lit(1)).over(everything).cast("bigint")
+    share = F.col("n_tokens").cast("double") / total_tokens.cast("double")
+    target = F.lit(1.0) / n_sources.cast("double")
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        F.when(F.col("n_tokens") == 0, F.lit(float(cap)))
+        .otherwise(F.least(F.lit(float(cap)), target / share))
+        .alias("mix_weight"),
+    )
+
+
+def domain_mixture_sql(
+    source_col: str = "source",
+    text_col: str = "text",
+    table: str = "documents",
+    cap: float = MIXTURE_WEIGHT_CAP,
+) -> str:
+    toks = f"COALESCE({token_count_sql(text_col)}, 0)"
+    return f"""
+WITH per_source AS (
+  SELECT {source_col} AS source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({toks}) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY 1
+),
+totals AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+       CASE WHEN n_tokens = 0 THEN {float(cap)}
+            ELSE LEAST({float(cap)},
+                       (1.0 / CAST(n_sources AS DOUBLE))
+                       / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)))
+       END AS mix_weight
+FROM per_source, totals
+"""

@@ -4236,3 +4236,56 @@ def q103_partition_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection proven in tests/test_profiling.py."""
     orders = load_table(spark, sf_dir, "orders")
     return month_completeness(orders, "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# q104: promotion revenue delta (TPC-H Q6 shape) — completes the 22-shape
+# TPC-H sweep (Q1-Q22 all have a registered shape on this schema)
+# ---------------------------------------------------------------------------
+
+_Q104_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@_register("q104_promo_revenue", _Q104_ORACLE)
+def q104_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the forecast-revenue-change scalar — how much
+    revenue the discounts of 1996 gave away on small-quantity lines.
+
+    The simplest query in the sweep and the purest pushdown showcase:
+    THREE range predicates and a TWO-column projection must all reach
+    the parquet scan (PushedFilters + ReadSchema pinned in
+    test_plan_shapes), then one map-side-combinable global aggregate —
+    no shuffle wider than a single scalar row. At 100 TB this is the
+    canonical "scan-bound or nothing" query: shipdate range prunes
+    row groups via min/max stats, and the scan reads 4 of 11 columns.
+    Revenue is summed as exact DECIMAL (price x discount per row is a
+    decimal product, no IEEE accumulation) so the scalar is identical
+    under any partitioning. Discount bounds are compared as the raw
+    DOUBLE column against the same literals both engines parse
+    identically — no cast on the filter path, keeping the predicate
+    parquet-pushable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * money("l_discount"))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )

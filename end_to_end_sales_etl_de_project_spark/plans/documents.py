@@ -2643,3 +2643,15 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded path loses nothing. Payload bytes never shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.phash_neardup_pairs(multimodal.documents_as_assets(docs))
+
+
+@_register("t32_domain_mixture", curation.domain_mixture_sql())
+def t32_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture weights toward a uniform token target
+    (DoReMi-lite closed form): token share per source and a capped
+    target/actual sampling ratio — the control table that turns t31's
+    "which sources dominate" diagnosis into loader sampling weights.
+    One corpus scan, |sources| keys; totals ride a window over the
+    tiny per-source aggregate (plan pinned: single Scan node)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.domain_mixture(docs)

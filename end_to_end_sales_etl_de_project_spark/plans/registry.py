@@ -107,9 +107,7 @@ DRIVER_WINDOW: list[str] = [
     "m01_multimodal_assets",
     "q19_orderby_limit",
     "q31_salted_agg",
-    "q51_filtered_aggregates",
     "q53_posexplode_tokens",
-    "q54_unpivot",
     "q55_string_agg",
     "q59_data_profile",
     "t04_doc_fingerprint",
@@ -146,6 +144,13 @@ DRIVER_WINDOW: list[str] = [
     "q102_constraint_audit",
     "q103_partition_completeness",
     "m07_phash_neardup",
+    # -- second round-8 batch: q104 (TPC-H Q6, completing the 22-shape
+    # sweep) and t32 (domain mixture weights) displaced the q51/q54
+    # refresh rows — each holds green r02-era evidence and moves to
+    # the head of the r9 refresh queue alongside a01/a02/a03/a07/d05/
+    # t06
+    "q104_promo_revenue",
+    "t32_domain_mixture",
     # -- oldest r04-era refresh fills the remaining slots (displaced
     # first if late-round additions need slots); a05 keeps its slot
     # (spread() applied to its PQ encode this round — stale evidence),

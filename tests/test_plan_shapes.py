@@ -945,3 +945,32 @@ def test_vocab_analytics_window_over_vocab_not_corpus(spark, name):
     assert len(gen_nodes) == 1, plan
     tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
     assert tree.index("Window") < tree.index("Generate"), tree
+
+
+def test_q104_every_predicate_reaches_the_scan(spark):
+    """q104 (TPC-H Q6): all three range predicates push to parquet
+    (row-group min/max pruning at scale), the read schema is 4 of 11
+    columns, and the global scalar keeps map-side combine — the only
+    exchange carries one partial-agg row per task."""
+    plan = plan_of(spark, "q104_promo_revenue")
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan, plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan, plan
+    assert "LessThan(l_quantity,24.0)" in plan, plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read_schema.count(":") - 1 <= 4, read_schema
+    assert plan.count("HashAggregate") >= 2, plan
+    assert _shuffle_exchanges(plan) == 1, plan
+
+
+def test_t32_single_corpus_scan(spark):
+    """t32: the global totals ride a window over the |sources|-row
+    aggregate — exactly ONE corpus scan (a second agg branch would
+    re-tokenize the entire corpus), partial+final token count, and no
+    join of any kind."""
+    import re
+
+    plan = plan_of(spark, "t32_domain_mixture")
+    scan_nodes = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scan_nodes) == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Join" not in plan, plan
