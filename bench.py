@@ -216,6 +216,7 @@ HEADLINE = [
     "m07_phash_neardup",
     "q104_promo_revenue",
     "t32_domain_mixture",
+    "t33_bpe_pairs",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

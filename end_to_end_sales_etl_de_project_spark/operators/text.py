@@ -864,3 +864,99 @@ FROM ranked
 WHERE rk <= (vocab + 9) // 10
 GROUP BY src
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics: the distributed inner loop of tokenizer training
+# ---------------------------------------------------------------------------
+
+
+def bpe_pair_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Adjacent character-pair frequencies over the corpus — the merge-
+    candidate table of one BPE training step (Sennrich et al. 2016).
+    The top row is the pair the tokenizer would merge next.
+
+    The scale move mirrors how real BPE trainers run: count WORDS
+    first (one corpus scan into a vocabulary-bounded table), then
+    generate pairs over the DISTINCT-word table weighted by word
+    count. Pair-explosion cost is O(|vocab| x word_len), independent
+    of corpus size — exploding the raw token stream instead would
+    re-pay the corpus at every merge step. Lowercased alphabetic
+    pre-tokenization keeps the pair alphabet <= 26^2, so the final
+    rank window runs over at most 676 rows.
+
+    ``pair_count`` weights every in-word occurrence by the word's
+    corpus frequency; ``n_vocab_words`` counts distinct vocabulary
+    entries containing the pair (the pair's merge blast radius). All
+    counts exact integers; total order (count desc, pair) ⇒
+    hash-exact vs the oracle. NULL text extracts no words on either
+    engine.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("word")
+    )
+    vocab = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wc")
+    )
+    # sequence(1, 0) would run DESCENDING in Spark — guard 1-char words
+    # out before building the position sequence.
+    pairs = vocab.filter(F.length("word") >= 2).select(
+        "word",
+        "wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("wc").cast("bigint").alias("pair_count"),
+        F.count_distinct("word").cast("bigint").alias("n_vocab_words"),
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    return agg.select(
+        "pair",
+        "pair_count",
+        "n_vocab_words",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    ).filter(F.col("rnk") <= top_k)
+
+
+def bpe_pair_stats_sql(
+    text_col: str = "text",
+    table: str = "documents",
+    top_k: int = 50,
+) -> str:
+    return f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower({text_col}), '[a-z]+')) AS word
+  FROM {table}
+),
+vocab AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wc FROM words GROUP BY 1
+),
+pairs AS (
+  SELECT substring(v.word, CAST(i AS INT), 2) AS pair, v.word, v.wc
+  FROM vocab v, UNNEST(range(1, length(v.word))) AS t(i)
+),
+agg AS (
+  SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count,
+         CAST(COUNT(DISTINCT word) AS BIGINT) AS n_vocab_words
+  FROM pairs GROUP BY 1
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rnk
+  FROM agg
+)
+SELECT pair, pair_count, n_vocab_words, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {top_k}
+"""

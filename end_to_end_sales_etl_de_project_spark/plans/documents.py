@@ -2645,6 +2645,17 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(multimodal.documents_as_assets(docs))
 
 
+@_register("t33_bpe_pairs", text.bpe_pair_stats_sql())
+def t33_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step: top-50 adjacent character pairs by
+    corpus-weighted frequency (the next-merge candidate table,
+    Sennrich et al. 2016). Pairs explode over the VOCABULARY aggregate
+    — O(|vocab| x word_len), corpus-size-independent — never the raw
+    token stream; plan pinned (aggregate between the two Generates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_pair_stats(docs)
+
+
 @_register("t32_domain_mixture", curation.domain_mixture_sql())
 def t32_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source mixture weights toward a uniform token target

@@ -92,8 +92,9 @@ DRIVER_WINDOW: list[str] = [
     "e07_sessionize_lag",
     "q58_sorted_layout_readback",
     "q62_incremental_agg",
-    # -- r02/r03-era evidence refresh (the whole standing queue)
-    "d04_simhash",
+    # -- r02/r03-era evidence refresh (the whole standing queue;
+    # d04 yielded its slot to t33 — it holds green r03 evidence and
+    # joins the r9 refresh-queue head)
     "e04_user_activity_rollup",
     "e05_asof_join",
     "e06_range_join",
@@ -151,6 +152,8 @@ DRIVER_WINDOW: list[str] = [
     # t06
     "q104_promo_revenue",
     "t32_domain_mixture",
+    # t33 (BPE pair statistics) displaced the d04 refresh row
+    "t33_bpe_pairs",
     # -- oldest r04-era refresh fills the remaining slots (displaced
     # first if late-round additions need slots); a05 keeps its slot
     # (spread() applied to its PQ encode this round — stale evidence),

@@ -974,3 +974,22 @@ def test_t32_single_corpus_scan(spark):
     assert len(scan_nodes) == 1, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_t33_pairs_explode_the_vocab_not_the_corpus(spark):
+    """t33 (BPE pair step): the pair Generate must sit ABOVE the word-
+    count aggregate — pair-explosion cost is vocabulary-bounded, not
+    corpus-bounded (re-exploding the token stream would re-pay the
+    corpus at every merge step) — and the top-k resolves as
+    TakeOrderedAndProject, never a global sort."""
+    import re
+
+    plan = plan_of(spark, "t33_bpe_pairs")
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    gens = [m.start() for m in re.finditer(r"Generate", tree)]
+    assert len(gens) == 2, tree
+    aggs = [m.start() for m in re.finditer(r"HashAggregate", tree)]
+    # children print BELOW parents: an aggregate between the two
+    # Generates means the second explode consumes the word rollup
+    assert any(gens[0] < a < gens[1] for a in aggs), tree
+    assert "TakeOrderedAndProject" in tree, tree
