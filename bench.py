@@ -217,6 +217,7 @@ HEADLINE = [
     "q104_promo_revenue",
     "t32_domain_mixture",
     "t33_bpe_pairs",
+    "c11_diversity_sample",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 from end_to_end_sales_etl_de_project_spark.functions.hashing import h60, h60_sql
 from end_to_end_sales_etl_de_project_spark.operators import dedup
 from end_to_end_sales_etl_de_project_spark.operators.text import (
+    composite_quality,
+    composite_quality_sql,
     corpus_split,
     corpus_split_sql,
     positional_shingles_from_tokens,
@@ -1394,4 +1396,97 @@ SELECT source, n_docs, n_tokens,
                        / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)))
        END AS mix_weight
 FROM per_source, totals
+"""
+
+
+# ---------------------------------------------------------------------------
+# Diversity sampling: cluster-capped quality selection (coreset shape)
+# ---------------------------------------------------------------------------
+
+DIVERSITY_BUCKET_BITS = 8
+DIVERSITY_CAP = 4
+
+
+def diversity_sample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_bits: int = DIVERSITY_BUCKET_BITS,
+    cap: int = DIVERSITY_CAP,
+) -> DataFrame:
+    """Cluster-capped quality selection: keep the top-``cap`` documents
+    BY QUALITY within each semantic bucket — a coreset spread across
+    semantic space instead of dominated by the head cluster (the
+    selection step of SemDeDup-style pipelines, Abbas et al. 2023,
+    with the cluster assignment made exact: the top ``bucket_bits``
+    bits of the d04 SimHash fingerprint, so near-identical docs share
+    a bucket and compete for the same slots).
+
+    Quality is the shared `text.composite_quality` tree (bit-identical
+    across engines, t03-proven); ranking order is total
+    (score DESC NULLS LAST, doc_id). Docs with no tokens carry no
+    semantic signal and are excluded by the fingerprint inner join —
+    same on both engines.
+
+    Scale shape: the SimHash needs one token explode + one
+    map-side-combinable groupBy(doc); the fingerprint table is
+    (id, int64) — tiny relative to the corpus — and joins back on the
+    id key; the rank and bucket-size windows share ONE
+    hashpartitioning(bucket) exchange (plan-pinned). Nothing is
+    all-pairs and no centroid iteration is needed — the bucket
+    assignment is a pure projection of the fingerprint.
+    """
+    shift = dedup.SIMHASH_BITS - bucket_bits
+    fp = dedup.simhash(docs, id_col, text_col).select(
+        "doc_id",
+        F.shiftright(F.col("simhash"), shift).cast("bigint").alias("bucket"),
+    )
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        composite_quality(F.col(text_col)).alias("quality_score"),
+    )
+    joined = fp.join(scored, "doc_id")
+    by_bucket = Window.partitionBy("bucket")
+    order = by_bucket.orderBy(
+        F.col("quality_score").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    return joined.select(
+        "doc_id",
+        "bucket",
+        "quality_score",
+        F.row_number().over(order).cast("bigint").alias("bucket_rank"),
+        F.count(F.lit(1)).over(by_bucket).cast("bigint").alias("bucket_size"),
+    ).filter(F.col("bucket_rank") <= cap)
+
+
+def diversity_sample_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    bucket_bits: int = DIVERSITY_BUCKET_BITS,
+    cap: int = DIVERSITY_CAP,
+) -> str:
+    shift = dedup.SIMHASH_BITS - bucket_bits
+    return f"""
+WITH fp AS ({dedup.simhash_sql(id_col, text_col, table)}),
+bucketed AS (
+  SELECT doc_id, CAST(simhash >> {shift} AS BIGINT) AS bucket FROM fp
+),
+scored AS (
+  SELECT {id_col} AS doc_id,
+         {composite_quality_sql(text_col)} AS quality_score
+  FROM {table}
+),
+ranked AS (
+  SELECT b.doc_id, b.bucket, s.quality_score,
+         ROW_NUMBER() OVER (
+           PARTITION BY b.bucket
+           ORDER BY s.quality_score DESC NULLS LAST, b.doc_id
+         ) AS bucket_rank,
+         CAST(COUNT(*) OVER (PARTITION BY b.bucket) AS BIGINT) AS bucket_size
+  FROM bucketed b JOIN scored s USING (doc_id)
+)
+SELECT doc_id, bucket, quality_score,
+       CAST(bucket_rank AS BIGINT) AS bucket_rank, bucket_size
+FROM ranked WHERE bucket_rank <= {cap}
 """

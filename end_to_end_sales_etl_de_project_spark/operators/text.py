@@ -960,3 +960,29 @@ ranked AS (
 SELECT pair, pair_count, n_vocab_words, CAST(rnk AS BIGINT) AS rnk
 FROM ranked WHERE rnk <= {top_k}
 """
+
+
+def composite_quality(col: Column | str) -> Column:
+    """The t03 composite quality score (length, stopword density,
+    punctuation density) as a reusable expression — the SAME fixed
+    IEEE tree as `composite_quality_sql`, so scores are bit-identical
+    across engines and safe to rank on."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = word_count(c)
+    stop_ratio = stopword_hits(c, "en") / words.cast("double")
+    punct_ratio = punct_count(c) / F.length(c).cast("double")
+    return (
+        F.least(words / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio / F.lit(0.1), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio / F.lit(0.2), F.lit(1.0))) * 0.2
+    )
+
+
+def composite_quality_sql(expr: str) -> str:
+    return (
+        f"least({word_count_sql(expr)} / 100.0, 1.0) * 0.5"
+        f" + least({stopword_hits_sql(expr, 'en')}"
+        f"         / CAST({word_count_sql(expr)} AS DOUBLE) / 0.1, 1.0) * 0.3"
+        f" + (1.0 - least({punct_count_sql(expr)}"
+        f"               / CAST(length({expr}) AS DOUBLE) / 0.2, 1.0)) * 0.2"
+    )

@@ -275,12 +275,7 @@ def t02_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _T03_ORACLE = f"""
 SELECT doc_id,
-       least({text.word_count_sql('text')} / 100.0, 1.0) * 0.5
-         + least({text.stopword_hits_sql('text', 'en')}
-                 / CAST({text.word_count_sql('text')} AS DOUBLE) / 0.1, 1.0) * 0.3
-         + (1.0 - least({text.punct_count_sql('text')}
-                        / CAST(length(text) AS DOUBLE) / 0.2, 1.0)) * 0.2
-         AS quality_score,
+       {text.composite_quality_sql('text')} AS quality_score,
        {text.quality_bucket_sql('text')} AS quality_bucket
 FROM documents
 """
@@ -289,19 +284,13 @@ FROM documents
 @_register("t03_quality_score", _T03_ORACLE)
 def t03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score (length, stopword density, punctuation
-    density) + routing bucket — the filter stage of a data pipeline."""
+    density) + routing bucket — the filter stage of a data pipeline.
+    The score expression is the shared `text.composite_quality` tree
+    (also ranks c11's diversity sample)."""
     docs = load_table(spark, sf_dir, "documents")
-    words = text.word_count("text")
-    stop_ratio = text.stopword_hits("text", "en") / words.cast("double")
-    punct_ratio = text.punct_count("text") / F.length("text").cast("double")
-    score = (
-        F.least(words / F.lit(100.0), F.lit(1.0)) * 0.5
-        + F.least(stop_ratio / F.lit(0.1), F.lit(1.0)) * 0.3
-        + (F.lit(1.0) - F.least(punct_ratio / F.lit(0.2), F.lit(1.0))) * 0.2
-    )
     return docs.select(
         "doc_id",
-        score.alias("quality_score"),
+        text.composite_quality("text").alias("quality_score"),
         text.quality_bucket("text").alias("quality_bucket"),
     )
 
@@ -2643,6 +2632,18 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded path loses nothing. Payload bytes never shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.phash_neardup_pairs(multimodal.documents_as_assets(docs))
+
+
+@_register("c11_diversity_sample", curation.diversity_sample_sql())
+def c11_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-capped quality selection (SemDeDup-style coreset,
+    exact): top-4 docs by the t03 quality score within each 8-bit
+    SimHash semantic bucket — a sample spread across semantic space
+    instead of dominated by the head cluster. Rank and bucket-size
+    windows share one hashpartitioning(bucket) exchange (plan
+    pinned)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.diversity_sample(docs)
 
 
 @_register("t33_bpe_pairs", text.bpe_pair_stats_sql())

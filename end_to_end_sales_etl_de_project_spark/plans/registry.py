@@ -93,10 +93,8 @@ DRIVER_WINDOW: list[str] = [
     "q58_sorted_layout_readback",
     "q62_incremental_agg",
     # -- r02/r03-era evidence refresh (the whole standing queue;
-    # d04 yielded its slot to t33 — it holds green r03 evidence and
-    # joins the r9 refresh-queue head)
-    "e04_user_activity_rollup",
-    "e05_asof_join",
+    # d04/e04/e05 yielded their slots to t33/c11/t03-reentry — each
+    # holds green r02/r03 evidence and joins the r9 refresh-queue head)
     "e06_range_join",
     "e09_json_extract",
     "e10_value_deciles",
@@ -152,8 +150,14 @@ DRIVER_WINDOW: list[str] = [
     # t06
     "q104_promo_revenue",
     "t32_domain_mixture",
-    # t33 (BPE pair statistics) displaced the d04 refresh row
+    # t33 (BPE pair statistics) displaced the d04 refresh row;
+    # c11 (diversity sample) displaced the e04 refresh row
     "t33_bpe_pairs",
+    "c11_diversity_sample",
+    # t03 re-enters: its quality expression was factored into the
+    # shared text.composite_quality helper (c11 reuse) — code newer
+    # than its r07 evidence; e05 yielded the slot
+    "t03_quality_score",
     # -- oldest r04-era refresh fills the remaining slots (displaced
     # first if late-round additions need slots); a05 keeps its slot
     # (spread() applied to its PQ encode this round — stale evidence),

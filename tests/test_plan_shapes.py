@@ -993,3 +993,23 @@ def test_t33_pairs_explode_the_vocab_not_the_corpus(spark):
     # Generates means the second explode consumes the word rollup
     assert any(gens[0] < a < gens[1] for a in aggs), tree
     assert "TakeOrderedAndProject" in tree, tree
+
+
+def test_c11_windows_share_one_bucket_exchange(spark):
+    """c11 (diversity sample): the rank and bucket-size windows must
+    share ONE hashpartitioning(bucket) exchange (two Window nodes, one
+    Sort), the fingerprint groupBy keeps map-side combine, and the
+    fingerprint-score join is an equi-join — never cartesian. The join
+    strategy itself is stats-gated, deliberately unpinned."""
+    import re
+
+    plan = plan_of(spark, "c11_diversity_sample")
+    assert "CartesianProduct" not in plan
+    bucket_exchanges = [
+        l for l in plan.splitlines() if "hashpartitioning(bucket" in l
+    ]
+    assert len(bucket_exchanges) == 1, plan
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    assert len(re.findall(r"Window", tree)) == 2, tree
+    assert len(re.findall(r"\bSort\b", tree)) == 1, tree
+    assert plan.count("HashAggregate") >= 2, plan
