@@ -218,6 +218,7 @@ HEADLINE = [
     "t32_domain_mixture",
     "t33_bpe_pairs",
     "c11_diversity_sample",
+    "d18_incremental_neardup",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -2634,6 +2634,19 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(multimodal.documents_as_assets(docs))
 
 
+@_register("d18_incremental_neardup", dedup.incremental_neardup_sql())
+def d18_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup gate at the ingest door: each new-batch doc probes the
+    existing corpus's LSH banding table and gets a decision — best
+    corpus match at exact Jaccard ≥ 0.5, or novel. Candidates are
+    batch×corpus per bucket, NEVER corpus×corpus (the d10 ingest
+    story extended to near-dups); reads the session shingle index."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_neardup(
+        docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
+    )
+
+
 @_register("c11_diversity_sample", curation.diversity_sample_sql())
 def c11_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-capped quality selection (SemDeDup-style coreset,

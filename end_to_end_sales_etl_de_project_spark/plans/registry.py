@@ -95,7 +95,6 @@ DRIVER_WINDOW: list[str] = [
     # -- r02/r03-era evidence refresh (the whole standing queue;
     # d04/e04/e05 yielded their slots to t33/c11/t03-reentry — each
     # holds green r02/r03 evidence and joins the r9 refresh-queue head)
-    "e06_range_join",
     "e09_json_extract",
     "e10_value_deciles",
     "e11_ohlc_hourly",
@@ -158,6 +157,8 @@ DRIVER_WINDOW: list[str] = [
     # shared text.composite_quality helper (c11 reuse) — code newer
     # than its r07 evidence; e05 yielded the slot
     "t03_quality_score",
+    # d18 (incremental near-dup) displaced the e06 refresh row
+    "d18_incremental_neardup",
     # -- oldest r04-era refresh fills the remaining slots (displaced
     # first if late-round additions need slots); a05 keeps its slot
     # (spread() applied to its PQ encode this round — stale evidence),

@@ -40,7 +40,6 @@ WINDOW_DOC_QUERIES = [
     "t02_language_id",
     "t27_dsir_importance",
     "d17_substring_dedup",
-    "d04_simhash",
     "m01_multimodal_assets",
     "q53_posexplode_tokens",
     "t04_doc_fingerprint",
@@ -55,6 +54,13 @@ WINDOW_DOC_QUERIES = [
     "t30_zipf_slope",
     "t31_token_concentration",
     "m07_phash_neardup",
+    # late-r8 additions (d04 left the sweep with its window slot;
+    # t03 re-entered with the composite_quality refactor)
+    "t03_quality_score",
+    "t32_domain_mixture",
+    "t33_bpe_pairs",
+    "c11_diversity_sample",
+    "d18_incremental_neardup",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"

@@ -1013,3 +1013,12 @@ def test_c11_windows_share_one_bucket_exchange(spark):
     assert len(re.findall(r"Window", tree)) == 2, tree
     assert len(re.findall(r"\bSort\b", tree)) == 1, tree
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_d18_probe_join_never_cross_joins(spark):
+    """d18 (incremental near-dup): every join in the batch→corpus
+    probe chain is an equi-join (band-key buckets, shingle hashes, id
+    keys) — a cartesian anywhere here is batch×corpus quadratic."""
+    plan = plan_of(spark, "d18_incremental_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
