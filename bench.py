@@ -219,6 +219,7 @@ HEADLINE = [
     "t33_bpe_pairs",
     "c11_diversity_sample",
     "d18_incremental_neardup",
+    "c12_corpus_datasheet",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -1490,3 +1490,178 @@ SELECT doc_id, bucket, quality_score,
        CAST(bucket_rank AS BIGINT) AS bucket_rank, bucket_size
 FROM ranked WHERE bucket_rank <= {cap}
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus datasheet: the per-source release-documentation rollup
+# ---------------------------------------------------------------------------
+
+
+def corpus_datasheet(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus datasheet (the quantitative core of "Datasheets
+    for Datasets", Gebru et al. 2021 — the table a corpus release ships
+    with): document and token mass, corpus token share, NULL-text and
+    exact-duplicate counts, language spread with the dominant language,
+    and the exact median document length in tokens.
+
+    Exactness choices: the duplicate count is ``docs_with_text −
+    distinct text hashes`` (the d01 h60 discipline); the dominant
+    language is mode with alphabetical tie-break; the MEDIAN is the
+    lower-middle rank picked from a (source, token_count) HISTOGRAM
+    cumulative sum — the histogram is |sources|×|distinct lengths|
+    rows, so the rank-pick window never sorts the corpus (the e19
+    corpus-sort shape would be the bottleneck at 100 TB; a length
+    histogram is bounded by the longest doc, not the doc count).
+
+    Scale shape: three map-side-combinable aggregations over one
+    narrow projection of the corpus (per-source rollup, length
+    histogram, language counts); every window and join downstream runs
+    over source-bounded tables. Token share rides a window over the
+    per-source rollup (the t32 single-scan discipline). All counts are
+    integers; the one IEEE division per row is identical across
+    engines.
+    """
+    toks_n = F.coalesce(token_count(F.col(text_col)).cast("bigint"), F.lit(0))
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        toks_n.alias("toks"),
+        F.col(text_col).isNull().alias("text_is_null"),
+        h60(text_col).alias("th"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("text_is_null"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_text_docs"),
+        (F.count("th") - F.count_distinct("th")).cast("bigint").alias("dup_docs"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+    )
+    hist = base.groupBy("source", "toks").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # the doc total per source is already IN the histogram (sum of its
+    # bucket counts) — deriving it there instead of joining per_source
+    # back in saves a whole corpus scan (Catalyst would re-derive the
+    # aggregate from the base table, not reuse the sibling subtree)
+    cum_w = Window.partitionBy("source").orderBy("toks")
+    tot_w = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "toks",
+        F.sum("n").over(cum_w).alias("cum"),
+        F.sum("n").over(tot_w).alias("total"),
+    )
+    med = (
+        cum.filter(F.col("cum") >= (F.col("total") + 1) / 2)
+        .groupBy("source")
+        .agg(F.min("toks").cast("bigint").alias("median_tokens"))
+    )
+    lang_counts = (
+        base.filter(F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top_w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("lang").asc()
+    )
+    top_lang = (
+        lang_counts.select(
+            "source", "lang", F.row_number().over(top_w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    share_w = Window.partitionBy()
+    return (
+        per_source.join(med, "source")
+        .join(top_lang, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double")
+                / F.sum("n_tokens").over(share_w).cast("double")
+            ).alias("token_share"),
+            "null_text_docs",
+            "dup_docs",
+            "n_langs",
+            "top_lang",
+            "median_tokens",
+        )
+    )
+
+
+def corpus_datasheet_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    table: str = "documents",
+) -> str:
+    toks = f"COALESCE({token_count_sql(text_col)}, 0)"
+    th = h60_sql(text_col)
+    return f"""
+WITH base AS (
+  SELECT {source_col} AS source, {lang_col} AS lang,
+         {toks} AS toks,
+         {text_col} IS NULL AS text_is_null,
+         {th} AS th
+  FROM {table}
+),
+per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN text_is_null THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_text_docs,
+         CAST(COUNT(th) - COUNT(DISTINCT th) AS BIGINT) AS dup_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM base GROUP BY 1
+),
+hist AS (
+  SELECT source, toks, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, toks,
+         SUM(n) OVER (PARTITION BY source ORDER BY toks) AS cum,
+         SUM(n) OVER (PARTITION BY source) AS total
+  FROM hist
+),
+med AS (
+  SELECT source, CAST(MIN(toks) AS BIGINT) AS median_tokens
+  FROM cum
+  WHERE cum >= (total + 1) / 2.0
+  GROUP BY 1
+),
+lang_counts AS (
+  SELECT source, lang, COUNT(*) AS n
+  FROM base WHERE lang IS NOT NULL GROUP BY 1, 2
+),
+top_lang AS (
+  SELECT source, lang AS top_lang
+  FROM (
+    SELECT source, lang, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY n DESC, lang ASC
+    ) AS rn
+    FROM lang_counts
+  ) WHERE rn = 1
+)
+SELECT p.source, p.n_docs, p.n_tokens,
+       CAST(p.n_tokens AS DOUBLE)
+         / CAST(SUM(p.n_tokens) OVER () AS DOUBLE) AS token_share,
+       p.null_text_docs, p.dup_docs, p.n_langs,
+       t.top_lang, m.median_tokens
+FROM per_source p
+JOIN med m ON p.source = m.source
+LEFT JOIN top_lang t ON p.source = t.source
+"""

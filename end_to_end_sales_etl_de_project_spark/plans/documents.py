@@ -2634,6 +2634,17 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(multimodal.documents_as_assets(docs))
 
 
+@_register("c12_corpus_datasheet", curation.corpus_datasheet_sql())
+def c12_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet (Gebru et al. 2021 shape): docs,
+    tokens, corpus share, NULL-text and exact-dup counts, language
+    spread + dominant language, exact median doc length. The median is
+    a rank pick from a (source, length) HISTOGRAM cumsum — never a
+    corpus sort (plan pinned)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.corpus_datasheet(docs)
+
+
 @_register("d18_incremental_neardup", dedup.incremental_neardup_sql())
 def d18_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup gate at the ingest door: each new-batch doc probes the

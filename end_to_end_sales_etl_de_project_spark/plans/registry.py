@@ -93,9 +93,9 @@ DRIVER_WINDOW: list[str] = [
     "q58_sorted_layout_readback",
     "q62_incremental_agg",
     # -- r02/r03-era evidence refresh (the whole standing queue;
-    # d04/e04/e05 yielded their slots to t33/c11/t03-reentry — each
+    # d04/e04/e05/e06/e09 yielded their slots to t33/c11/t03-reentry/
+    # d18/c12 — each
     # holds green r02/r03 evidence and joins the r9 refresh-queue head)
-    "e09_json_extract",
     "e10_value_deciles",
     "e11_ohlc_hourly",
     "e12_cohort_retention",
@@ -159,6 +159,8 @@ DRIVER_WINDOW: list[str] = [
     "t03_quality_score",
     # d18 (incremental near-dup) displaced the e06 refresh row
     "d18_incremental_neardup",
+    # c12 (corpus datasheet) displaced the e09 refresh row
+    "c12_corpus_datasheet",
     # -- oldest r04-era refresh fills the remaining slots (displaced
     # first if late-round additions need slots); a05 keeps its slot
     # (spread() applied to its PQ encode this round — stale evidence),

@@ -61,6 +61,7 @@ WINDOW_DOC_QUERIES = [
     "t33_bpe_pairs",
     "c11_diversity_sample",
     "d18_incremental_neardup",
+    "c12_corpus_datasheet",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"

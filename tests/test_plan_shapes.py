@@ -1022,3 +1022,27 @@ def test_d18_probe_join_never_cross_joins(spark):
     plan = plan_of(spark, "d18_incremental_neardup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_c12_three_scans_and_no_corpus_sort(spark):
+    """c12 (corpus datasheet): exactly THREE corpus scans (per-source
+    rollup, length histogram, language counts — each map-side
+    combinable; the median total rides the histogram, not a fourth
+    scan), and every Sort in the plan sits above an aggregate — the
+    exact median must never sort the corpus."""
+    import re
+
+    plan = plan_of(spark, "c12_corpus_datasheet")
+    assert "CartesianProduct" not in plan
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 3, plan
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    # parents print above children: walk from each Sort downward — an
+    # aggregate must appear before any Scan does
+    lines = tree.splitlines()
+    for i, line in enumerate(lines):
+        if re.search(r"\bSort\b", line):
+            below = "\n".join(lines[i:])
+            agg_at = below.find("HashAggregate")
+            scan_at = below.find("Scan parquet")
+            assert 0 <= agg_at < scan_at, tree
