@@ -220,6 +220,7 @@ HEADLINE = [
     "c11_diversity_sample",
     "d18_incremental_neardup",
     "c12_corpus_datasheet",
+    "t34_char_entropy",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -986,3 +986,105 @@ def composite_quality_sql(expr: str) -> str:
         f" + (1.0 - least({punct_count_sql(expr)}"
         f"               / CAST(length({expr}) AS DOUBLE) / 0.2, 1.0)) * 0.2"
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 100_000,
+) -> DataFrame:
+    """Per-doc character-bigram Shannon entropy (nats) — the
+    compression-ratio quality signal: templated/looping junk compresses
+    well and sits far below natural text's ~3 nats, so a low-entropy
+    tail cut is a standard corpus filter (the per-doc cousin of t28's
+    duplicate-gram mass, catching character-level loops that word-level
+    n-grams miss).
+
+    Exactness: H = ln(T) − (Σ c·ln c)/T is folded on the t30/a08
+    quantized-integer grid — BOTH ln(c) and ln(T) round to BIGINTs at
+    ``scale`` (jvm Math.log vs libm log differ by 1 ulp on some inputs;
+    the grid absorbs it), the Σ c·qc sum is exact integer arithmetic
+    (order-free, so map-side combinable and partition-independent), and
+    the only float steps are divisions on identical exact integers —
+    hence hash-exact. Overflow
+    headroom: c·qc ≤ T·ln(T)·scale ≈ 3e15 for a 1-GB doc — far under
+    2^63.
+
+    Scale shape: the bigram explode collapses into (doc, gram) counts
+    INSIDE the scan stage (partial aggregation before the exchange), so
+    the shuffle carries at most |alphabet|² rows per doc, not one row
+    per character. Docs with <2 chars (and NULL text) re-enter via the
+    left join with n_bigrams=0 and NULL entropy — same on both engines.
+    """
+    grams = (
+        docs.filter(F.length(text_col) >= 2)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - 1),"
+                    f" i -> substring({text_col}, i, 2))"
+                )
+            ).alias("g"),
+        )
+    )
+    counts = grams.groupBy("doc", "g").agg(F.count(F.lit(1)).alias("c"))
+    qc = F.round(F.log(F.col("c").cast("double")) * scale).cast("bigint")
+    per_doc = counts.groupBy("doc").agg(
+        F.sum("c").cast("bigint").alias("t"),
+        F.sum(F.col("c") * qc).cast("bigint").alias("s"),
+    )
+    # ln(T) must ride the SAME quantized grid as the ln(c) terms:
+    # jvm Math.log and libm log disagree by 1 ulp on some inputs, and
+    # a raw ln(T) leaks that ulp straight into the hash (observed on
+    # 5/500 sf0.001 docs); round-to-grid absorbs it exactly like t30
+    qt = F.round(F.log(F.col("t").cast("double")) * scale).cast("bigint")
+    ent = qt.cast("double") / F.lit(float(scale)) - (
+        F.col("s").cast("double") / F.lit(float(scale))
+    ) / F.col("t").cast("double")
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        per_doc.select(
+            F.col("doc").alias("doc_id"),
+            F.col("t").alias("n_bigrams"),
+            ent.alias("entropy_nats"),
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        "entropy_nats",
+    )
+
+
+def char_entropy_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    scale: int = 100_000,
+) -> str:
+    return f"""
+WITH grams AS (
+  SELECT {id_col} AS doc, substring({text_col}, CAST(i AS INT), 2) AS g
+  FROM {table}, UNNEST(range(1, length({text_col}))) AS u(i)
+  WHERE length({text_col}) >= 2
+),
+counts AS (
+  SELECT doc, g, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc,
+         CAST(SUM(c) AS BIGINT) AS t,
+         CAST(SUM(c * CAST(ROUND(LN(CAST(c AS DOUBLE)) * {scale}) AS BIGINT))
+              AS BIGINT) AS s
+  FROM counts GROUP BY 1
+)
+SELECT d.{id_col} AS doc_id,
+       CAST(COALESCE(p.t, 0) AS BIGINT) AS n_bigrams,
+       CAST(CAST(ROUND(LN(CAST(p.t AS DOUBLE)) * {scale}) AS BIGINT) AS DOUBLE)
+           / {float(scale)}
+         - (CAST(p.s AS DOUBLE) / {float(scale)}) / CAST(p.t AS DOUBLE)
+         AS entropy_nats
+FROM {table} d LEFT JOIN per_doc p ON d.{id_col} = p.doc
+"""

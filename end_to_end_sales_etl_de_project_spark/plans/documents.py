@@ -2634,6 +2634,17 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(multimodal.documents_as_assets(docs))
 
 
+@_register("t34_char_entropy", text.char_entropy_sql())
+def t34_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-bigram Shannon entropy (compression-ratio
+    quality signal): templated/looping junk sits far below natural
+    text. Folded on the t30/a08 quantized-integer grid — order-free
+    exact sums, two float ops per doc. Bigram explode collapses to
+    (doc, gram) counts inside the scan stage (plan pinned)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.char_entropy(docs)
+
+
 @_register("c12_corpus_datasheet", curation.corpus_datasheet_sql())
 def c12_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus datasheet (Gebru et al. 2021 shape): docs,

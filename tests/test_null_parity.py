@@ -62,6 +62,7 @@ WINDOW_DOC_QUERIES = [
     "c11_diversity_sample",
     "d18_incremental_neardup",
     "c12_corpus_datasheet",
+    "t34_char_entropy",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"

@@ -1046,3 +1046,20 @@ def test_c12_three_scans_and_no_corpus_sort(spark):
             agg_at = below.find("HashAggregate")
             scan_at = below.find("Scan parquet")
             assert 0 <= agg_at < scan_at, tree
+
+
+def test_t34_bigram_explode_collapses_in_scan_stage(spark):
+    """t34 (char entropy): the per-character Generate must feed a
+    partial HashAggregate BEFORE any exchange — the shuffle carries
+    (doc, gram, count) rows bounded by the per-doc alphabet, never one
+    row per character — and the whole chain costs at most two shuffles
+    plus the broadcast join-back."""
+    import re
+
+    plan = plan_of(spark, "t34_char_entropy")
+    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    gen = tree.index("Generate")
+    first_agg_above = tree.rindex("HashAggregate", 0, gen)
+    assert "Exchange" not in tree[first_agg_above:gen], tree
+    assert _shuffle_exchanges(plan) <= 2, plan
+    assert plan.count("HashAggregate") >= 4, plan
