@@ -221,6 +221,7 @@ HEADLINE = [
     "d18_incremental_neardup",
     "c12_corpus_datasheet",
     "t34_char_entropy",
+    "a17_matryoshka_audit",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

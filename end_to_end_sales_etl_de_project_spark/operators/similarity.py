@@ -1593,3 +1593,95 @@ SELECT {prev}.node AS vec_id,
        {prev}.p AS pagerank
 FROM {prev} LEFT JOIN deg d ON {prev}.node = d.src
 """
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit: recall of prefix-dim search vs full-dim
+# ---------------------------------------------------------------------------
+
+
+def matryoshka_audit(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dims: tuple[int, ...] = (8, 16, 32),
+    full_dim: int = DIM,
+    exact: DataFrame | None = None,
+) -> DataFrame:
+    """Recall@k of PREFIX-TRUNCATED embeddings against the full-dim
+    exact top-k — the operational question behind Matryoshka-style
+    representations (Kusupati et al. 2022): how many leading dimensions
+    does retrieval actually need? Scanning 8 of 64 dims cuts the
+    dominant ANN cost (bytes read × multiplies) 8× — IF recall holds;
+    this table says whether it does, per truncation width. Output: one
+    row per width — (trunc_dim, n_pairs, n_hit, recall).
+
+    Both sides are exact brute force at their width (fixed-order float
+    folds, total tie-break), so the audit is hash-exact — same
+    contract as a06; IVF/PQ-style trained quantizers stay rows-only.
+    The full-dim ground truth is computed once (pass ``exact`` — the
+    session baseline artifact — to skip even that); each truncated
+    pass broadcasts the query set and slices the corpus vectors inside
+    the scan, so the corpus is never shuffled and never read wider
+    than the width under audit.
+    """
+    from functools import reduce as _reduce
+
+    if exact is None:
+        exact = brute_force_topk(emb, queries, k=k, dim=full_dim)
+    exact_pairs = exact.select("query_id", "neighbor_id")
+    reports = []
+    for d in dims:
+        trunc = brute_force_topk(emb, queries, k=k, dim=d).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        reports.append(
+            exact_pairs.join(trunc, ["query_id", "neighbor_id"], "left").agg(
+                F.lit(d).cast("bigint").alias("trunc_dim"),
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.count("hit").cast("bigint").alias("n_hit"),
+                (F.count("hit").cast("double") / F.count(F.lit(1))).alias(
+                    "recall"
+                ),
+            )
+        )
+    return _reduce(lambda a, b: a.unionByName(b), reports)
+
+
+def matryoshka_audit_sql(
+    query_pred: str,
+    k: int = 5,
+    dims: tuple[int, ...] = (8, 16, 32),
+    full_dim: int = DIM,
+    table: str = "embeddings",
+) -> str:
+    def topk_cte(name: str, d: int) -> str:
+        dot = _dot_sql("q.embedding", "n.embedding", d, one_based=True)
+        qn = _norm_sql("q.embedding", d, one_based=True)
+        nn = _norm_sql("n.embedding", d, one_based=True)
+        return f"""
+{name} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ({dot}) / (({qn}) * ({nn})) DESC, n.vec_id
+           ) AS rank
+    FROM {table} q, {table} n
+    WHERE ({query_pred}) AND q.vec_id <> n.vec_id
+  ) WHERE rank <= {k}
+)"""
+
+    ctes = [topk_cte("exact_full", full_dim)]
+    legs = []
+    for d in dims:
+        ctes.append(topk_cte(f"trunc_{d}", d))
+        legs.append(f"""
+SELECT CAST({d} AS BIGINT) AS trunc_dim,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(t.hit) AS BIGINT) AS n_hit,
+       CAST(COUNT(t.hit) AS DOUBLE) / COUNT(*) AS recall
+FROM exact_full e
+LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit FROM trunc_{d}) t
+  USING (query_id, neighbor_id)""")
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)

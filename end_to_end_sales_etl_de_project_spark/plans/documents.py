@@ -2634,6 +2634,19 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(multimodal.documents_as_assets(docs))
 
 
+@_register("a17_matryoshka_audit", similarity.matryoshka_audit_sql(_QUERY_PRED))
+def a17_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: recall@5 of prefix-truncated
+    embeddings (8/16/32 of 64 dims) vs the full-dim exact top-k — the
+    table that says how many leading dims retrieval needs (an 8-dim
+    scan is 8x cheaper IF recall holds). Exact on both sides; reads
+    the session ground-truth baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact, _ = _ann_baselines(spark, sf_dir)
+    return similarity.matryoshka_audit(emb, q, exact=exact)
+
+
 @_register("t34_char_entropy", text.char_entropy_sql())
 def t34_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc character-bigram Shannon entropy (compression-ratio
