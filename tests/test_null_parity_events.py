@@ -32,17 +32,14 @@ from end_to_end_sales_etl_de_project_spark.testing import (
 
 # in-window queries whose plans (and oracles) read the events table
 WINDOW_EVENT_QUERIES = [
+    # (e04/e05/e06/e09/e10/e11 left the sweep with their window
+    # slots — yielded to the late-r8 operator batch; they rejoin
+    # as the r9 refresh queue rotates them back in)
     "e01_tumbling_hourly",
     "e02_sliding_hourly_30m",
     "e03_session_window",
-    "e04_user_activity_rollup",
-    "e05_asof_join",
-    "e06_range_join",
     "e07_sessionize_lag",
     "e08_interarrival_stats",
-    "e09_json_extract",
-    "e10_value_deciles",
-    "e11_ohlc_hourly",
     "e12_cohort_retention",
     "e13_change_intervals",
     "e14_interarrival_native",

@@ -38,8 +38,6 @@ SALES_TABLES = ["lineitem", "orders", "customer", "supplier", "part", "nation", 
 WINDOW_SALES_QUERIES = [
     "q19_orderby_limit",
     "q31_salted_agg",
-    "q51_filtered_aggregates",
-    "q54_unpivot",
     "q55_string_agg",
     "q58_sorted_layout_readback",
     "q59_data_profile",
@@ -50,6 +48,8 @@ WINDOW_SALES_QUERIES = [
     "q101_bucketed_join",
     "q102_constraint_audit",
     "q103_partition_completeness",
+    # late-r8: q104 joined the window (q51/q54 left with their slots)
+    "q104_promo_revenue",
 ]
 
 # per-table NULL masks: (column, modulus) — key % modulus == 0 nulls
