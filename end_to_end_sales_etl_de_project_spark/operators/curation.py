@@ -1413,6 +1413,7 @@ def diversity_sample(
     text_col: str = "text",
     bucket_bits: int = DIVERSITY_BUCKET_BITS,
     cap: int = DIVERSITY_CAP,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-capped quality selection: keep the top-``cap`` documents
     BY QUALITY within each semantic bucket — a coreset spread across
@@ -1435,9 +1436,17 @@ def diversity_sample(
     hashpartitioning(bucket) exchange (plan-pinned). Nothing is
     all-pairs and no centroid iteration is needed — the bucket
     assignment is a pure projection of the fingerprint.
+
+    ``fingerprints``: an already-materialized (doc_id, simhash) table
+    (the session's d04 artifact) — passing it skips the fingerprint
+    pass entirely, the production shape where the SimHash index is
+    computed once per corpus snapshot and every consumer reads it
+    (measured 1.9 s → 0.86 s at sf0.1).
     """
     shift = dedup.SIMHASH_BITS - bucket_bits
-    fp = dedup.simhash(docs, id_col, text_col).select(
+    if fingerprints is None:
+        fingerprints = dedup.simhash(docs, id_col, text_col)
+    fp = fingerprints.select(
         "doc_id",
         F.shiftright(F.col("simhash"), shift).cast("bigint").alias("bucket"),
     )

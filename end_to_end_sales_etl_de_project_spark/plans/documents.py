@@ -612,6 +612,27 @@ def _ann_baselines(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     return _ANN_BASELINES[key]
 
 
+# Corpus SimHash fingerprint artifact (d04's output): consumers (c11
+# diversity sampling; any bucket-based audit) read the materialized
+# (doc_id, simhash) table instead of re-running the 32-bit vote pass
+# per query (measured: c11 1.9 s → 0.86 s at sf0.1). d04 itself still
+# computes fingerprints live — it IS the fingerprint-build stage.
+_SIMHASH_FP: dict[tuple, DataFrame] = {}
+
+
+def _simhash_fp_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for key in [key for key in _SIMHASH_FP if key[0] != app]:
+        del _SIMHASH_FP[key]
+    key = (app, sf_dir)
+    if key not in _SIMHASH_FP:
+        docs = load_table(spark, sf_dir, "documents")
+        _SIMHASH_FP[key] = dedup.simhash(docs, "doc_id", "text").localCheckpoint(
+            eager=True
+        )
+    return _SIMHASH_FP[key]
+
+
 # Corpus kNN graph artifact (a09's output, k=3 multiprobe LSH): graph
 # consumers (a14 label-agreement audit; any clustering/connectivity
 # audit) read the materialized graph instead of re-banding the corpus
@@ -2689,9 +2710,11 @@ def c11_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SimHash semantic bucket — a sample spread across semantic space
     instead of dominated by the head cluster. Rank and bucket-size
     windows share one hashpartitioning(bucket) exchange (plan
-    pinned)."""
+    pinned); reads the session fingerprint artifact (d04's output)."""
     docs = load_table(spark, sf_dir, "documents")
-    return curation.diversity_sample(docs)
+    return curation.diversity_sample(
+        docs, fingerprints=_simhash_fp_artifact(spark, sf_dir)
+    )
 
 
 @_register("t33_bpe_pairs", text.bpe_pair_stats_sql())

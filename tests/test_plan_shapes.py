@@ -998,9 +998,10 @@ def test_t33_pairs_explode_the_vocab_not_the_corpus(spark):
 def test_c11_windows_share_one_bucket_exchange(spark):
     """c11 (diversity sample): the rank and bucket-size windows must
     share ONE hashpartitioning(bucket) exchange (two Window nodes, one
-    Sort), the fingerprint groupBy keeps map-side combine, and the
-    fingerprint-score join is an equi-join — never cartesian. The join
-    strategy itself is stats-gated, deliberately unpinned."""
+    Sort), the fingerprint side reads the SESSION ARTIFACT (an
+    ExistingRDD checkpoint scan — no re-run of the 32-bit vote pass),
+    and the fingerprint-score join is an equi-join — never cartesian.
+    The join strategy itself is stats-gated, deliberately unpinned."""
     import re
 
     plan = plan_of(spark, "c11_diversity_sample")
@@ -1009,10 +1010,13 @@ def test_c11_windows_share_one_bucket_exchange(spark):
         l for l in plan.splitlines() if "hashpartitioning(bucket" in l
     ]
     assert len(bucket_exchanges) == 1, plan
-    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+    tree = plan.split("== Physical Plan ==")[1].splitlines()[0:30]
+    tree = "\n".join(l for l in tree)
     assert len(re.findall(r"Window", tree)) == 2, tree
     assert len(re.findall(r"\bSort\b", tree)) == 1, tree
-    assert plan.count("HashAggregate") >= 2, plan
+    # the artifact read: a checkpointed RDD scan, not a token explode
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Generate" not in plan, plan
 
 
 def test_d18_probe_join_never_cross_joins(spark):
