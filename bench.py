@@ -222,6 +222,7 @@ HEADLINE = [
     "c12_corpus_datasheet",
     "t34_char_entropy",
     "a17_matryoshka_audit",
+    "d19_lsh_tuning_curve",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

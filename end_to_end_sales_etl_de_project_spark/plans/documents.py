@@ -2655,6 +2655,20 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(multimodal.documents_as_assets(docs))
 
 
+@_register("d19_lsh_tuning_curve", dedup.lsh_tuning_curve_sql())
+def d19_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding tuning table (the a15 recall/cost curve for the
+    text side): candidate volume, verified pairs, and precision per
+    (n_bands, rows_per_band) tiling of the 16-hash signature — how the
+    d03 dial gets set from measurements before a 100 TB dedup run.
+    One signature pass shared across configs; reads the session
+    shingle index."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_tuning_curve(
+        docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
+    )
+
+
 @_register("a17_matryoshka_audit", similarity.matryoshka_audit_sql(_QUERY_PRED))
 def a17_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation audit: recall@5 of prefix-truncated

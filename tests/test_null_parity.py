@@ -63,6 +63,7 @@ WINDOW_DOC_QUERIES = [
     "d18_incremental_neardup",
     "c12_corpus_datasheet",
     "t34_char_entropy",
+    "d19_lsh_tuning_curve",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"
