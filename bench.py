@@ -223,6 +223,7 @@ HEADLINE = [
     "t34_char_entropy",
     "a17_matryoshka_audit",
     "d19_lsh_tuning_curve",
+    "t35_language_confidence",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -1088,3 +1088,85 @@ SELECT d.{id_col} AS doc_id,
          AS entropy_nats
 FROM {table} d LEFT JOIN per_doc p ON d.{id_col} = p.doc
 """
+
+
+def language_confidence(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """t02's language election plus its CONFIDENCE: the stopword-hit
+    score of the elected language, the best score among the OTHER
+    languages, and their margin — the gating signal CCNet-style
+    pipelines threshold on (a doc elected 'en' by 1 hit over 'es' is
+    mixed/ambiguous content; filters keep confident docs and route the
+    ambiguous to review). margin = 0 flags exact ties (which t02's
+    declaration-order tie-break resolves silently).
+
+    All scores are integer hit counts; the second-best is a CASE on
+    the elected language over GREATEST of the remaining four — no
+    NULL-skipping greatest() semantics to diverge on. NULL text →
+    all-NULL row on both engines (the t02 fall-through). Pure per-row
+    projection: no shuffle, pipelines inside the scan.
+    """
+    langs = list(LANG_STOPWORDS)
+    pred = predicted_lang(text_col)
+    scores = {lg: stopword_hits(text_col, lg).cast("bigint") for lg in langs}
+
+    def second_for(elected: str) -> Column:
+        return F.greatest(*[scores[lg] for lg in langs if lg != elected])
+
+    top = None
+    second = None
+    for lg in langs:
+        top = (
+            F.when(pred == lg, scores[lg])
+            if top is None
+            else top.when(pred == lg, scores[lg])
+        )
+        second = (
+            F.when(pred == lg, second_for(lg))
+            if second is None
+            else second.when(pred == lg, second_for(lg))
+        )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("predicted_lang"),
+        top.alias("top_score"),
+        second.alias("second_score"),
+        (top - second).alias("margin"),
+    )
+
+
+def language_confidence_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    langs = list(LANG_STOPWORDS)
+    pred = predicted_lang_sql(text_col)
+    score = {lg: stopword_hits_sql(text_col, lg) for lg in langs}
+
+    def second_for(elected: str) -> str:
+        return "GREATEST(" + ", ".join(
+            score[lg] for lg in langs if lg != elected
+        ) + ")"
+
+    top = (
+        "CASE "
+        + " ".join(f"WHEN ({pred}) = '{lg}' THEN {score[lg]}" for lg in langs)
+        + " END"
+    )
+    second = (
+        "CASE "
+        + " ".join(f"WHEN ({pred}) = '{lg}' THEN {second_for(lg)}" for lg in langs)
+        + " END"
+    )
+    return f"""
+SELECT {id_col} AS doc_id,
+       {pred} AS predicted_lang,
+       CAST({top} AS BIGINT) AS top_score,
+       CAST({second} AS BIGINT) AS second_score,
+       CAST(({top}) - ({second}) AS BIGINT) AS margin
+FROM {table}
+"""

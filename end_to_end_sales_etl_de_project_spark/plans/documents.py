@@ -2655,6 +2655,17 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(multimodal.documents_as_assets(docs))
 
 
+@_register("t35_language_confidence", text.language_confidence_sql())
+def t35_language_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t02's election plus its confidence: elected-language score,
+    best rival score, and the margin — the CCNet-style gating signal
+    (margin 0 = exact tie the declaration-order tie-break resolved
+    silently). Integer hit counts only; pure per-row projection, no
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.language_confidence(docs)
+
+
 @_register("d19_lsh_tuning_curve", dedup.lsh_tuning_curve_sql())
 def d19_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding tuning table (the a15 recall/cost curve for the

@@ -93,10 +93,9 @@ DRIVER_WINDOW: list[str] = [
     "q58_sorted_layout_readback",
     "q62_incremental_agg",
     # -- r02/r03-era evidence refresh (the whole standing queue;
-    # d04/e04/e05/e06/e09/e10/e11/e12 yielded their slots to t33/
-    # c11/t03-reentry/d18/c12/t34/a17/d19 — each
+    # d04/e04/e05/e06/e09/e10/e11/e12/e13 yielded their slots to
+    # t33/c11/t03-reentry/d18/c12/t34/a17/d19/t35 — each
     # holds green r02/r03 evidence and joins the r9 refresh-queue head)
-    "e13_change_intervals",
     "e14_interarrival_native",
     "e15_funnel",
     "m01_multimodal_assets",
@@ -164,6 +163,8 @@ DRIVER_WINDOW: list[str] = [
     "a17_matryoshka_audit",
     # d19 (LSH tuning curve) displaced the e12 refresh row
     "d19_lsh_tuning_curve",
+    # t35 (language confidence margin) displaced the e13 refresh row
+    "t35_language_confidence",
     # -- oldest r04-era refresh fills the remaining slots (displaced
     # first if late-round additions need slots); a05 keeps its slot
     # (spread() applied to its PQ encode this round — stale evidence),

@@ -64,6 +64,7 @@ WINDOW_DOC_QUERIES = [
     "c12_corpus_datasheet",
     "t34_char_entropy",
     "d19_lsh_tuning_curve",
+    "t35_language_confidence",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"
