@@ -1108,29 +1108,53 @@ def language_confidence(
     NULL-skipping greatest() semantics to diverge on. NULL text →
     all-NULL row on both engines (the t02 fall-through). Pure per-row
     projection: no shuffle, pipelines inside the scan.
+
+    The five scores are materialized in their OWN projection step and
+    the election/margin CASEs reference the score COLUMNS: inlining
+    ``stopword_hits`` (lower+split+filter per reference) into the
+    ~20 comparison sites made Catalyst re-evaluate the tokenize chain
+    per site — measured 1.9 s vs 0.7 s at sf0.1 (the
+    ``shingles_from_tokens`` CollapseProject discipline; output
+    verified identical both ways).
     """
     langs = list(LANG_STOPWORDS)
-    pred = predicted_lang(text_col)
-    scores = {lg: stopword_hits(text_col, lg).cast("bigint") for lg in langs}
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).isNotNull().alias("has_text"),
+        *[
+            stopword_hits(text_col, lg).cast("bigint").alias(f"s_{lg}")
+            for lg in langs
+        ],
+    )
+    s = {lg: F.col(f"s_{lg}") for lg in langs}
+    # same election as predicted_lang, on the materialized columns
+    pred = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, len(langs)):
+            cj = s[langs[i]] >= s[langs[j]]
+            cond = cj if cond is None else (cond & cj)
+        pred = F.when(cond, langs[i]).otherwise(pred)
+    pred = F.when(F.col("has_text"), pred)
 
     def second_for(elected: str) -> Column:
-        return F.greatest(*[scores[lg] for lg in langs if lg != elected])
+        return F.greatest(*[s[lg] for lg in langs if lg != elected])
 
     top = None
     second = None
     for lg in langs:
         top = (
-            F.when(pred == lg, scores[lg])
+            F.when(pred == lg, s[lg])
             if top is None
-            else top.when(pred == lg, scores[lg])
+            else top.when(pred == lg, s[lg])
         )
         second = (
             F.when(pred == lg, second_for(lg))
             if second is None
             else second.when(pred == lg, second_for(lg))
         )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return scored.select(
+        "doc_id",
         pred.alias("predicted_lang"),
         top.alias("top_score"),
         second.alias("second_score"),
