@@ -224,6 +224,7 @@ HEADLINE = [
     "a17_matryoshka_audit",
     "d19_lsh_tuning_curve",
     "t35_language_confidence",
+    "c13_corpus_delta",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -1674,3 +1674,141 @@ FROM per_source p
 JOIN med m ON p.source = m.source
 LEFT JOIN top_lang t ON p.source = t.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot delta: the release-notes diff between two versions
+# ---------------------------------------------------------------------------
+
+
+def corpus_delta(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    old_pct: int = 80,
+    salt: str = "snapshot-v1",
+) -> DataFrame:
+    """Per-source delta between two corpus snapshots — the quantitative
+    release notes a corpus version bump ships with: documents and token
+    mass in OLD and NEW, the growth, and how much of NEW's text is
+    genuinely novel content (by exact content hash) vs carried over or
+    re-crawled from OLD. At 100 TB the question "what actually changed
+    since v1" is answered from this table, not by diffing files.
+
+    Snapshot membership is the d10/d18 deterministic hash split (stands
+    in for two real frames; a production pipeline passes both). Novel
+    docs = NEW docs whose content hash never occurs in OLD — the same
+    hash-aggregate-then-join shape as d10: both sides collapse to
+    distinct-hash tables per source before the anti join, so shuffles
+    carry 8-byte hashes, never documents.
+
+    All counts exact integers; the one IEEE division (novel fraction)
+    is identical cross-engine; NULL text hashes to NULL and is counted
+    in docs/tokens but never in the novel-content join (no content to
+    compare) — both engines agree via COUNT(th) semantics.
+    """
+    toks = F.coalesce(token_count(F.col(text_col)).cast("bigint"), F.lit(0))
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        toks.alias("toks"),
+        h60(text_col).alias("th"),
+        (
+            F.pmod(
+                h60(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                F.lit(100),
+            )
+            < old_pct
+        ).alias("is_old"),
+    )
+    per_side = base.groupBy("source").agg(
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).cast("bigint").alias("old_docs"),
+        F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).cast("bigint").alias("new_docs"),
+        F.sum(F.when(F.col("is_old"), F.col("toks")).otherwise(0))
+        .cast("bigint")
+        .alias("old_tokens"),
+        F.sum(F.when(~F.col("is_old"), F.col("toks")).otherwise(0))
+        .cast("bigint")
+        .alias("new_tokens"),
+    )
+    old_hashes = (
+        base.filter(F.col("is_old") & F.col("th").isNotNull())
+        .select("th")
+        .distinct()
+    )
+    novel = (
+        base.filter(~F.col("is_old") & F.col("th").isNotNull())
+        .join(old_hashes, "th", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("novel_docs"))
+    )
+    return (
+        per_side.join(novel, "source", "left")
+        .select(
+            "source",
+            "old_docs",
+            "new_docs",
+            (F.col("new_docs") - F.col("old_docs")).alias("doc_delta"),
+            "old_tokens",
+            "new_tokens",
+            (F.col("new_tokens") - F.col("old_tokens")).alias("token_delta"),
+            F.coalesce(F.col("novel_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("novel_docs"),
+            F.when(
+                F.col("new_docs") > 0,
+                F.coalesce(F.col("novel_docs"), F.lit(0)).cast("double")
+                / F.col("new_docs").cast("double"),
+            ).alias("novel_fraction"),
+        )
+    )
+
+
+def corpus_delta_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    old_pct: int = 80,
+    salt: str = "snapshot-v1",
+    table: str = "documents",
+) -> str:
+    toks = f"COALESCE({token_count_sql(text_col)}, 0)"
+    salted = f"'{salt}' || CAST({id_col} AS VARCHAR)"
+    th = h60_sql(text_col)
+    return f"""
+WITH base AS (
+  SELECT {source_col} AS source,
+         {toks} AS toks,
+         {th} AS th,
+         ({h60_sql(salted)}) % 100 < {old_pct} AS is_old
+  FROM {table}
+),
+per_side AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS old_docs,
+         CAST(SUM(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS new_docs,
+         CAST(SUM(CASE WHEN is_old THEN toks ELSE 0 END) AS BIGINT) AS old_tokens,
+         CAST(SUM(CASE WHEN is_old THEN 0 ELSE toks END) AS BIGINT) AS new_tokens
+  FROM base GROUP BY 1
+),
+old_hashes AS (
+  SELECT DISTINCT th FROM base WHERE is_old AND th IS NOT NULL
+),
+novel AS (
+  SELECT b.source, CAST(COUNT(*) AS BIGINT) AS novel_docs
+  FROM base b
+  WHERE NOT b.is_old AND b.th IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM old_hashes o WHERE o.th = b.th)
+  GROUP BY 1
+)
+SELECT p.source, p.old_docs, p.new_docs,
+       p.new_docs - p.old_docs AS doc_delta,
+       p.old_tokens, p.new_tokens,
+       p.new_tokens - p.old_tokens AS token_delta,
+       CAST(COALESCE(n.novel_docs, 0) AS BIGINT) AS novel_docs,
+       CASE WHEN p.new_docs > 0
+            THEN CAST(COALESCE(n.novel_docs, 0) AS DOUBLE)
+                 / CAST(p.new_docs AS DOUBLE)
+       END AS novel_fraction
+FROM per_side p LEFT JOIN novel n ON p.source = n.source
+"""

@@ -2655,6 +2655,17 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(multimodal.documents_as_assets(docs))
 
 
+@_register("c13_corpus_delta", curation.corpus_delta_sql())
+def c13_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus version delta (release notes between two
+    snapshots): docs/tokens in old and new, growth, and the fraction
+    of new docs whose content hash is genuinely novel vs carried over
+    — the d10 hash-aggregate-then-anti-join shape, shuffling 8-byte
+    hashes only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.corpus_delta(docs)
+
+
 @_register("t35_language_confidence", text.language_confidence_sql())
 def t35_language_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t02's election plus its confidence: elected-language score,

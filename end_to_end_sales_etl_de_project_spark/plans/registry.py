@@ -93,11 +93,9 @@ DRIVER_WINDOW: list[str] = [
     "q58_sorted_layout_readback",
     "q62_incremental_agg",
     # -- r02/r03-era evidence refresh (the whole standing queue;
-    # d04/e04/e05/e06/e09/e10/e11/e12/e13 yielded their slots to
-    # t33/c11/t03-reentry/d18/c12/t34/a17/d19/t35 — each
+    # d04/e04/e05/e06/e09-e13/e15 yielded their slots to t33/c11/
+    # t03-reentry/d18/c12/t34/a17/d19/t35/c13 — each
     # holds green r02/r03 evidence and joins the r9 refresh-queue head)
-    "e14_interarrival_native",
-    "e15_funnel",
     "m01_multimodal_assets",
     "q19_orderby_limit",
     "q31_salted_agg",
@@ -165,6 +163,10 @@ DRIVER_WINDOW: list[str] = [
     "d19_lsh_tuning_curve",
     # t35 (language confidence margin) displaced the e13 refresh row
     "t35_language_confidence",
+    # c13 (corpus snapshot delta) displaced the e15 refresh row
+    # (e14 keeps a slot: grouped.py staleness)
+    "c13_corpus_delta",
+    "e14_interarrival_native",
     # -- oldest r04-era refresh fills the remaining slots (displaced
     # first if late-round additions need slots); a05 keeps its slot
     # (spread() applied to its PQ encode this round — stale evidence),

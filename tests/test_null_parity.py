@@ -65,6 +65,7 @@ WINDOW_DOC_QUERIES = [
     "t34_char_entropy",
     "d19_lsh_tuning_curve",
     "t35_language_confidence",
+    "c13_corpus_delta",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"

@@ -32,7 +32,8 @@ from end_to_end_sales_etl_de_project_spark.testing import (
 
 # in-window queries whose plans (and oracles) read the events table
 WINDOW_EVENT_QUERIES = [
-    # (e04/e05/e06/e09-e13 left the sweep with their window
+    "e14_interarrival_native",
+    # (e04/e05/e06/e09-e13, e15 left the sweep with their window
     # slots — yielded to the late-r8 operator batch; they rejoin
     # as the r9 refresh queue rotates them back in)
     "e01_tumbling_hourly",
@@ -40,8 +41,6 @@ WINDOW_EVENT_QUERIES = [
     "e03_session_window",
     "e07_sessionize_lag",
     "e08_interarrival_stats",
-    "e14_interarrival_native",
-    "e15_funnel",
     "q62_incremental_agg",
 ]
 
