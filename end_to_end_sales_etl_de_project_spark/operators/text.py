@@ -1109,13 +1109,16 @@ def language_confidence(
     all-NULL row on both engines (the t02 fall-through). Pure per-row
     projection: no shuffle, pipelines inside the scan.
 
-    The five scores are materialized in their OWN projection step and
-    the election/margin CASEs reference the score COLUMNS: inlining
-    ``stopword_hits`` (lower+split+filter per reference) into the
-    ~20 comparison sites made Catalyst re-evaluate the tokenize chain
-    per site — measured 1.9 s vs 0.7 s at sf0.1 (the
-    ``shingles_from_tokens`` CollapseProject discipline; output
-    verified identical both ways).
+    The expression is built in STAGED projections (scores → election →
+    top/second → margin), each stage referencing the previous stage's
+    COLUMNS: inlining ``stopword_hits`` (lower+split+filter per
+    reference) into the ~20 comparison sites made Catalyst re-evaluate
+    the tokenize chain per site (measured 1.9 s vs 0.7 s at sf0.1),
+    and re-embedding the election CASE into every top/second/margin
+    site blew the generated-code size up ~10× — compile cost that
+    dominates under a loaded JVM. Multi-reference non-trivial
+    expressions survive CollapseProject (the ``shingles_from_tokens``
+    discipline); output verified identical at every step.
     """
     langs = list(LANG_STOPWORDS)
     scored = docs.select(
@@ -1136,29 +1139,39 @@ def language_confidence(
             cond = cj if cond is None else (cond & cj)
         pred = F.when(cond, langs[i]).otherwise(pred)
     pred = F.when(F.col("has_text"), pred)
+    elected = scored.select(
+        "doc_id",
+        *[f"s_{lg}" for lg in langs],
+        pred.alias("predicted_lang"),
+    )
 
-    def second_for(elected: str) -> Column:
-        return F.greatest(*[s[lg] for lg in langs if lg != elected])
+    def second_for(lg_elected: str) -> Column:
+        return F.greatest(*[s[lg] for lg in langs if lg != lg_elected])
 
+    p = F.col("predicted_lang")
     top = None
     second = None
     for lg in langs:
         top = (
-            F.when(pred == lg, s[lg])
-            if top is None
-            else top.when(pred == lg, s[lg])
+            F.when(p == lg, s[lg]) if top is None else top.when(p == lg, s[lg])
         )
         second = (
-            F.when(pred == lg, second_for(lg))
+            F.when(p == lg, second_for(lg))
             if second is None
-            else second.when(pred == lg, second_for(lg))
+            else second.when(p == lg, second_for(lg))
         )
-    return scored.select(
+    ranked = elected.select(
         "doc_id",
-        pred.alias("predicted_lang"),
+        "predicted_lang",
         top.alias("top_score"),
         second.alias("second_score"),
-        (top - second).alias("margin"),
+    )
+    return ranked.select(
+        "doc_id",
+        "predicted_lang",
+        "top_score",
+        "second_score",
+        (F.col("top_score") - F.col("second_score")).alias("margin"),
     )
 
 
