@@ -1353,6 +1353,17 @@ def domain_mixture(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(toks).cast("bigint").alias("n_tokens"),
     )
+    return mixture_weights_from_totals(per_source, cap=cap)
+
+
+def mixture_weights_from_totals(
+    per_source: DataFrame, cap: float = MIXTURE_WEIGHT_CAP
+) -> DataFrame:
+    """The t32 weight math from an ALREADY-AGGREGATED (source, n_docs,
+    n_tokens) table — shared by the batch query and the streaming
+    mixture monitor's per-trigger fold, so the live weights can never
+    drift from the batch policy. Input is |sources| rows; the global
+    window costs nothing."""
     everything = Window.partitionBy()
     total_tokens = F.sum("n_tokens").over(everything).cast("bigint")
     n_sources = F.count(F.lit(1)).over(everything).cast("bigint")

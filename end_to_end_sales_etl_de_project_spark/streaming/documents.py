@@ -132,3 +132,54 @@ def dedup_documents_stream(docs: DataFrame) -> DataFrame:
     )
     null_text = hashed.filter(F.col("text").isNull())
     return deduped.unionByName(null_text)
+
+
+def source_token_totals(gated: DataFrame) -> DataFrame:
+    """Per-source running document/token totals over the gated ingest
+    stream — the keyed aggregation feeding the live mixture monitor.
+    Bounded state: one row per source (no event time needed; totals
+    are monotone). Token NULLs (NULL text) add zero on both the batch
+    and stream paths, so totals match t32's COALESCE semantics."""
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+    )
+
+
+def start_mixture_monitor(
+    spark: SparkSession,
+    src_dir: str,
+    mart_path: str,
+    checkpoint_dir: str,
+):
+    """Live DoReMi-lite mixture monitor: as documents land, maintain
+    t32's per-source sampling-weight table continuously — the answer
+    to "is today's crawl suddenly 80% one domain, and what weight
+    corrects it?" updated per micro-batch instead of per nightly run.
+
+    Shape: the complete-mode totals stream hands each trigger the FULL
+    |sources|-row totals table; ``foreachBatch`` applies the SHARED
+    batch math (``curation.mixture_weights_from_totals`` — the same
+    expression tree t32 ships, so live and batch weights are
+    bit-identical on identical totals) and overwrites the parquet mart
+    the loader/dashboard reads. State is |sources| rows; the
+    per-trigger fold work is |sources| rows; nothing here scales with
+    corpus size except the stateless gate projection upstream."""
+    from end_to_end_sales_etl_de_project_spark.operators.curation import (
+        mixture_weights_from_totals,
+    )
+
+    docs = read_documents_stream(spark, src_dir)
+    totals = source_token_totals(quality_gate(docs))
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        mixture_weights_from_totals(batch_df).write.mode("overwrite").parquet(
+            mart_path
+        )
+
+    return (
+        totals.writeStream.outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fold)
+        .start()
+    )

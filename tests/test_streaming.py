@@ -577,3 +577,30 @@ def test_violation_monitor_stream_equals_batch(spark, sf_dir, events_src):
     rows = result.collect()
     assert sum(r["value_spike_violations"] for r in rows) > 0
     assert all(r["null_value_violations"] == 0 for r in rows)
+
+
+def test_mixture_monitor_stream_equals_t32_batch(spark, docs_src, tmpdir):
+    """The live mixture mart after all files drain must be
+    BIT-IDENTICAL to t32's batch math over the same landing zone —
+    the shared mixture_weights_from_totals tree makes live weights a
+    policy, not an approximation. Exercises the full foreachBatch
+    pipeline (gate → totals → fold → parquet overwrite)."""
+    from end_to_end_sales_etl_de_project_spark.operators.curation import (
+        domain_mixture,
+    )
+    from end_to_end_sales_etl_de_project_spark.streaming.documents import (
+        start_mixture_monitor,
+    )
+
+    mart = f"{tmpdir}/mixture-mart"
+    q = start_mixture_monitor(
+        spark, docs_src, mart, f"{tmpdir}/mixture-ckpt"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    live = spark.read.parquet(mart)
+    batch = domain_mixture(spark.read.parquet(docs_src))
+    got, want = _canon(live), _canon(batch)
+    assert len(want) > 1 and got == want
