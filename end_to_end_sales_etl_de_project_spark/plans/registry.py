@@ -177,6 +177,18 @@ DRIVER_WINDOW: list[str] = [
     "e03_session_window",
     "e08_interarrival_stats",
 ]
+# ---- Standing r9 refresh queue (generated from the COVERAGE evidence
+# table: oldest-evidence rows NOT holding an r8 slot — the late-r8
+# operator batch displaced most of the r02/r03 refresh wave, so it
+# leads the next rotation). r02/r03-era first:
+#   e09, q50, q51, q54, a01, d04, d05, e04, e05, e06, e10, e11, e12,
+#   e13, e15, t06
+# then the r04-era tail:
+#   a02, a03, a07, a08, c04, d01, d10, e16-e21, m04, q02, q12, q14,
+#   q63-q68, q70, q71, t01, t16-t19
+# plus whatever scripts/driver_evidence.py flags stale from the r9
+# diffs. tests/test_registry_window.py enforces the union invariant
+# either way.
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a
 # rows-only check for these. This is a closed, documented allowlist
