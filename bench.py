@@ -225,6 +225,8 @@ HEADLINE = [
     "d19_lsh_tuning_curve",
     "t35_language_confidence",
     "c13_corpus_delta",
+    "a18_norm_audit",
+    "d20_cross_source_dups",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -1685,3 +1685,75 @@ FROM exact_full e
 LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit FROM trunc_{d}) t
   USING (query_id, neighbor_id)""")
     return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm audit: the vector-quality gate before any ANN build
+# ---------------------------------------------------------------------------
+
+
+def norm_audit(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+    scale: int = 100_000,
+) -> DataFrame:
+    """Per-label L2-norm distribution audit — the vector-quality gate
+    run before building any ANN index: zero vectors make cosine
+    undefined (NaN poisons every top-k they appear in), and a label
+    whose norm range is wildly off scale signals a broken encoder run
+    or an unnormalized shard mixed into a normalized corpus. Output per
+    label: vector count, zero-vector count, min/max/mean norm.
+
+    Exactness: each row's norm is the fixed-order fold both engines
+    compute bit-identically (the a01 discipline); norms then round to
+    the t30/a08 quantized-integer grid so min/max/sum are exact integer
+    aggregation (order-free, map-side combinable) and the mean is two
+    IEEE divisions on exact integers. One scan, |labels| state rows —
+    the plan survives any corpus size.
+    """
+    norm = _norm_col(vec_col, dim)
+    q = F.round(norm * scale).cast("bigint")
+    return (
+        emb.select(F.col(label_col).alias("label"), norm.alias("nrm"), q.alias("q"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("zero_vectors"),
+            (F.min("q").cast("double") / F.lit(float(scale))).alias("min_norm"),
+            (F.max("q").cast("double") / F.lit(float(scale))).alias("max_norm"),
+            (
+                (F.sum("q").cast("double") / F.lit(float(scale)))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_norm"),
+        )
+    )
+
+
+def norm_audit_sql(
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+    scale: int = 100_000,
+    table: str = "embeddings",
+) -> str:
+    nrm = _norm_sql(vec_col, dim, one_based=True)
+    return f"""
+WITH q AS (
+  SELECT {label_col} AS label,
+         {nrm} AS nrm,
+         CAST(ROUND(({nrm}) * {scale}) AS BIGINT) AS qn
+  FROM {table}
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_vectors,
+       CAST(MIN(qn) AS DOUBLE) / {float(scale)} AS min_norm,
+       CAST(MAX(qn) AS DOUBLE) / {float(scale)} AS max_norm,
+       (CAST(SUM(qn) AS DOUBLE) / {float(scale)}) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_norm
+FROM q GROUP BY 1
+"""

@@ -2655,6 +2655,27 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(multimodal.documents_as_assets(docs))
 
 
+@_register("a18_norm_audit", similarity.norm_audit_sql())
+def a18_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm audit (the vector-quality gate
+    before any ANN build): zero-vector counts plus min/max/mean norm
+    on the quantized-integer grid — order-free exact aggregation, one
+    scan, |labels| state rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.norm_audit(emb)
+
+
+@_register("d20_cross_source_dups", dedup.cross_source_dup_matrix_sql())
+def d20_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detector: per source pair, the count of distinct
+    documents both carry verbatim (exact content twin of t29's fuzzy
+    vocabulary overlap). Corpus collapses to distinct (hash, source)
+    rows before the self-join — fanout bounded by |sources|² per
+    distinct content, never doc-count quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cross_source_dup_matrix(docs)
+
+
 @_register("c13_corpus_delta", curation.corpus_delta_sql())
 def c13_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus version delta (release notes between two

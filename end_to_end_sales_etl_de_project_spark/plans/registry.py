@@ -93,11 +93,9 @@ DRIVER_WINDOW: list[str] = [
     "q58_sorted_layout_readback",
     "q62_incremental_agg",
     # -- r02/r03-era evidence refresh (the whole standing queue;
-    # d04/e04/e05/e06/e09-e13/e15 yielded their slots to t33/c11/
+    # d04/e04/e05/e06/e09-e13/e15/m01/q19 yielded their slots to t33/c11/
     # t03-reentry/d18/c12/t34/a17/d19/t35/c13 — each
     # holds green r02/r03 evidence and joins the r9 refresh-queue head)
-    "m01_multimodal_assets",
-    "q19_orderby_limit",
     "q31_salted_agg",
     "q53_posexplode_tokens",
     "q55_string_agg",
@@ -166,6 +164,10 @@ DRIVER_WINDOW: list[str] = [
     # c13 (corpus snapshot delta) displaced the e15 refresh row
     # (e14 keeps a slot: grouped.py staleness)
     "c13_corpus_delta",
+    # a18 (norm audit) and d20 (cross-source dup matrix) displaced
+    # the m01/q19 refresh rows
+    "a18_norm_audit",
+    "d20_cross_source_dups",
     "e14_interarrival_native",
     # -- oldest r04-era refresh fills the remaining slots (displaced
     # first if late-round additions need slots); a05 keeps its slot
@@ -182,7 +184,7 @@ DRIVER_WINDOW: list[str] = [
 # operator batch displaced most of the r02/r03 refresh wave, so it
 # leads the next rotation). r02/r03-era first:
 #   e09, q50, q51, q54, a01, d04, d05, e04, e05, e06, e10, e11, e12,
-#   e13, e15, t06
+#   e13, e15, t06, m01, q19
 # then the r04-era tail:
 #   a02, a03, a07, a08, c04, d01, d10, e16-e21, m04, q02, q12, q14,
 #   q63-q68, q70, q71, t01, t16-t19

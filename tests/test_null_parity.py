@@ -40,7 +40,6 @@ WINDOW_DOC_QUERIES = [
     "t02_language_id",
     "t27_dsir_importance",
     "d17_substring_dedup",
-    "m01_multimodal_assets",
     "q53_posexplode_tokens",
     "t04_doc_fingerprint",
     "t07_repetition",
@@ -66,6 +65,7 @@ WINDOW_DOC_QUERIES = [
     "d19_lsh_tuning_curve",
     "t35_language_confidence",
     "c13_corpus_delta",
+    "d20_cross_source_dups",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"
