@@ -227,6 +227,8 @@ HEADLINE = [
     "c13_corpus_delta",
     "a18_norm_audit",
     "d20_cross_source_dups",
+    "t36_length_drift",
+    "c14_packing_fragmentation",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

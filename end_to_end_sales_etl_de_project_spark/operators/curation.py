@@ -1823,3 +1823,114 @@ SELECT p.source, p.old_docs, p.new_docs,
        END AS novel_fraction
 FROM per_side p LEFT JOIN novel n ON p.source = n.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Length-distribution drift: exact KS statistic between two snapshots
+# ---------------------------------------------------------------------------
+
+
+def length_drift(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    old_pct: int = 80,
+    salt: str = "snapshot-v1",
+) -> DataFrame:
+    """Per-source Kolmogorov-Smirnov statistic between the OLD and NEW
+    snapshot's document-length (token-count) distributions — the drift
+    alarm between corpus versions: a source whose new crawl suddenly
+    skews short (truncation bug) or long (boilerplate concatenation)
+    moves D toward 1 even when c13's volume deltas look healthy.
+
+    EXACT, not a sampled KS: both empirical CDFs are step functions on
+    the shared (source, token_count) HISTOGRAM grid, and the supremum
+    over a step function is attained on grid points — so
+    D = max |cum_old/tot_old − cum_new/tot_new| over histogram rows is
+    the true statistic. Each CDF value is one IEEE division of exact
+    integers (bit-identical cross-engine); max over doubles is
+    order-free. The corpus collapses to the histogram before any
+    window — the same never-sort-the-corpus shape as c12's median.
+    Sources present in only one snapshot half report NULL (no
+    two-sample test exists), identically via the explicit guard.
+    Snapshot membership is the shared c13/d10 hash split.
+    """
+    toks = F.coalesce(token_count(F.col(text_col)).cast("bigint"), F.lit(0))
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        toks.alias("toks"),
+        (
+            F.pmod(
+                h60(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                F.lit(100),
+            )
+            < old_pct
+        ).alias("is_old"),
+    )
+    hist = base.groupBy("source", "toks").agg(
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).cast("bigint").alias("n_old"),
+        F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).cast("bigint").alias("n_new"),
+    )
+    by_src = Window.partitionBy("source")
+    cum_w = by_src.orderBy("toks")
+    cdfs = hist.select(
+        "source",
+        F.sum("n_old").over(cum_w).alias("cum_old"),
+        F.sum("n_new").over(cum_w).alias("cum_new"),
+        F.sum("n_old").over(by_src).alias("tot_old"),
+        F.sum("n_new").over(by_src).alias("tot_new"),
+    )
+    gap = F.abs(
+        F.col("cum_old").cast("double") / F.col("tot_old").cast("double")
+        - F.col("cum_new").cast("double") / F.col("tot_new").cast("double")
+    )
+    return cdfs.groupBy("source").agg(
+        F.max("tot_old").cast("bigint").alias("n_old"),
+        F.max("tot_new").cast("bigint").alias("n_new"),
+        F.max(
+            F.when((F.col("tot_old") > 0) & (F.col("tot_new") > 0), gap)
+        ).alias("ks_stat"),
+    )
+
+
+def length_drift_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    old_pct: int = 80,
+    salt: str = "snapshot-v1",
+    table: str = "documents",
+) -> str:
+    toks = f"COALESCE({token_count_sql(text_col)}, 0)"
+    salted = f"'{salt}' || CAST({id_col} AS VARCHAR)"
+    return f"""
+WITH base AS (
+  SELECT {source_col} AS source,
+         {toks} AS toks,
+         ({h60_sql(salted)}) % 100 < {old_pct} AS is_old
+  FROM {table}
+),
+hist AS (
+  SELECT source, toks,
+         CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         CAST(SUM(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+  FROM base GROUP BY 1, 2
+),
+cdfs AS (
+  SELECT source,
+         SUM(n_old) OVER (PARTITION BY source ORDER BY toks) AS cum_old,
+         SUM(n_new) OVER (PARTITION BY source ORDER BY toks) AS cum_new,
+         SUM(n_old) OVER (PARTITION BY source) AS tot_old,
+         SUM(n_new) OVER (PARTITION BY source) AS tot_new
+  FROM hist
+)
+SELECT source,
+       CAST(MAX(tot_old) AS BIGINT) AS n_old,
+       CAST(MAX(tot_new) AS BIGINT) AS n_new,
+       MAX(CASE WHEN tot_old > 0 AND tot_new > 0
+                THEN ABS(CAST(cum_old AS DOUBLE) / CAST(tot_old AS DOUBLE)
+                       - CAST(cum_new AS DOUBLE) / CAST(tot_new AS DOUBLE))
+           END) AS ks_stat
+FROM cdfs GROUP BY 1
+"""

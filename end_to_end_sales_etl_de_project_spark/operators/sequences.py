@@ -177,3 +177,70 @@ SELECT doc AS {id_col},
        CAST((cum_end - n_tokens) % {cap} AS BIGINT) AS seq_offset
 FROM c
 """
+
+
+def packing_fragmentation(
+    packed: DataFrame,
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source fragmentation audit of the c10 spanning layout: how
+    many documents a sequence boundary CUTS, total cut points, and the
+    fragmentation rate. Spanning packing pays zero padding but splits
+    docs across training sequences (tokens on opposite sides never
+    attend to each other); this table quantifies that cost per source
+    so the capacity / ordering choice is made from numbers.
+
+    Pure rollup over :func:`pack_sequences`' exact output joined to
+    the source attribution — integer counts and one division, oracle
+    bit-exact. ``docs_cut = n_seqs > 1``; ``cut_points = n_seqs − 1``
+    summed over token-bearing docs.
+    """
+    src = docs.select(F.col(id_col), F.col(source_col).alias("source"))
+    return (
+        packed.join(src, id_col)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_seqs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_cut"),
+            F.sum(
+                F.when(F.col("n_seqs") > 1, F.col("n_seqs") - 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("cut_points"),
+            (
+                F.sum(F.when(F.col("n_seqs") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("frag_rate"),
+        )
+    )
+
+
+def packing_fragmentation_sql(
+    capacity: int = 2048,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    packed = pack_sequences_sql(
+        capacity=capacity,
+        id_col=id_col,
+        text_col=text_col,
+        table=table,
+    )
+    return f"""
+WITH packed AS ({packed})
+SELECT d.{source_col} AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN p.n_seqs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_cut,
+       CAST(SUM(CASE WHEN p.n_seqs > 1 THEN p.n_seqs - 1 ELSE 0 END) AS BIGINT)
+         AS cut_points,
+       CAST(SUM(CASE WHEN p.n_seqs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS frag_rate
+FROM packed p JOIN {table} d ON p.{id_col} = d.{id_col}
+GROUP BY 1
+"""

@@ -2655,6 +2655,29 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(multimodal.documents_as_assets(docs))
 
 
+@_register("t36_length_drift", curation.length_drift_sql())
+def t36_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EXACT Kolmogorov-Smirnov statistic between the old
+    and new snapshot's document-length distributions — the drift alarm
+    c13's volume deltas can't see. CDFs are step functions on the
+    (source, token_count) histogram grid, so the supremum over grid
+    rows is the true D; never sorts the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.length_drift(docs)
+
+
+@_register(
+    "c14_packing_fragmentation", sequences.packing_fragmentation_sql()
+)
+def c14_packing_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fragmentation cost of the c10 spanning layout: docs
+    cut by a sequence boundary, total cut points, fragmentation rate —
+    the number that justifies (or not) a best-fit packing variant.
+    Pure rollup over c10's exact placement table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sequences.packing_fragmentation(sequences.pack_sequences(docs), docs)
+
+
 @_register("a18_norm_audit", similarity.norm_audit_sql())
 def a18_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding L2-norm audit (the vector-quality gate

@@ -40,7 +40,6 @@ WINDOW_DOC_QUERIES = [
     "t02_language_id",
     "t27_dsir_importance",
     "d17_substring_dedup",
-    "q53_posexplode_tokens",
     "t04_doc_fingerprint",
     "t07_repetition",
     "t08_stratified_sample",
@@ -66,6 +65,8 @@ WINDOW_DOC_QUERIES = [
     "t35_language_confidence",
     "c13_corpus_delta",
     "d20_cross_source_dups",
+    "t36_length_drift",
+    "c14_packing_fragmentation",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"

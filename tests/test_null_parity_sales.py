@@ -37,7 +37,6 @@ SALES_TABLES = ["lineitem", "orders", "customer", "supplier", "part", "nation", 
 # in-window queries whose plans (and oracles) read a sales table
 WINDOW_SALES_QUERIES = [
     # (q19/q51/q54 left the sweep with their window slots — r9 queue)
-    "q31_salted_agg",
     "q55_string_agg",
     "q58_sorted_layout_readback",
     "q59_data_profile",
