@@ -148,3 +148,44 @@ def test_a17_recall_against_direct_recount(spark):
     row = audit[32]
     assert row["n_pairs"] == len(exact)
     assert row["n_hit"] == len(exact & trunc)
+
+
+def test_a18_norm_bounds_and_totals(spark):
+    rows = QUERIES["a18_norm_audit"](spark, SF).collect()
+    emb_count = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r["n_vecs"] for r in rows) == emb_count
+    for r in rows:
+        assert 0 <= r["zero_vectors"] <= r["n_vecs"], r
+        assert r["min_norm"] <= r["mean_norm"] <= r["max_norm"], r
+        assert r["min_norm"] >= 0.0, r
+
+
+def test_d20_matrix_is_upper_triangular_and_positive(spark):
+    rows = QUERIES["d20_cross_source_dups"](spark, SF).collect()
+    for r in rows:
+        assert r["source_a"] < r["source_b"], r
+        assert r["n_shared_contents"] >= 1, r
+    # no pair may appear twice
+    pairs = [(r["source_a"], r["source_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_t36_ks_within_unit_interval(spark):
+    rows = QUERIES["t36_length_drift"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["ks_stat"] is None:
+            assert r["n_old"] == 0 or r["n_new"] == 0, r
+            continue
+        assert 0.0 <= r["ks_stat"] <= 1.0, r
+        assert r["n_old"] > 0 and r["n_new"] > 0, r
+
+
+def test_c14_fragmentation_accounting(spark):
+    rows = QUERIES["c14_packing_fragmentation"](spark, SF).collect()
+    docs_total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == docs_total
+    for r in rows:
+        assert 0 <= r["docs_cut"] <= r["n_docs"], r
+        assert r["cut_points"] >= r["docs_cut"], r
+        assert abs(r["frag_rate"] - r["docs_cut"] / r["n_docs"]) < 1e-15, r
