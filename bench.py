@@ -229,6 +229,8 @@ HEADLINE = [
     "d20_cross_source_dups",
     "t36_length_drift",
     "c14_packing_fragmentation",
+    "t37_gopher_rules",
+    "c15_rule_attribution",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -1207,3 +1207,203 @@ SELECT {id_col} AS doc_id,
        CAST(({top}) - ({second}) AS BIGINT) AS margin
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021 §A1.1): named per-doc booleans
+# ---------------------------------------------------------------------------
+
+# each rule is (name, spark_builder, sql_expr_builder); thresholds are
+# the published ones re-expressed as INTEGER cross-multiplications so
+# no rule ever computes a float (3 <= mean_word_len <= 10 becomes
+# 3*n_words <= alnum_chars <= 10*n_words, exact at any magnitude)
+GOPHER_STOP_PRESENCE = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_parts(col: Column):
+    words = word_count(col).cast("bigint")
+    alnum = F.regexp_count(col, F.lit("[A-Za-z0-9]")).cast("bigint")
+    alpha_words = F.regexp_count(
+        col, F.lit("[0-9]*[A-Za-z][A-Za-z0-9]*")
+    ).cast("bigint")
+    lines = (F.regexp_count(col, F.lit("\n")) + 1).cast("bigint")
+    bullets = F.regexp_count(col, F.lit(r"(?m)^[-*]")).cast("bigint")
+    ellipsis = F.regexp_count(col, F.lit(r"(?m)\.\.\.$")).cast("bigint")
+    hashes = F.regexp_count(col, F.lit(r"#|\.\.\.")).cast("bigint")
+    stops = F.size(
+        F.array_distinct(
+            F.filter(tokens(col), lambda t: t.isin(*GOPHER_STOP_PRESENCE))
+        )
+    ).cast("bigint")
+    return words, alnum, alpha_words, lines, bullets, ellipsis, hashes, stops
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc breakdown of the Gopher/MassiveText quality rules (Rae
+    et al. 2021 §A1.1) — one named boolean per rule plus the overall
+    verdict, the t03-composite's auditable sibling: a composite score
+    says HOW GOOD, this table says WHICH rule a rejected doc tripped
+    (what you need before loosening any threshold).
+
+    Every threshold is re-expressed as an integer cross-multiplication
+    (mean word length 3..10 ⇒ ``3·n_words ≤ alnum_chars ≤ 10·n_words``)
+    so the whole table is exact integer arithmetic — no ratio ever
+    materializes as a float. Pure projection: no shuffle, pipelines in
+    the scan. Every rule is wrapped in an explicit NULL-text guard:
+    Spark's ``size(NULL array)`` is -1 (not NULL), so the unguarded
+    stop-presence rule evaluates to a real False on NULL text — and
+    ``False AND NULL`` then collapses passes_all — while the DuckDB
+    twin's NULLs propagate (the t02 divergence class; caught by the
+    planted-NULL sweep before this ever shipped).
+    """
+    c = F.col(text_col)
+    words, alnum, alpha_words, lines, bullets, ellipsis, hashes, stops = (
+        _gopher_parts(c)
+    )
+    rules = {
+        "r_word_count": (words >= 50) & (words <= 100_000),
+        "r_mean_word_len": (alnum >= 3 * words) & (alnum <= 10 * words),
+        "r_symbol_ratio": hashes * 10 <= words,
+        "r_alpha_words": alpha_words * 5 >= words * 4,
+        "r_stop_presence": stops >= 2,
+        "r_bullets": bullets * 10 <= lines * 9,
+        "r_ellipsis": ellipsis * 10 <= lines * 3,
+    }
+    rules = {
+        name: F.when(c.isNotNull(), expr) for name, expr in rules.items()
+    }
+    passes = None
+    for expr in rules.values():
+        passes = expr if passes is None else (passes & expr)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        passes.alias("passes_all"),
+    )
+
+
+def _gopher_parts_sql(expr: str) -> dict[str, str]:
+    inlist = ", ".join(f"'{w}'" for w in GOPHER_STOP_PRESENCE)
+    return {
+        "words": word_count_sql(expr),
+        "alnum": f"CAST(len(regexp_extract_all({expr}, '[A-Za-z0-9]')) AS BIGINT)",
+        "alpha_words": (
+            f"CAST(len(regexp_extract_all({expr},"
+            f" '[0-9]*[A-Za-z][A-Za-z0-9]*')) AS BIGINT)"
+        ),
+        "lines": f"CAST(len(regexp_extract_all({expr}, '\\n')) + 1 AS BIGINT)",
+        "bullets": f"CAST(len(regexp_extract_all({expr}, '(?m)^[-*]')) AS BIGINT)",
+        "ellipsis": (
+            f"CAST(len(regexp_extract_all({expr}, '(?m)\\.\\.\\.$')) AS BIGINT)"
+        ),
+        "hashes": f"CAST(len(regexp_extract_all({expr}, '#|\\.\\.\\.')) AS BIGINT)",
+        "stops": (
+            f"CAST(len(list_distinct(list_filter({tokens_sql(expr)},"
+            f" t -> t IN ({inlist})))) AS BIGINT)"
+        ),
+    }
+
+
+def gopher_rules_sql(
+    id_col: str = "doc_id", text_col: str = "text", table: str = "documents"
+) -> str:
+    p = _gopher_parts_sql(text_col)
+    rules = {
+        "r_word_count": f"{p['words']} >= 50 AND {p['words']} <= 100000",
+        "r_mean_word_len": (
+            f"{p['alnum']} >= 3 * {p['words']} AND {p['alnum']} <= 10 * {p['words']}"
+        ),
+        "r_symbol_ratio": f"{p['hashes']} * 10 <= {p['words']}",
+        "r_alpha_words": f"{p['alpha_words']} * 5 >= {p['words']} * 4",
+        "r_stop_presence": f"{p['stops']} >= 2",
+        "r_bullets": f"{p['bullets']} * 10 <= {p['lines']} * 9",
+        "r_ellipsis": f"{p['ellipsis']} * 10 <= {p['lines']} * 3",
+    }
+    cols = ",\n       ".join(f"({sql}) AS {name}" for name, sql in rules.items())
+    conj = " AND ".join(f"({sql})" for sql in rules.values())
+    return f"""
+SELECT {id_col} AS doc_id,
+       {cols},
+       ({conj}) AS passes_all
+FROM {table}
+"""
+
+
+GOPHER_RULE_NAMES = (
+    "r_word_count",
+    "r_mean_word_len",
+    "r_symbol_ratio",
+    "r_alpha_words",
+    "r_stop_presence",
+    "r_bullets",
+    "r_ellipsis",
+)
+
+
+def gopher_rule_attribution(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-rule rejection accounting over :func:`gopher_rules` — which
+    named rule is doing the filtering, the table read before any
+    threshold is loosened: (rule, n_eval, n_fail, fail_rate). NULL-text
+    docs evaluate no rule (three-valued logic) and are excluded from
+    the denominator. One corpus scan, one aggregate row exploded into
+    |rules| rows — the rollup never re-reads the corpus per rule."""
+    rules = gopher_rules(docs, id_col=id_col, text_col=text_col)
+    aggs = []
+    for name in GOPHER_RULE_NAMES:
+        aggs.append(
+            F.sum(F.when(F.col(name).isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"eval_{name}")
+        )
+        aggs.append(
+            F.sum(F.when(~F.col(name), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"fail_{name}")
+        )
+    one = rules.agg(*aggs)
+    legs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"eval_{name}").alias("n_eval"),
+                F.col(f"fail_{name}").alias("n_fail"),
+            )
+            for name in GOPHER_RULE_NAMES
+        ]
+    )
+    return (
+        one.select(F.explode(legs).alias("leg"))
+        .select("leg.rule", "leg.n_eval", "leg.n_fail")
+        .select(
+            "rule",
+            "n_eval",
+            "n_fail",
+            F.when(
+                F.col("n_eval") > 0,
+                F.col("n_fail").cast("double") / F.col("n_eval").cast("double"),
+            ).alias("fail_rate"),
+        )
+    )
+
+
+def gopher_rule_attribution_sql(
+    id_col: str = "doc_id", text_col: str = "text", table: str = "documents"
+) -> str:
+    rules = gopher_rules_sql(id_col=id_col, text_col=text_col, table=table)
+    legs = "\nUNION ALL\n".join(
+        f"""
+SELECT '{name}' AS rule,
+       CAST(COUNT({name}) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN NOT {name} THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+       CASE WHEN COUNT({name}) > 0
+            THEN CAST(SUM(CASE WHEN NOT {name} THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT({name}) AS DOUBLE)
+       END AS fail_rate
+FROM rules"""
+        for name in GOPHER_RULE_NAMES
+    )
+    return f"WITH rules AS ({rules})\n{legs}"

@@ -2655,6 +2655,26 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(multimodal.documents_as_assets(docs))
 
 
+@_register("t37_gopher_rules", text.gopher_rules_sql())
+def t37_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher/MassiveText quality-rule breakdown (Rae et al.
+    2021 §A1.1): seven named booleans + the overall verdict. Every
+    threshold is an integer cross-multiplication — no float ever
+    materializes; pure projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_rules(docs)
+
+
+@_register("c15_rule_attribution", text.gopher_rule_attribution_sql())
+def c15_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which Gopher rule is doing the filtering: per-rule evaluated/
+    failed counts and fail rate — the accounting read before loosening
+    any threshold. One corpus scan; the per-rule rows explode from a
+    single aggregate row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_rule_attribution(docs)
+
+
 @_register("t36_length_drift", curation.length_drift_sql())
 def t36_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source EXACT Kolmogorov-Smirnov statistic between the old

@@ -96,10 +96,7 @@ DRIVER_WINDOW: list[str] = [
     # d04/e04/e05/e06/e09-e13/e15/m01/q19 yielded their slots to t33/c11/
     # t03-reentry/d18/c12/t34/a17/d19/t35/c13 — each
     # holds green r02/r03 evidence and joins the r9 refresh-queue head)
-    "q55_string_agg",
     "q59_data_profile",
-    "t04_doc_fingerprint",
-    "t07_repetition",
     "t08_stratified_sample",
     "t09_tfidf_top_terms",
     "t10_pii_redact",
@@ -170,6 +167,12 @@ DRIVER_WINDOW: list[str] = [
     # displaced the q31/q53 refresh rows
     "t36_length_drift",
     "c14_packing_fragmentation",
+    # t37 (Gopher rule breakdown) and c15 (rule attribution)
+    # displaced the t04/t07 refresh rows (q55 keeps its slot —
+    # stale-flagged)
+    "q55_string_agg",
+    "t37_gopher_rules",
+    "c15_rule_attribution",
     "e14_interarrival_native",
     # -- oldest r04-era refresh fills the remaining slots (displaced
     # first if late-round additions need slots); a05 keeps its slot
@@ -186,7 +189,7 @@ DRIVER_WINDOW: list[str] = [
 # operator batch displaced most of the r02/r03 refresh wave, so it
 # leads the next rotation). r02/r03-era first:
 #   e09, q50, q51, q54, a01, d04, d05, e04, e05, e06, e10, e11, e12,
-#   e13, e15, t06, m01, q19, q31, q53
+#   e13, e15, t06, m01, q19, q31, q53, t04, t07
 # then the r04-era tail:
 #   a02, a03, a07, a08, c04, d01, d10, e16-e21, m04, q02, q12, q14,
 #   q63-q68, q70, q71, t01, t16-t19

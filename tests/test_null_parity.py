@@ -40,8 +40,6 @@ WINDOW_DOC_QUERIES = [
     "t02_language_id",
     "t27_dsir_importance",
     "d17_substring_dedup",
-    "t04_doc_fingerprint",
-    "t07_repetition",
     "t08_stratified_sample",
     "t09_tfidf_top_terms",
     "t10_pii_redact",
@@ -67,6 +65,8 @@ WINDOW_DOC_QUERIES = [
     "d20_cross_source_dups",
     "t36_length_drift",
     "c14_packing_fragmentation",
+    "t37_gopher_rules",
+    "c15_rule_attribution",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"

@@ -36,8 +36,8 @@ SALES_TABLES = ["lineitem", "orders", "customer", "supplier", "part", "nation", 
 
 # in-window queries whose plans (and oracles) read a sales table
 WINDOW_SALES_QUERIES = [
-    # (q19/q51/q54 left the sweep with their window slots — r9 queue)
     "q55_string_agg",
+    # (q19/q51/q54 left the sweep with their window slots — r9 queue)
     "q58_sorted_layout_readback",
     "q59_data_profile",
     "q62_incremental_agg",
