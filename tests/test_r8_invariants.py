@@ -189,3 +189,37 @@ def test_c14_fragmentation_accounting(spark):
         assert 0 <= r["docs_cut"] <= r["n_docs"], r
         assert r["cut_points"] >= r["docs_cut"], r
         assert abs(r["frag_rate"] - r["docs_cut"] / r["n_docs"]) < 1e-15, r
+
+
+def test_t37_verdict_is_conjunction_of_rules(spark):
+    from end_to_end_sales_etl_de_project_spark.operators.text import (
+        GOPHER_RULE_NAMES,
+    )
+
+    rows = QUERIES["t37_gopher_rules"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        vals = [r[name] for name in GOPHER_RULE_NAMES]
+        if any(v is False for v in vals):
+            assert r["passes_all"] is False, r
+        elif all(v is True for v in vals):
+            assert r["passes_all"] is True, r
+        else:
+            assert r["passes_all"] is None, r
+
+
+def test_c15_attribution_reconciles_with_t37(spark):
+    from end_to_end_sales_etl_de_project_spark.operators.text import (
+        GOPHER_RULE_NAMES,
+    )
+
+    docs = QUERIES["t37_gopher_rules"](spark, SF).collect()
+    attr = {r["rule"]: r for r in QUERIES["c15_rule_attribution"](spark, SF).collect()}
+    assert set(attr) == set(GOPHER_RULE_NAMES)
+    for name in GOPHER_RULE_NAMES:
+        n_eval = sum(1 for d in docs if d[name] is not None)
+        n_fail = sum(1 for d in docs if d[name] is False)
+        assert attr[name]["n_eval"] == n_eval, name
+        assert attr[name]["n_fail"] == n_fail, name
+        if n_eval:
+            assert abs(attr[name]["fail_rate"] - n_fail / n_eval) < 1e-15, name
