@@ -231,6 +231,8 @@ HEADLINE = [
     "c14_packing_fragmentation",
     "t37_gopher_rules",
     "c15_rule_attribution",
+    "t38_unigram_entropy",
+    "a19_isotropy_histogram",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

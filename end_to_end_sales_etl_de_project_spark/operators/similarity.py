@@ -1757,3 +1757,88 @@ SELECT label,
          AS mean_norm
 FROM q GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Isotropy histogram: cosine distribution over a deterministic pairing
+# ---------------------------------------------------------------------------
+
+# must stay below the smallest corpus's id span or the pairing is
+# vacuous (sf0.001/sf0.01 ship 500 vectors)
+ISOTROPY_SHIFT = 137
+
+
+def isotropy_histogram(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = DIM,
+    shift: int = ISOTROPY_SHIFT,
+) -> DataFrame:
+    """Histogram of pairwise cosines over a DETERMINISTIC id-shift
+    pairing (vector i vs vector i+shift) — the embedding-collapse
+    audit: a healthy high-dimensional space concentrates random-pair
+    cosines near 0; mass piling toward 1 means the encoder collapsed
+    (Ethayarajh 2019's anisotropy measurement, as a table). Output:
+    one row per 0.1-wide cosine bucket in [-1, 1] with its pair count.
+
+    The fixed-shift pairing replaces random sampling so the audit is
+    exactly reproducible AND an equi-join: ids join on ``b = a +
+    shift`` — never a cross join, one shuffle on the id key, any
+    corpus size. Each cosine is the fixed-order fold (bit-identical
+    cross-engine); the bucket floor is exact on identical doubles.
+    Bucket 20 (cos == 1.0 exactly) folds into bucket 19 so the grid
+    stays 20 buckets.
+    """
+    a = with_norm(emb, vec_col, dim).select(
+        F.col(id_col).alias("ida"),
+        F.col(vec_col).alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = with_norm(emb, vec_col, dim).select(
+        (F.col(id_col) - shift).alias("join_id"),
+        F.col(vec_col).alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    paired = a.join(b, a["ida"] == b["join_id"]).filter(
+        (F.col("na") > 0) & (F.col("nb") > 0)
+    )
+    cos = _dot_col("va", "vb", dim) / (F.col("na") * F.col("nb"))
+    bucket = F.least(F.floor((cos + 1.0) * 10).cast("bigint"), F.lit(19))
+    return (
+        paired.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") / 10.0 - 1.0).alias("cos_lo"),
+            "n_pairs",
+        )
+    )
+
+
+def isotropy_histogram_sql(
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = DIM,
+    shift: int = ISOTROPY_SHIFT,
+    table: str = "embeddings",
+) -> str:
+    dot = _dot_sql("a.embedding", "b.embedding", dim, one_based=True)
+    na = _norm_sql("a.embedding", dim, one_based=True)
+    nb = _norm_sql("b.embedding", dim, one_based=True)
+    return f"""
+WITH paired AS (
+  SELECT ({dot}) / (({na}) * ({nb})) AS cos
+  FROM {table} a JOIN {table} b ON b.{id_col} = a.{id_col} + {shift}
+  WHERE ({na}) > 0 AND ({nb}) > 0
+),
+bucketed AS (
+  SELECT LEAST(CAST(FLOOR((cos + 1.0) * 10) AS BIGINT), 19) AS bucket
+  FROM paired
+)
+SELECT bucket,
+       CAST(bucket AS DOUBLE) / 10.0 - 1.0 AS cos_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM bucketed GROUP BY 1
+"""

@@ -1407,3 +1407,80 @@ FROM rules"""
         for name in GOPHER_RULE_NAMES
     )
     return f"WITH rules AS ({rules})\n{legs}"
+
+
+def unigram_entropy(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    scale: int = 100_000,
+) -> DataFrame:
+    """Per-source unigram Shannon entropy (nats) — the vocabulary-
+    DIVERSITY number next to t30's Zipf slope and t31's concentration:
+    low entropy = a few tokens carry the mass (templated content);
+    natural prose sits near ln(vocab) − 1..2. Output: (source,
+    n_tokens, vocab_size, unigram_entropy).
+
+    Same exactness scheme as t34: H = ln(T) − (Σ n·ln n)/T with BOTH
+    logs on the quantized-integer grid (1-ulp jvm/libm divergence
+    absorbed), so every sum is order-free exact integer arithmetic.
+    Scale shape: one corpus scan into (source, token) counts (map-side
+    combinable), then a vocabulary-bounded per-source fold — the
+    corpus never sorts and never re-scans.
+    """
+    counts = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens(text_col)).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    qn = F.round(F.log(F.col("n").cast("double")) * scale).cast("bigint")
+    per_source = counts.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.col("n") * qn).cast("bigint").alias("s"),
+    )
+    qt = F.round(F.log(F.col("t").cast("double")) * scale).cast("bigint")
+    ent = qt.cast("double") / F.lit(float(scale)) - (
+        F.col("s").cast("double") / F.lit(float(scale))
+    ) / F.col("t").cast("double")
+    return per_source.select(
+        "source",
+        F.col("t").alias("n_tokens"),
+        "vocab_size",
+        ent.alias("unigram_entropy"),
+    )
+
+
+def unigram_entropy_sql(
+    source_col: str = "source",
+    text_col: str = "text",
+    table: str = "documents",
+    scale: int = 100_000,
+) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+WITH counts AS (
+  SELECT {source_col} AS source, tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {table}, UNNEST({toks}) AS u(tok)
+  GROUP BY 1, 2
+),
+per_source AS (
+  SELECT source,
+         CAST(SUM(n) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         CAST(SUM(n * CAST(ROUND(LN(CAST(n AS DOUBLE)) * {scale}) AS BIGINT))
+              AS BIGINT) AS s
+  FROM counts GROUP BY 1
+)
+SELECT source,
+       t AS n_tokens,
+       vocab_size,
+       CAST(CAST(ROUND(LN(CAST(t AS DOUBLE)) * {scale}) AS BIGINT) AS DOUBLE)
+           / {float(scale)}
+         - (CAST(s AS DOUBLE) / {float(scale)}) / CAST(t AS DOUBLE)
+         AS unigram_entropy
+FROM per_source
+"""

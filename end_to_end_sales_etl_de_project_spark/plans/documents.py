@@ -2655,6 +2655,26 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(multimodal.documents_as_assets(docs))
 
 
+@_register("t38_unigram_entropy", text.unigram_entropy_sql())
+def t38_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy — the vocabulary-diversity
+    number beside t30's Zipf slope: low entropy = templated mass. Both
+    logs on the quantized-integer grid (t34 discipline); one corpus
+    scan, vocabulary-bounded fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_entropy(docs)
+
+
+@_register("a19_isotropy_histogram", similarity.isotropy_histogram_sql())
+def a19_isotropy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-collapse audit (Ethayarajh 2019 as a table): cosine
+    histogram over the deterministic id-shift pairing — healthy spaces
+    concentrate near 0, collapse piles mass toward 1. Equi-join on the
+    shifted id, never a cross join; exact fixed-order cosines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.isotropy_histogram(emb)
+
+
 @_register("t37_gopher_rules", text.gopher_rules_sql())
 def t37_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Gopher/MassiveText quality-rule breakdown (Rae et al.

@@ -97,8 +97,6 @@ DRIVER_WINDOW: list[str] = [
     # t03-reentry/d18/c12/t34/a17/d19/t35/c13 — each
     # holds green r02/r03 evidence and joins the r9 refresh-queue head)
     "q59_data_profile",
-    "t08_stratified_sample",
-    "t09_tfidf_top_terms",
     "t10_pii_redact",
     "t11_token_packing",
     "t12_source_cap",
@@ -173,6 +171,10 @@ DRIVER_WINDOW: list[str] = [
     "q55_string_agg",
     "t37_gopher_rules",
     "c15_rule_attribution",
+    # t38 (unigram entropy) and a19 (isotropy histogram) displaced
+    # the t08/t09 refresh rows
+    "t38_unigram_entropy",
+    "a19_isotropy_histogram",
     "e14_interarrival_native",
     # -- oldest r04-era refresh fills the remaining slots (displaced
     # first if late-round additions need slots); a05 keeps its slot
@@ -189,7 +191,7 @@ DRIVER_WINDOW: list[str] = [
 # operator batch displaced most of the r02/r03 refresh wave, so it
 # leads the next rotation). r02/r03-era first:
 #   e09, q50, q51, q54, a01, d04, d05, e04, e05, e06, e10, e11, e12,
-#   e13, e15, t06, m01, q19, q31, q53, t04, t07
+#   e13, e15, t06, m01, q19, q31, q53, t04, t07, t08, t09
 # then the r04-era tail:
 #   a02, a03, a07, a08, c04, d01, d10, e16-e21, m04, q02, q12, q14,
 #   q63-q68, q70, q71, t01, t16-t19

@@ -40,8 +40,6 @@ WINDOW_DOC_QUERIES = [
     "t02_language_id",
     "t27_dsir_importance",
     "d17_substring_dedup",
-    "t08_stratified_sample",
-    "t09_tfidf_top_terms",
     "t10_pii_redact",
     "t11_token_packing",
     "t12_source_cap",
@@ -67,6 +65,7 @@ WINDOW_DOC_QUERIES = [
     "c14_packing_fragmentation",
     "t37_gopher_rules",
     "c15_rule_attribution",
+    "t38_unigram_entropy",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"

@@ -223,3 +223,31 @@ def test_c15_attribution_reconciles_with_t37(spark):
         assert attr[name]["n_fail"] == n_fail, name
         if n_eval:
             assert abs(attr[name]["fail_rate"] - n_fail / n_eval) < 1e-15, name
+
+
+def test_t38_entropy_bounded_by_log_vocab(spark):
+    rows = QUERIES["t38_unigram_entropy"](spark, SF).collect()
+    eps = 2e-5
+    assert rows
+    for r in rows:
+        assert -eps <= r["unigram_entropy"] <= math.log(r["vocab_size"]) + eps, r
+        assert r["vocab_size"] <= r["n_tokens"], r
+
+
+def test_a19_histogram_is_nonvacuous_and_conserves_pairs(spark):
+    """The shift pairing must produce pairs at every test SF (a shift
+    larger than the id span silently empties the audit — the bug the
+    first cut shipped), buckets stay on the 20-bin grid, and the total
+    equals the exact join cardinality."""
+    from end_to_end_sales_etl_de_project_spark.operators.similarity import (
+        ISOTROPY_SHIFT,
+    )
+
+    rows = QUERIES["a19_isotropy_histogram"](spark, SF).collect()
+    assert rows, "vacuous pairing — shift exceeds the id span"
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    assert sum(r["n_pairs"] for r in rows) == n - ISOTROPY_SHIFT
+    for r in rows:
+        assert 0 <= r["bucket"] <= 19, r
+        assert abs(r["cos_lo"] - (r["bucket"] / 10.0 - 1.0)) < 1e-15, r
