@@ -233,6 +233,7 @@ HEADLINE = [
     "c15_rule_attribution",
     "t38_unigram_entropy",
     "a19_isotropy_histogram",
+    "t39_pii_density",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -2655,6 +2655,52 @@ def m07_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(multimodal.documents_as_assets(docs))
 
 
+_T39_ORACLE = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({text.token_count_sql(_T10_SYNTH)}) AS BIGINT) AS n_tokens,
+       CAST(SUM({text.pii_email_count_sql(_T10_SYNTH)}) AS BIGINT) AS n_emails,
+       CAST(SUM({text.pii_phone_count_sql(_T10_SYNTH)}) AS BIGINT) AS n_phones,
+       CAST(SUM({text.pii_email_count_sql(_T10_SYNTH)})
+            + SUM({text.pii_phone_count_sql(_T10_SYNTH)}) AS DOUBLE) * 10000.0
+         / CAST(SUM({text.token_count_sql(_T10_SYNTH)}) AS DOUBLE)
+         AS pii_per_10k_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
+@_register("t39_pii_density", _T39_ORACLE)
+def t39_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII density (occurrences per 10k tokens) — the
+    release-compliance table a corpus ships with: which sources need
+    scrubbing attention, measured not assumed. Same deterministic
+    synthetic-PII splice as t10 (the corpus ships none), identical in
+    the oracle; one map-side-combinable aggregation, one division."""
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0, " or call 555-123-4567").otherwise(""),
+    )
+    emails = F.sum(text.pii_email_count(synth)).cast("bigint")
+    phones = F.sum(text.pii_phone_count(synth)).cast("bigint")
+    toks = F.sum(text.token_count(synth).cast("bigint")).cast("bigint")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        toks.alias("n_tokens"),
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+        (
+            (emails + phones).cast("double")
+            * 10000.0
+            / toks.cast("double")
+        ).alias("pii_per_10k_tokens"),
+    )
+
+
 @_register("t38_unigram_entropy", text.unigram_entropy_sql())
 def t38_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source unigram Shannon entropy — the vocabulary-diversity

@@ -100,7 +100,6 @@ DRIVER_WINDOW: list[str] = [
     "t10_pii_redact",
     "t11_token_packing",
     "t12_source_cap",
-    "t13_token_rarity",
     # -- stale via the r8 NULL-semantics fixes to shared operator
     # bodies (windows.py _timed filter touches e01/e02/e03; grouped.py
     # interarrival filter touches e08/e14 — all others already hold
@@ -175,6 +174,8 @@ DRIVER_WINDOW: list[str] = [
     # the t08/t09 refresh rows
     "t38_unigram_entropy",
     "a19_isotropy_histogram",
+    # t39 (PII density) displaced the t13 refresh row
+    "t39_pii_density",
     "e14_interarrival_native",
     # -- oldest r04-era refresh fills the remaining slots (displaced
     # first if late-round additions need slots); a05 keeps its slot
@@ -191,7 +192,7 @@ DRIVER_WINDOW: list[str] = [
 # operator batch displaced most of the r02/r03 refresh wave, so it
 # leads the next rotation). r02/r03-era first:
 #   e09, q50, q51, q54, a01, d04, d05, e04, e05, e06, e10, e11, e12,
-#   e13, e15, t06, m01, q19, q31, q53, t04, t07, t08, t09
+#   e13, e15, t06, m01, q19, q31, q53, t04, t07, t08, t09, t13
 # then the r04-era tail:
 #   a02, a03, a07, a08, c04, d01, d10, e16-e21, m04, q02, q12, q14,
 #   q63-q68, q70, q71, t01, t16-t19

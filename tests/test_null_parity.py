@@ -43,7 +43,6 @@ WINDOW_DOC_QUERIES = [
     "t10_pii_redact",
     "t11_token_packing",
     "t12_source_cap",
-    "t13_token_rarity",
     "t29_vocab_overlap",
     "t30_zipf_slope",
     "t31_token_concentration",
@@ -66,6 +65,7 @@ WINDOW_DOC_QUERIES = [
     "t37_gopher_rules",
     "c15_rule_attribution",
     "t38_unigram_entropy",
+    "t39_pii_density",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"
