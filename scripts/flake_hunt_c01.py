@@ -46,7 +46,23 @@ def main(iters: int = 50) -> int:
         "c04_policy_diff",
         "c06_dedup_impact",
     ]
+    # suite-order mimics: artifact churn over a SECOND sf_dir (the
+    # null-parity sweeps precede the parity module) plus storage
+    # pressure from corpus-heavy queries between family checks
+    churn = [
+        "d03_minhash_lsh",
+        "d06_neardup_resolve",
+        "t09_tfidf_top_terms",
+        "c08_decontamination_agreement",
+        "t34_char_entropy",
+        "d17_substring_dedup",
+    ]
+    sf2 = "/root/testdata/sf0.01"
     for i in range(iters):
+        for name in churn:
+            E.queries()[name](spark, sf2).write.format("noop").mode(
+                "overwrite"
+            ).save()
         for name in fam:
             spark_df = E.queries()[name](spark, sf)
             r = compare_spark_to_oracle(
