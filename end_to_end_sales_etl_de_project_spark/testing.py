@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import math
+import tempfile
 from dataclasses import dataclass, field
 
 import duckdb
@@ -23,8 +24,19 @@ from end_to_end_sales_etl_de_project_spark.sources.tables import TABLES
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Fresh in-memory DuckDB with every catalog table registered as a
-    view over the same parquet Spark reads."""
+    view over the same parquet Spark reads.
+
+    Memory is EXPLICITLY bounded with a disk spill directory: DuckDB's
+    default budget assumes it owns the machine, but here it always
+    shares it with a Spark JVM — under a full test-suite run the
+    allocator intermittently failed outright ("Failed to allocate
+    block ... bad allocation") on the recursive-closure oracles, which
+    surfaced as the round-8 c-family "parity flake" (2-of-6 suite
+    runs; the hash itself never mismatched). A bounded budget makes
+    DuckDB spill instead of racing the JVM for malloc."""
     con = duckdb.connect()
+    con.execute("SET memory_limit='4GB'")
+    con.execute(f"SET temp_directory='{tempfile.gettempdir()}/duckdb_spill'")
     for name in TABLES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
