@@ -118,4 +118,28 @@ def compare_spark_to_oracle(
 
 
 def run_oracle(con: duckdb.DuckDBPyConnection, sql: str) -> pd.DataFrame:
-    return con.execute(sql).df()
+    """Execute an oracle, riding out transient allocation failures.
+
+    Under a full test-suite run this python process (DuckDB + pandas +
+    Arrow buffers) shares a tight memory cgroup with the Spark JVM and
+    DuckDB's ``bad allocation`` OOM is a race, not a real budget
+    problem — even a bounded buffer manager can lose a 32 KB malloc at
+    the wrong moment (the round-8 "c-family flake"). On OOM: collect
+    python garbage, halve DuckDB's budget so it spills harder, and
+    retry; the tightest attempt runs the recursive-closure oracles in
+    well under 1 GB. Any other error propagates untouched."""
+    import gc
+    import time
+
+    budgets = (None, "1GB", "512MB")
+    for i, budget in enumerate(budgets):
+        try:
+            if budget is not None:
+                gc.collect()
+                con.execute(f"SET memory_limit='{budget}'")
+                time.sleep(1.0)
+            return con.execute(sql).df()
+        except duckdb.OutOfMemoryException:
+            if i == len(budgets) - 1:
+                raise
+    raise AssertionError("unreachable")
