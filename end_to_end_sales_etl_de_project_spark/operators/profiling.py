@@ -187,24 +187,28 @@ def expectations_report(
     together (GROUP BY equality), so two all-NULL keys count as
     duplicates in both engines.
     """
-    aggs: list = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
-    stack_args: list[str] = []
-    for name, pred in row_checks:
-        aggs.append(
-            F.sum(F.when(F.expr(pred), 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"{name}__viol")
+    # stack(0, ) is invalid SQL — with no row checks, build the report
+    # from the uniqueness legs alone (ADVICE r8).
+    legs: list[DataFrame] = []
+    if row_checks:
+        aggs: list = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+        stack_args: list[str] = []
+        for name, pred in row_checks:
+            aggs.append(
+                F.sum(F.when(F.expr(pred), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"{name}__viol")
+            )
+            stack_args.append(f"'{name}', {name}__viol")
+        legs.append(
+            df.agg(*aggs).select(
+                F.expr(
+                    f"stack({len(row_checks)}, {', '.join(stack_args)}) AS "
+                    "(check_name, n_violations)"
+                ),
+                "n_rows",
+            )
         )
-        stack_args.append(f"'{name}', {name}__viol")
-    legs = [
-        df.agg(*aggs).select(
-            F.expr(
-                f"stack({len(row_checks)}, {', '.join(stack_args)}) AS "
-                "(check_name, n_violations)"
-            ),
-            "n_rows",
-        )
-    ]
     for name, key_cols in unique_checks:
         grouped = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
         legs.append(
@@ -217,6 +221,10 @@ def expectations_report(
                 .alias("n_violations"),
                 F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n_rows"),
             )
+        )
+    if not legs:
+        raise ValueError(
+            "expectations_report needs at least one row_check or unique_check"
         )
     out = legs[0].select("check_name", "n_rows", "n_violations")
     for leg in legs[1:]:

@@ -1764,7 +1764,12 @@ FROM q GROUP BY 1
 # ---------------------------------------------------------------------------
 
 # must stay below the smallest corpus's id span or the pairing is
-# vacuous (sf0.001/sf0.01 ship 500 vectors)
+# vacuous (sf0.001/sf0.01 ship 500 vectors). The a19 pair-count-
+# conservation test assumes DENSE CONSECUTIVE vec_ids (expected pairs
+# = n - shift); a fixture with id gaps keeps the operator well-defined
+# (the id-shift join simply matches fewer pairs) but weakens the audit
+# — if the fixture ever gains gaps, derive the expected count from the
+# actual join, not n - shift (ADVICE r8).
 ISOTROPY_SHIFT = 137
 
 

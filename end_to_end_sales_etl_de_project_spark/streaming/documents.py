@@ -99,8 +99,12 @@ def dedup_documents_stream(docs: DataFrame) -> DataFrame:
     Key: ``(text_hash, text_len)`` — the 60-bit content hash alone
     makes a silent-drop collision material around ~1B distinct docs
     (birthday bound ~2^30 on a 2^60 space); compounding with the exact
-    byte length pushes a false positive to same-hash AND same-length,
-    and costs nothing (length is already computed engine-side). NULL
+    CHARACTER length (``F.length`` counts characters, not bytes —
+    ADVICE r8) pushes a false positive to same-hash AND same-length,
+    and costs nothing (length is already computed engine-side). For
+    multi-byte text the character count discriminates slightly less
+    than a byte count would, but the compound key's job is only to
+    square the collision exponent, which either length does. NULL
     text passes through UNDEDUPED by explicit choice: there is no
     content to compare, so the dedup door is not the stage that judges
     it — the quality gate downstream buckets NULL/empty text as

@@ -136,6 +136,30 @@ def test_expectations_fire_on_planted_violations(spark):
     assert not any(r["passed"] for r in out.values())
 
 
+def test_expectations_unique_checks_only(spark):
+    """Empty row_checks used to emit an invalid ``stack(0, )`` leg
+    (ADVICE r8); uniqueness-only reports are a reasonable call and must
+    work, and a fully-empty spec must fail loudly."""
+    import pytest
+
+    from end_to_end_sales_etl_de_project_spark.operators.profiling import (
+        expectations_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 1)], "k long, ln int"
+    )
+    rows = expectations_report(
+        df, row_checks=[], unique_checks=[("unique_key", ["k", "ln"])]
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["check_name"] == "unique_key"
+    assert rows[0]["n_violations"] == 2
+    assert not rows[0]["passed"]
+    with pytest.raises(ValueError, match="at least one"):
+        expectations_report(df, row_checks=[], unique_checks=[])
+
+
 def test_month_completeness_flags_planted_gap(spark):
     """A fact with March missing must surface 2024-03 as a zero-count,
     present=False spine row — the hole per-partition profiling cannot
