@@ -308,68 +308,130 @@ WHERE ({dot}) / (({an}) * ({bn})) >= {threshold}
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: nearest-centroid partitioning
 # ---------------------------------------------------------------------------
+#
+# Round-9 promotion (VERDICT r8 #4): the k-means interiors ride the
+# repo's established quantized-integer grid (the t30/a08/t34
+# ``round(x*scale)`` trick), which makes BOTH training and assignment
+# bit-deterministic and exactly SQL-expressible:
+#
+# - vectors quantize once to ``v_q = round(v * 2^20)`` BIGINTs (the
+#   *2^20 multiply is exact — power of two — so the only rounding is
+#   ROUND itself, half-away-from-zero in both engines);
+# - every centroid similarity is ``T / sqrt(double(A) * double(B))``
+#   where T = Σ v_q·c_q, A = Σ v_q², B = Σ c_q² are EXACT integers
+#   (order-free sums — |v|≤0.53 ⇒ every sum < 2^45, far under the
+#   2^53 double-exact ceiling), so the double ops are the same two
+#   instructions in both engines;
+# - the Lloyd mean update keeps centroids ON the grid:
+#   ``c = sign(s)·((2|s|+n) // (2n))`` — round-half-away integer
+#   division of the exact integer sum, reproduced verbatim by the
+#   DuckDB twin (``//`` is floor division, operands kept positive);
+# - empty cells keep their previous centroid, ties break by highest
+#   centroid id in both engines.
+#
+# Recall-wise the 2^-20 grid is a ulp-scale perturbation (the recall
+# gates in tests/test_ivf_recall.py are unchanged); determinism-wise it
+# moves a04/a05 from rows-only to hash-exact driver oracles.
+
+QUANT_SCALE = 1 << 20
 
 
-def _centroid_sims(
-    vec_col: str,
-    centroids: list[list[float]],
-    dim: int,
-    norm_col: Column | None = None,
-) -> Column:
-    """Array of (cosine, centroid_id) structs for a vector against every
-    centroid — struct order (sim first) makes array_max/array_sort rank
-    by similarity with centroid id as deterministic tie-break.
-
-    Pass ``norm_col`` when the vector's L2 norm is already a column:
-    otherwise the norm fold is re-emitted per centroid, k-folding both
-    the codegen size and the per-row work.
-
-    Built as ONE ``transform`` lambda over an array-of-arrays literal
-    instead of k separately-unrolled dot folds: the dot-product
-    expression appears once in the plan (evaluated k times at runtime),
-    which shrinks the analyzed/compiled tree ~k-fold — with k=16 the
-    per-job planning overhead was the dominant cost of IVF training on
-    a small corpus (measured: 2.6-4.5 s/train at sf0.1 with unrolled
-    folds)."""
-    if norm_col is None:
-        norm_col = _norm_col(vec_col, dim)
-    vc = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    cents_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c[:dim]]) for c in centroids]
+def _valid_vecs(emb: DataFrame, vec_col: str = "embedding", dim: int = DIM) -> DataFrame:
+    """Rows an ANN index can hold: non-NULL id, non-NULL full-length
+    vector. The SQL twins apply the identical predicate."""
+    return emb.filter(
+        F.col("vec_id").isNotNull()
+        & F.col(vec_col).isNotNull()
+        & (F.size(vec_col) >= dim)
     )
-    norms_lit = F.array(
+
+
+def _vq_col(vec_col: Column | str, dim: int = DIM, scale: int = QUANT_SCALE) -> Column:
+    vc = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        F.slice(vc, 1, dim),
+        lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("bigint"),
+    )
+
+
+def _aq_col(vq: Column) -> Column:
+    """Guarded (0→1) squared L2 of a quantized vector — exact BIGINT."""
+    a = F.aggregate(
+        vq, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    return F.when(a == 0, F.lit(1).cast("bigint")).otherwise(a)
+
+
+def _int_mean(s: int, n: int) -> int:
+    """Round-half-away-from-zero integer mean — the exact arithmetic
+    the SQL twin runs: (2|s|+n) // (2n), sign re-applied (operands kept
+    positive so python //, DuckDB // and truncating division agree)."""
+    s, n = int(s), int(n)
+    q = (2 * abs(s) + n) // (2 * n)
+    return -q if s < 0 else q
+
+
+def _centroid_sims_q(
+    vq: Column, aq: Column, cents_q: list[list[int]]
+) -> Column:
+    """Array of (sim, cid) structs of a QUANTIZED vector against every
+    quantized centroid. sim = T / sqrt(double(A)·double(B)) with
+    integer T/A/B — bit-deterministic and bit-equal to the SQL twin.
+    Struct order (sim first) makes array_max/array_sort rank by
+    similarity with centroid id as the deterministic tie-break. Built
+    as ONE ``transform`` lambda over an array-of-arrays literal instead
+    of k separately-unrolled folds: the dot expression appears once in
+    the plan (evaluated k times at runtime), keeping the compiled tree
+    k-fold smaller — with k=16 the per-job planning overhead was the
+    dominant cost of IVF training on a small corpus (measured r5:
+    2.6-4.5 s/train at sf0.1 with unrolled folds)."""
+    cents_lit = F.array(
         *[
-            F.lit(sum(float(x) * float(x) for x in c[:dim]) ** 0.5 or 1.0)
-            for c in centroids
+            F.array(*[F.lit(int(x)).cast("bigint") for x in c])
+            for c in cents_q
         ]
     )
+    bs = [max(sum(int(x) * int(x) for x in c), 1) for c in cents_q]
+    bs_lit = F.array(*[F.lit(float(b)) for b in bs])
 
     def entry(c: Column, i: Column) -> Column:
-        prods = F.zip_with(
-            F.slice(vc, 1, dim), c, lambda x, y: x.cast("double") * y.cast("double")
+        t = F.aggregate(
+            F.zip_with(vq, c, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
         )
-        dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-        sim = dot / (norm_col * F.element_at(norms_lit, (i + 1).cast("int")))
+        sim = t.cast("double") / F.sqrt(
+            aq.cast("double") * F.element_at(bs_lit, (i + 1).cast("int"))
+        )
         return F.struct(sim.alias("sim"), i.cast("int").alias("cid"))
 
     return F.transform(cents_lit, entry)
 
 
 def ivf_train(
-    emb: DataFrame, n_centroids: int, dim: int = DIM, iterations: int = 2
-) -> list[list[float]]:
-    """Lloyd's k-means on cosine assignment: deterministic seeding (the
-    ``n_centroids`` lowest vec_ids), then ``iterations`` rounds of
-    assign → per-dimension mean. The model (k x dim doubles) is
-    control-plane sized and collected to the driver each round — the
-    same shape as any distributed k-means; the DATA-side work per round
-    is one scan + one groupBy of k*dim cells. Means are float
-    arithmetic over an unordered shuffle ⇒ not bit-deterministic, so
-    IVF queries are rows-only checked with a recall test
-    (tests/test_ivf_recall.py), per the repo determinism rules."""
+    emb: DataFrame,
+    n_centroids: int,
+    dim: int = DIM,
+    iterations: int = 2,
+    scale: int = QUANT_SCALE,
+) -> list[list[int]]:
+    """Lloyd's k-means on cosine assignment over the quantized-integer
+    grid: deterministic seeding (the ``n_centroids`` lowest vec_ids'
+    quantized vectors), then ``iterations`` rounds of assign →
+    per-dimension round-half-away integer mean (see the section
+    comment). The model (k x dim ints) is control-plane sized and
+    collected to the driver each round — the same shape as any
+    distributed k-means; the DATA-side work per round is one scan +
+    one groupBy of k*dim cells, each an exact integer SUM (map-side
+    combinable, shuffle-order-free). Bit-deterministic ⇒ exactly
+    reproduced by :func:`ivf_topk_sql`'s DuckDB twin (promoted from
+    rows-only, VERDICT r8 #4)."""
+    base = _valid_vecs(emb, dim=dim).select(
+        "vec_id", _vq_col("embedding", dim, scale).alias("vq")
+    )
     cents = [
-        [float(x) for x in r["embedding"]]
-        for r in emb.orderBy("vec_id").limit(n_centroids).select("embedding").collect()
+        [int(x) for x in r["vq"]]
+        for r in base.orderBy("vec_id").limit(n_centroids).collect()
     ]
     # a corpus smaller than n_centroids seeds fewer cells; clamp so the
     # rebuild below never indexes past the seeded list
@@ -377,21 +439,22 @@ def ivf_train(
     if n_centroids == 0:
         raise ValueError("ivf_train: empty corpus — no centroids to seed")
     for _ in range(iterations):
-        assigned = with_norm(emb, dim=dim).select(
-            F.col("embedding"),
-            F.array_max(_centroid_sims("embedding", cents, dim, F.col("norm")))[
+        withs = base.withColumn("aq", _aq_col(F.col("vq")))
+        assigned = withs.select(
+            "vq",
+            F.array_max(_centroid_sims_q(F.col("vq"), F.col("aq"), cents))[
                 "cid"
             ].alias("cid"),
         )
-        means = (
-            assigned.select("cid", F.posexplode("embedding").alias("pos", "val"))
+        cells = (
+            assigned.select("cid", F.posexplode("vq").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in cells:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = _int_mean(r["s"], r["n"])
         # empty cells keep their previous centroid (standard practice)
         cents = [
             [by_cid[i][p] for p in range(dim)] if i in by_cid else cents[i]
@@ -407,7 +470,7 @@ def ivf_topk(
     dim: int = DIM,
     n_centroids: int = 16,
     n_probe: int = 4,
-    centroids: list[list[float]] | None = None,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their
     nearest-centroid cell; each query probes its ``n_probe`` nearest
@@ -417,26 +480,26 @@ def ivf_topk(
     never cross-joined — but cells adapt to the DATA distribution
     instead of axis signs, which is what lifts recall on corpora where
     fixed hyperplanes split neighborhoods. Scan fraction ≈
-    n_probe / n_centroids of the corpus per query."""
+    n_probe / n_centroids of the corpus per query. Cell assignment and
+    probing run on the quantized grid (bit-deterministic, see the
+    section comment); candidate ranking is the exact float cosine —
+    the whole query is hash-exact against :func:`ivf_topk_sql`."""
     if centroids is None:
         centroids = ivf_train(emb, n_centroids, dim)
-    n = with_norm(emb, dim=dim).select(
+    vq, aq = _vq_col("embedding", dim), _aq_col(_vq_col("embedding", dim))
+    n = with_norm(_valid_vecs(emb, dim=dim), dim=dim).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
         F.col("norm").alias("n_norm"),
-        F.array_max(_centroid_sims("embedding", centroids, dim, F.col("norm")))[
-            "cid"
-        ].alias("cid"),
+        F.array_max(_centroid_sims_q(vq, aq, centroids))["cid"].alias("cid"),
     )
     probes = F.slice(
-        F.reverse(
-            F.array_sort(_centroid_sims("embedding", centroids, dim, F.col("norm")))
-        ),
+        F.reverse(F.array_sort(_centroid_sims_q(vq, aq, centroids))),
         1,
         n_probe,
     )
     q = (
-        with_norm(queries, dim=dim)
+        with_norm(_valid_vecs(queries, dim=dim), dim=dim)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
@@ -462,6 +525,175 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def _kmeans_sql_ctes(
+    prefix: str,
+    vq: str,
+    aq: str,
+    seeds: str,
+    iterations: int,
+    part_cols: list[str],
+) -> tuple[str, str]:
+    """Chained-CTE Lloyd iterations shared by the IVF and PQ oracle
+    twins. ``part_cols`` are the extra grouping columns of the codebook
+    ([] for IVF, ['s'] for PQ subspaces). Returns (cte_sql, final_name)
+    where ``{final_name}`` holds (part_cols..., cid, pos, c) and
+    ``{final_name}_b`` its guarded per-centroid squared norms. Every
+    arithmetic step mirrors the Spark side bit for bit (see the
+    quantized-grid section comment)."""
+    pc = "".join(f"{c}, " for c in part_cols)  # "s, " or ""
+    on_part = " AND ".join([f"q.{c} = c.{c}" for c in part_cols]) or "TRUE"
+    ctes = []
+    cur = f"{prefix}0"
+    ctes.append(f"{cur} AS (SELECT {pc}cid, pos, c FROM {seeds})")
+    for i in range(iterations):
+        nxt = f"{prefix}{i + 1}"
+        a_on = " AND ".join(
+            ["a.vec_id = q.vec_id"] + [f"a.{c} = c.{c}" for c in part_cols]
+        )
+        b_on = " AND ".join(
+            ["b.cid = c.cid"] + [f"b.{c} = c.{c}" for c in part_cols]
+        )
+        bpc = "".join(f"c.{c}, " for c in part_cols)
+        ctes.append(
+            f"""{cur}_b AS (
+  SELECT {pc}cid, CASE WHEN SUM(c*c) = 0 THEN 1 ELSE SUM(c*c) END AS b
+  FROM {cur} GROUP BY {pc}cid)"""
+        )
+        ctes.append(
+            f"""{cur}_sim AS (
+  SELECT q.vec_id, {bpc}c.cid,
+         CAST(SUM(q.val * c.c) AS DOUBLE)
+           / SQRT(CAST(MIN(a.a) AS DOUBLE) * CAST(MIN(b.b) AS DOUBLE)) AS sim
+  FROM {vq} q
+  JOIN {cur} c ON {on_part} AND q.lp = c.pos
+  JOIN {aq} a ON {a_on}
+  JOIN {cur}_b b ON {b_on}
+  GROUP BY q.vec_id, {bpc}c.cid)"""
+        )
+        ctes.append(
+            f"""{cur}_asg AS (
+  SELECT vec_id, {pc}cid FROM (
+    SELECT vec_id, {pc}cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id{"".join(", " + c for c in part_cols)}
+                              ORDER BY sim DESC, cid DESC) AS rn
+    FROM {cur}_sim) WHERE rn = 1)"""
+        )
+        g_on = " AND ".join(
+            ["q.vec_id = a.vec_id"] + [f"q.{c} = a.{c}" for c in part_cols]
+        )
+        apc = "".join(f"a.{c}, " for c in part_cols)
+        anti = " AND ".join(
+            ["a.cid = c.cid"] + [f"a.{c} = c.{c}" for c in part_cols]
+        )
+        ctes.append(
+            f"""{nxt} AS (
+  SELECT {pc}cid, pos, c FROM (
+    SELECT {apc}a.cid, q.lp AS pos,
+           CASE WHEN SUM(q.val) < 0
+                THEN -((2*(-SUM(q.val)) + COUNT(*)) // (2*COUNT(*)))
+                ELSE (2*SUM(q.val) + COUNT(*)) // (2*COUNT(*)) END AS c
+    FROM {cur}_asg a JOIN {vq} q ON {g_on}
+    GROUP BY {apc}a.cid, q.lp)
+  UNION ALL
+  SELECT {pc}cid, pos, c FROM {cur} c
+  WHERE NOT EXISTS (SELECT 1 FROM {cur}_asg a WHERE {anti}))"""
+        )
+        cur = nxt
+    # final guarded norms + final assignment of every vector
+    ctes.append(
+        f"""{cur}_b AS (
+  SELECT {pc}cid, CASE WHEN SUM(c*c) = 0 THEN 1 ELSE SUM(c*c) END AS b
+  FROM {cur} GROUP BY {pc}cid)"""
+    )
+    bpc = "".join(f"c.{c}, " for c in part_cols)
+    a_on = " AND ".join(
+        ["a.vec_id = q.vec_id"] + [f"a.{c} = c.{c}" for c in part_cols]
+    )
+    b_on = " AND ".join(["b.cid = c.cid"] + [f"b.{c} = c.{c}" for c in part_cols])
+    on_part = " AND ".join([f"q.{c} = c.{c}" for c in part_cols]) or "TRUE"
+    ctes.append(
+        f"""{cur}_sim AS (
+  SELECT q.vec_id, {bpc}c.cid,
+         CAST(SUM(q.val * c.c) AS DOUBLE)
+           / SQRT(CAST(MIN(a.a) AS DOUBLE) * CAST(MIN(b.b) AS DOUBLE)) AS sim
+  FROM {vq} q
+  JOIN {cur} c ON {on_part} AND q.lp = c.pos
+  JOIN {aq} a ON {a_on}
+  JOIN {cur}_b b ON {b_on}
+  GROUP BY q.vec_id, {bpc}c.cid)"""
+    )
+    return ",\n".join(ctes), cur
+
+
+def ivf_topk_sql(
+    query_pred: str,
+    k: int = 5,
+    dim: int = DIM,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iterations: int = 2,
+    scale: int = QUANT_SCALE,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`ivf_train` + :func:`ivf_topk` — the full
+    quantized-grid Lloyd training unrolled as chained CTEs, then cell
+    assignment, probing, and exact-cosine ranking. Bit-exact against
+    the Spark plan (VERDICT r8 #4 promotion)."""
+    dot = _dot_sql("q.embedding", "n.embedding", dim, one_based=True)
+    qn = _norm_sql("q.embedding", dim, one_based=True)
+    nn = _norm_sql("n.embedding", dim, one_based=True)
+    kmeans, cfin = _kmeans_sql_ctes(
+        "c", "vq", "aq", "seed_vals", iterations, part_cols=[]
+    )
+    return f"""
+WITH dimpos AS (SELECT unnest(range(1, {dim + 1})) AS pos),
+valid AS (
+  SELECT vec_id, embedding FROM {table}
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) >= {dim}),
+vq AS (
+  SELECT v.vec_id, d.pos AS lp,
+         CAST(ROUND(CAST(v.embedding[d.pos] AS DOUBLE) * {scale}) AS BIGINT) AS val
+  FROM valid v, dimpos d),
+aq AS (
+  SELECT vec_id,
+         CASE WHEN SUM(val*val) = 0 THEN 1 ELSE SUM(val*val) END AS a
+  FROM vq GROUP BY vec_id),
+seeds AS (
+  SELECT vec_id, DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM valid ORDER BY vec_id LIMIT {n_centroids})),
+seed_vals AS (
+  SELECT s.cid, q.lp AS pos, q.val AS c FROM seeds s JOIN vq q USING (vec_id)),
+{kmeans},
+cells AS (
+  SELECT vec_id AS neighbor_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+    FROM {cfin}_sim) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+    FROM {cfin}_sim
+    WHERE vec_id IN (SELECT q.vec_id FROM valid q WHERE ({query_pred}))
+  ) WHERE rn <= {n_probe}),
+scored AS (
+  SELECT p.query_id, c.neighbor_id,
+         ({dot}) / (({qn}) * ({nn})) AS cosine
+  FROM probes p
+  JOIN cells c ON c.cid = p.cid
+  JOIN {table} q ON q.vec_id = p.query_id
+  JOIN {table} n ON n.vec_id = c.neighbor_id
+  WHERE p.query_id <> c.neighbor_id)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT scored.*,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
 
 
 def lsh_topk_multiprobe(
@@ -564,47 +796,54 @@ def pq_train(
     codebook is the natural choice, and the recall test measures the
     end metric). All subspaces train together: ONE job per Lloyd round
     computes every (subspace, code, dimension) mean cell from a single
-    corpus scan, and the model (4x16x16 doubles) is control-plane
+    corpus scan, and the model (4x16x16 ints) is control-plane
     sized, like any ANN index build (Faiss trains once, serves many
-    queries)."""
+    queries). Codebooks live on the quantized-integer grid (see the
+    IVF section comment): assignment sims and mean updates are exact
+    integer arithmetic, so training is bit-deterministic and exactly
+    reproduced by :func:`pq_topk_sql`'s DuckDB twin (VERDICT r8 #4)."""
     sub = dim // n_subspaces
-    seed_rows = (
-        emb.orderBy("vec_id").limit(n_codes).select("embedding").collect()
+    base = _valid_vecs(emb, dim=dim).select(
+        "vec_id", _vq_col("embedding", dim).alias("vq")
     )
+    seed_rows = base.orderBy("vec_id").limit(n_codes).collect()
     if not seed_rows:
         raise ValueError("pq_train: empty corpus — no codewords to seed")
     n_codes = min(n_codes, len(seed_rows))
-    books: list[list[list[float]]] = [
+    books: list[list[list[int]]] = [
         [
-            [float(x) for x in r["embedding"][s * sub : (s + 1) * sub]]
+            [int(x) for x in r["vq"][s * sub : (s + 1) * sub]]
             for r in seed_rows[:n_codes]
         ]
         for s in range(n_subspaces)
     ]
     # All subspaces train in ONE job per Lloyd round: each row emits
     # (subspace, nearest-code, slice) structs, one explode + one
-    # groupBy computes every (subspace, code, dimension) mean cell.
-    # Per-subspace loops would rescan the corpus n_subspaces times per
-    # round — at 100 TB that multiplies the dominant cost (the scan)
-    # by the subspace count for zero extra information.
+    # groupBy computes every (subspace, code, dimension) SUM cell —
+    # exact integers, map-side combinable. Per-subspace loops would
+    # rescan the corpus n_subspaces times per round — at 100 TB that
+    # multiplies the dominant cost (the scan) by the subspace count
+    # for zero extra information.
     for _ in range(iterations):
         parts = []
         for s in range(n_subspaces):
-            sl = F.slice(F.col("embedding"), s * sub + 1, sub)
-            cid = F.array_max(_centroid_sims(sl, books[s], sub))["cid"]
+            sl = F.slice(F.col("vq"), s * sub + 1, sub)
+            cid = F.array_max(_centroid_sims_q(sl, _aq_col(sl), books[s]))["cid"]
             parts.append(
                 F.struct(F.lit(s).alias("s"), cid.alias("cid"), sl.alias("v"))
             )
         cells = (
-            emb.select(F.explode(F.array(*parts)).alias("a"))
+            base.select(F.explode(F.array(*parts)).alias("a"))
             .select("a.s", "a.cid", F.posexplode("a.v").alias("pos", "val"))
             .groupBy("s", "cid", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(F.sum("val").alias("sv"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        by_key: dict[tuple[int, int], dict[int, int]] = {}
         for r in cells:
-            by_key.setdefault((r["s"], r["cid"]), {})[r["pos"]] = r["m"]
+            by_key.setdefault((r["s"], r["cid"]), {})[r["pos"]] = _int_mean(
+                r["sv"], r["n"]
+            )
         books = [
             [
                 [by_key[(s, i)][p] for p in range(sub)]
@@ -617,24 +856,28 @@ def pq_train(
     return books
 
 
-def _pq_codes_col(vec_col: str, books: list[list[list[float]]], sub: int) -> Column:
-    """Array of per-subspace nearest-codeword ids for a vector."""
+def _pq_codes_col(vq: Column, books: list[list[list[int]]], sub: int) -> Column:
+    """Array of per-subspace nearest-codeword ids for a QUANTIZED
+    vector (bit-deterministic grid sims, tie → highest code id)."""
     parts = []
     for s, book in enumerate(books):
-        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
-        parts.append(F.array_max(_centroid_sims(sl, book, sub))["cid"])
+        sl = F.slice(vq, s * sub + 1, sub)
+        parts.append(F.array_max(_centroid_sims_q(sl, _aq_col(sl), book))["cid"])
     return F.array(*parts)
 
 
-def _pq_recon_norm_col(codes: Column, books: list[list[list[float]]]) -> Column:
-    """L2 norm of the reconstructed (codeword-concatenated) vector:
-    sqrt of the sum of squared codeword norms — valid because the
-    subspaces are orthogonal coordinate blocks."""
-    total = F.lit(0.0)
+def _pq_recon_sq_col(codes: Column, books: list[list[list[int]]]) -> Column:
+    """Guarded (0→1) squared L2 of the reconstructed (codeword-
+    concatenated) QUANTIZED vector: sum of per-codeword squared norms —
+    exact BIGINT, valid because the subspaces are orthogonal coordinate
+    blocks."""
+    total = F.lit(0).cast("bigint")
     for s, book in enumerate(books):
-        sq_norms = F.array(*[F.lit(sum(x * x for x in c)) for c in book])
+        sq_norms = F.array(
+            *[F.lit(int(sum(int(x) * int(x) for x in c))).cast("bigint") for c in book]
+        )
         total = total + F.element_at(sq_norms, F.element_at(codes, s + 1) + 1)
-    return F.sqrt(total)
+    return F.when(total == 0, F.lit(1).cast("bigint")).otherwise(total)
 
 
 def pq_topk(
@@ -642,7 +885,7 @@ def pq_topk(
     queries: DataFrame,
     k: int = 5,
     dim: int = DIM,
-    books: list[list[list[float]]] | None = None,
+    books: list[list[list[int]]] | None = None,
     rerank_factor: int = 4,
 ) -> DataFrame:
     """PQ approximate top-k — the memory-bound ANN shape: the corpus is
@@ -657,38 +900,48 @@ def pq_topk(
     Same broadcast shape as a01 (queries broadcast, corpus streams,
     never shuffled) but the streamed payload is codes, not vectors —
     at 100 TB this is the difference between scanning 100 TB and
-    scanning ~1.5 TB. Codebook means are float averages over an
-    unordered shuffle ⇒ rows-only check + recall test
-    (tests/test_ivf_recall.py), per the repo determinism rules."""
+    scanning ~1.5 TB. Codebooks live on the quantized-integer grid:
+    approx scores are exact-integer folds divided once in double, the
+    rerank is the exact float cosine — bit-deterministic end to end
+    and hash-exact against :func:`pq_topk_sql` (VERDICT r8 #4)."""
     n_subspaces = 4 if books is None else len(books)
     sub = dim // n_subspaces
     if books is None:
         books = pq_train(emb, n_subspaces, dim=dim)
 
-    codes_tbl = emb.select(
+    codes_tbl = _valid_vecs(emb, dim=dim).select(
         F.col("vec_id").alias("neighbor_id"),
-        _pq_codes_col("embedding", books, sub).alias("codes"),
-    ).withColumn("recon_norm", _pq_recon_norm_col(F.col("codes"), books))
+        _pq_codes_col(_vq_col("embedding", dim), books, sub).alias("codes"),
+    ).withColumn("recon_sq", _pq_recon_sq_col(F.col("codes"), books))
 
-    q = with_norm(queries, dim=dim).select(
+    q = with_norm(_valid_vecs(queries, dim=dim), dim=dim).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
-    )
+        _vq_col("embedding", dim).alias("q_vq"),
+    ).withColumn("q_aq", _aq_col(F.col("q_vq")))
 
-    # approx dot: sum over subspaces of dot(q_s, codeword) — the
-    # codebook rides as a nested literal; element_at picks the codeword
-    approx_dot = F.lit(0.0)
+    # approx dot: sum over subspaces of dot(q_s, codeword) — exact
+    # BIGINT folds; the codebook rides as a nested literal and
+    # element_at picks the codeword
+    approx_t = F.lit(0).cast("bigint")
     for s, book in enumerate(books):
-        book_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+        book_lit = F.array(
+            *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in book]
+        )
         cw = F.element_at(book_lit, F.element_at(F.col("codes"), s + 1) + 1)
         prods = F.zip_with(
-            F.slice(F.col("q_emb"), s * sub + 1, sub),
+            F.slice(F.col("q_vq"), s * sub + 1, sub),
             cw,
-            lambda x, y: x.cast("double") * y,
+            lambda x, y: x * y,
         )
-        approx_dot = approx_dot + F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
+        approx_t = approx_t + F.aggregate(
+            prods, F.lit(0).cast("bigint"), lambda a, x: a + x
+        )
 
+    approx_cos = approx_t.cast("double") / F.sqrt(
+        F.col("q_aq").cast("double") * F.col("recon_sq").cast("double")
+    )
     cand = (
         F.broadcast(q)
         .crossJoin(codes_tbl)
@@ -698,7 +951,7 @@ def pq_topk(
             "q_emb",
             "q_norm",
             "neighbor_id",
-            (approx_dot / (F.col("q_norm") * F.col("recon_norm"))).alias("approx_cosine"),
+            approx_cos.alias("approx_cosine"),
         )
     )
     w_approx = Window.partitionBy("query_id").orderBy(
@@ -726,6 +979,100 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def pq_topk_sql(
+    query_pred: str,
+    k: int = 5,
+    dim: int = DIM,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    iterations: int = 2,
+    rerank_factor: int = 4,
+    scale: int = QUANT_SCALE,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`pq_train` + :func:`pq_topk`: per-subspace
+    quantized-grid codebook training (shared CTE machinery with the IVF
+    twin, partitioned by subspace), code assignment, integer approx
+    scoring, shortlist, exact-cosine rerank. Bit-exact against the
+    Spark plan (VERDICT r8 #4 promotion)."""
+    sub = dim // n_subspaces
+    dot = _dot_sql("q.embedding", "n.embedding", dim, one_based=True)
+    qn = _norm_sql("q.embedding", dim, one_based=True)
+    nn = _norm_sql("n.embedding", dim, one_based=True)
+    kmeans, cfin = _kmeans_sql_ctes(
+        "kb", "vqs", "asub", "seed_vals", iterations, part_cols=["s"]
+    )
+    return f"""
+WITH dimpos AS (SELECT unnest(range(1, {dim + 1})) AS pos),
+valid AS (
+  SELECT vec_id, embedding FROM {table}
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) >= {dim}),
+vqs AS (
+  SELECT v.vec_id, (d.pos - 1) // {sub} AS s, ((d.pos - 1) % {sub}) + 1 AS lp,
+         CAST(ROUND(CAST(v.embedding[d.pos] AS DOUBLE) * {scale}) AS BIGINT) AS val
+  FROM valid v, dimpos d),
+asub AS (
+  SELECT vec_id, s,
+         CASE WHEN SUM(val*val) = 0 THEN 1 ELSE SUM(val*val) END AS a
+  FROM vqs GROUP BY vec_id, s),
+afull AS (
+  SELECT vec_id,
+         CASE WHEN SUM(val*val) = 0 THEN 1 ELSE SUM(val*val) END AS a
+  FROM vqs GROUP BY vec_id),
+seeds AS (
+  SELECT vec_id, DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM valid ORDER BY vec_id LIMIT {n_codes})),
+seed_vals AS (
+  SELECT q.s, se.cid, q.lp AS pos, q.val AS c
+  FROM seeds se JOIN vqs q USING (vec_id)),
+{kmeans},
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY sim DESC, cid DESC) AS rn
+    FROM {cfin}_sim) WHERE rn = 1),
+recon AS (
+  SELECT cd.vec_id,
+         CASE WHEN SUM(b.b0) = 0 THEN 1 ELSE SUM(b.b0) END AS r
+  FROM codes cd
+  JOIN (SELECT s, cid, SUM(c*c) AS b0 FROM {cfin} GROUP BY s, cid) b
+    ON b.s = cd.s AND b.cid = cd.cid
+  GROUP BY cd.vec_id),
+approx AS (
+  SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+         CAST(SUM(q.val * kk.c) AS DOUBLE)
+           / SQRT(CAST(MIN(af.a) AS DOUBLE) * CAST(MIN(r.r) AS DOUBLE)) AS ac
+  FROM vqs q
+  JOIN codes cd ON cd.s = q.s
+  JOIN {cfin} kk ON kk.s = cd.s AND kk.cid = cd.cid AND kk.pos = q.lp
+  JOIN afull af ON af.vec_id = q.vec_id
+  JOIN recon r ON r.vec_id = cd.vec_id
+  WHERE q.vec_id IN (SELECT q.vec_id FROM valid q WHERE ({query_pred}))
+    AND q.vec_id <> cd.vec_id
+  GROUP BY q.vec_id, cd.vec_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ac DESC, neighbor_id) AS rn
+    FROM approx) WHERE rn <= {k * rerank_factor}),
+rescored AS (
+  SELECT sh.query_id, sh.neighbor_id,
+         ({dot}) / (({qn}) * ({nn})) AS cosine
+  FROM short sh
+  JOIN {table} q ON q.vec_id = sh.query_id
+  JOIN {table} n ON n.vec_id = sh.neighbor_id)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT rescored.*,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rescored)
+WHERE rank <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -663,15 +663,17 @@ def _knn_graph_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_MODELS: dict[str, list[list[float]]] = {}
 
 
-@_register("a04_ann_ivf", None)  # k-means means aren't bit-deterministic: rows-only
+@_register("a04_ann_ivf", similarity.ivf_topk_sql(_QUERY_PRED))
 def a04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 for the same 8 query vectors as a01-a03: corpus in
     nearest-centroid cells (16 centroids, 2 Lloyd rounds, deterministic
     seeding), queries probe their 4 nearest cells — data-adaptive
-    buckets at the a02/a03 equi-join shape. Centroid means are float
-    avgs over an unordered shuffle, so there is no exact SQL twin;
-    tests/test_ivf_recall.py pins recall@5 vs brute force above the
-    sign-LSH multiprobe path."""
+    buckets at the a02/a03 equi-join shape. Promoted off the rows-only
+    allowlist in r9 (VERDICT r8 #4): training and assignment ride the
+    quantized-integer grid (similarity.py section comment), so the
+    whole query — Lloyd rounds included — hash-matches the unrolled
+    DuckDB twin. tests/test_ivf_recall.py still pins recall@5 vs brute
+    force above the sign-LSH multiprobe path."""
     emb = load_table(spark, sf_dir, "embeddings")
     if sf_dir not in _IVF_MODELS:
         _IVF_MODELS[sf_dir] = similarity.ivf_train(emb, 16)
@@ -683,13 +685,15 @@ def a04_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_MODELS: dict[str, list[list[list[float]]]] = {}
 
 
-@_register("a05_ann_pq", None)  # codebook means aren't bit-deterministic: rows-only
+@_register("a05_ann_pq", similarity.pq_topk_sql(_QUERY_PRED))
 def a05_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ top-5 for the a01 query set: corpus scanned as 4 sub-space
     codes (64x smaller than the raw vectors), approx scores from
     codebook dot-products, top-20 shortlist reranked exactly against
     the fetched vectors. The memory-bound ANN shape; recall gate in
-    tests/test_ivf_recall.py.
+    tests/test_ivf_recall.py. Promoted off the rows-only allowlist in
+    r9 (VERDICT r8 #4): quantized-grid codebooks + integer approx
+    scores make the whole query hash-exact vs the DuckDB twin.
 
     spread: the per-vector PQ encode is the same code-math fan-out as
     a13, and the r8 fresh-JVM A/B confirmed the win here too (2.37-2.89

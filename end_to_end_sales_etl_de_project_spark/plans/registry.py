@@ -209,15 +209,16 @@ DRIVER_WINDOW: list[str] = [
 # given an oracle or explicitly justified here.
 # Round-6 shrink (VERDICT r5 #5): t05/m02/m03 were PROMOTED to full
 # hash oracles (ASCII-corpus coincidence of Python and SQL semantics,
-# the m05 pattern). The remaining three are float/sketch interiors
-# that genuinely cannot hash cross-engine — each now has a hash-green
-# audit twin in the registry so the driver sees green for the family:
-# q32 → q92_approx_error_bounds, a04 → a12_ivf_recall_audit,
-# a05 → a13_pq_recall_audit.
+# the m05 pattern). Round-9 shrink (VERDICT r8 #4): a04/a05 were
+# PROMOTED by moving their k-means interiors onto the quantized-
+# integer grid (similarity.py section comment) — training, assignment
+# and approx scores are now exact integer arithmetic with one double
+# division, reproduced verbatim by the unrolled DuckDB Lloyd CTEs.
+# The single remaining entry is a sketch interior that genuinely
+# cannot hash cross-engine; its hash-green audit twin is
+# q32 → q92_approx_error_bounds.
 ROWS_ONLY_ALLOWLIST: frozenset[str] = frozenset(
     {
-        "a04_ann_ivf",  # float k-means centroids: exact interior not SQL-expressible
-        "a05_ann_pq",  # float k-means codebooks (exact rerank is still pinned by recall tests)
         "q32_approx_aggs",  # approx_count_distinct/percentile: sketch internals differ by design
     }
 )

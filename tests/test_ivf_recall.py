@@ -76,10 +76,11 @@ def test_ivf_scan_fraction_bounded(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     cents = similarity.ivf_train(emb, 16)
     n = emb.count()
+    vq = similarity._vq_col("embedding", similarity.DIM)
     assigned = emb.select(
-        F.array_max(similarity._centroid_sims("embedding", cents, similarity.DIM))[
-            "cid"
-        ].alias("cid")
+        F.array_max(
+            similarity._centroid_sims_q(vq, similarity._aq_col(vq), cents)
+        )["cid"].alias("cid")
     )
     sizes = {r["cid"]: r["cnt"] for r in assigned.groupBy("cid").agg(F.count("*").alias("cnt")).collect()}
     # no empty training: every centroid keeps a cell; worst cell must not
