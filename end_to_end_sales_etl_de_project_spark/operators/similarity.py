@@ -2051,22 +2051,33 @@ def norm_audit(
     undefined (NaN poisons every top-k they appear in), and a label
     whose norm range is wildly off scale signals a broken encoder run
     or an unnormalized shard mixed into a normalized corpus. Output per
-    label: vector count, zero-vector count, min/max/mean norm.
+    label: vector count, MALFORMED count (NULL or shorter-than-dim
+    vectors — an audit that half-scores a truncated vector hides the
+    exact defect it exists to catch), zero-vector count, and min/max/
+    mean norm over the well-formed rows.
 
-    Exactness: each row's norm is the fixed-order fold both engines
-    compute bit-identically (the a01 discipline); norms then round to
-    the t30/a08 quantized-integer grid so min/max/sum are exact integer
-    aggregation (order-free, map-side combinable) and the mean is two
-    IEEE divisions on exact integers. One scan, |labels| state rows —
-    the plan survives any corpus size.
+    Exactness: each well-formed row's norm is the fixed-order fold
+    both engines compute bit-identically (the a01 discipline); norms
+    then round to the t30/a08 quantized-integer grid so min/max/sum are
+    exact integer aggregation (order-free, map-side combinable) and the
+    mean is two IEEE divisions on exact integers. Malformed rows are
+    excluded from the norm stats IDENTICALLY in both engines (the r9
+    embeddings NULL sweep caught the divergence: DuckDB's unrolled
+    ``arr[i]`` past the end is NULL and poisons the sum, Spark's
+    slice+fold sums the elements that exist). One scan, |labels| state
+    rows — the plan survives any corpus size.
     """
-    norm = _norm_col(vec_col, dim)
+    well_formed = F.col(vec_col).isNotNull() & (F.size(vec_col) >= dim)
+    norm = F.when(well_formed, _norm_col(vec_col, dim))
     q = F.round(norm * scale).cast("bigint")
     return (
         emb.select(F.col(label_col).alias("label"), norm.alias("nrm"), q.alias("q"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("nrm").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_malformed"),
             F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0))
             .cast("bigint")
             .alias("zero_vectors"),
@@ -2074,7 +2085,7 @@ def norm_audit(
             (F.max("q").cast("double") / F.lit(float(scale))).alias("max_norm"),
             (
                 (F.sum("q").cast("double") / F.lit(float(scale)))
-                / F.count(F.lit(1)).cast("double")
+                / F.count("q").cast("double")
             ).alias("mean_norm"),
         )
     )
@@ -2088,19 +2099,21 @@ def norm_audit_sql(
     table: str = "embeddings",
 ) -> str:
     nrm = _norm_sql(vec_col, dim, one_based=True)
+    wf = f"({vec_col} IS NOT NULL AND len({vec_col}) >= {dim})"
     return f"""
 WITH q AS (
   SELECT {label_col} AS label,
-         {nrm} AS nrm,
-         CAST(ROUND(({nrm}) * {scale}) AS BIGINT) AS qn
+         CASE WHEN {wf} THEN {nrm} END AS nrm,
+         CASE WHEN {wf} THEN CAST(ROUND(({nrm}) * {scale}) AS BIGINT) END AS qn
   FROM {table}
 )
 SELECT label,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN nrm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
        CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_vectors,
        CAST(MIN(qn) AS DOUBLE) / {float(scale)} AS min_norm,
        CAST(MAX(qn) AS DOUBLE) / {float(scale)} AS max_norm,
-       (CAST(SUM(qn) AS DOUBLE) / {float(scale)}) / CAST(COUNT(*) AS DOUBLE)
+       (CAST(SUM(qn) AS DOUBLE) / {float(scale)}) / CAST(COUNT(qn) AS DOUBLE)
          AS mean_norm
 FROM q GROUP BY 1
 """

@@ -155,7 +155,10 @@ def test_a18_norm_bounds_and_totals(spark):
     emb_count = spark.read.parquet(f"{SF}/embeddings.parquet").count()
     assert sum(r["n_vecs"] for r in rows) == emb_count
     for r in rows:
-        assert 0 <= r["zero_vectors"] <= r["n_vecs"], r
+        # canonical corpora carry no NULL/short vectors; the planted
+        # sweep (test_null_parity_embeddings) exercises n_malformed > 0
+        assert r["n_malformed"] == 0, r
+        assert 0 <= r["zero_vectors"] <= r["n_vecs"] - r["n_malformed"], r
         assert r["min_norm"] <= r["mean_norm"] <= r["max_norm"], r
         assert r["min_norm"] >= 0.0, r
 
