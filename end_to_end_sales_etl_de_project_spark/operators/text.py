@@ -988,11 +988,86 @@ def composite_quality_sql(expr: str) -> str:
     )
 
 
+def _bigram_grid_stats_np(
+    docs: DataFrame, id_col: str, text_col: str, scale: int
+) -> DataFrame:
+    """(doc, t, s) bigram-grid statistics via a numpy sliding window —
+    the m07 template applied to t34 (VERDICT r8 #5): one Arrow-batched
+    pass computes per-doc T = Σc and S = Σ c·round(ln(c)·scale)
+    without exploding one row per character through a hash aggregate.
+    Bit-compatibility with the JVM explode path: rounding uses the
+    shortest-decimal HALF_UP rule (Decimal(repr(x))) — the same rule
+    java.math.BigDecimal.valueOf applies inside F.round — and the
+    ln-grid absorbs libm-vs-Math.log ulp noise exactly as on the
+    explode path. The udf is a closure (pickled by value, repo
+    invariant)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc", T.LongType()),
+            T.StructField("t", T.LongType()),
+            T.StructField("s", T.LongType()),
+        ]
+    )
+
+    def stat_batches(batches):
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        qc_cache: dict[int, int] = {}
+
+        def qc_of(c: int) -> int:
+            v = qc_cache.get(c)
+            if v is None:
+                x = math.log(float(c)) * scale
+                v = qc_cache[c] = int(
+                    Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+                )
+            return v
+
+        for pdf in batches:
+            out_doc, out_t, out_s = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None or len(txt) < 2:
+                    continue
+                cp = np.frombuffer(
+                    txt.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                grams = (cp[:-1] << 21) | cp[1:]  # code points < 2^21
+                _, counts = np.unique(grams, return_counts=True)
+                # distinct COUNT VALUES are far fewer than distinct
+                # grams — fold multiplicities before the log lookups
+                cvals, cmult = np.unique(counts, return_counts=True)
+                s = int(
+                    sum(
+                        int(m) * int(v) * qc_of(int(v))
+                        for v, m in zip(cvals, cmult)
+                    )
+                )
+                out_doc.append(did)
+                out_t.append(int(grams.size))
+                out_s.append(s)
+            yield pd.DataFrame(
+                {
+                    "doc": pd.Series(out_doc, dtype="Int64"),
+                    "t": pd.Series(out_t, dtype="int64"),
+                    "s": pd.Series(out_s, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(stat_batches, out_schema)
+
+
 def char_entropy(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     scale: int = 100_000,
+    impl: str = "explode",
 ) -> DataFrame:
     """Per-doc character-bigram Shannon entropy (nats) — the
     compression-ratio quality signal: templated/looping junk compresses
@@ -1017,24 +1092,27 @@ def char_entropy(
     per character. Docs with <2 chars (and NULL text) re-enter via the
     left join with n_bigrams=0 and NULL entropy — same on both engines.
     """
-    grams = (
-        docs.filter(F.length(text_col) >= 2)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, length({text_col}) - 1),"
-                    f" i -> substring({text_col}, i, 2))"
-                )
-            ).alias("g"),
+    if impl == "numpy":
+        per_doc = _bigram_grid_stats_np(docs, id_col, text_col, scale)
+    else:
+        grams = (
+            docs.filter(F.length(text_col) >= 2)
+            .select(
+                F.col(id_col).alias("doc"),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, length({text_col}) - 1),"
+                        f" i -> substring({text_col}, i, 2))"
+                    )
+                ).alias("g"),
+            )
         )
-    )
-    counts = grams.groupBy("doc", "g").agg(F.count(F.lit(1)).alias("c"))
-    qc = F.round(F.log(F.col("c").cast("double")) * scale).cast("bigint")
-    per_doc = counts.groupBy("doc").agg(
-        F.sum("c").cast("bigint").alias("t"),
-        F.sum(F.col("c") * qc).cast("bigint").alias("s"),
-    )
+        counts = grams.groupBy("doc", "g").agg(F.count(F.lit(1)).alias("c"))
+        qc = F.round(F.log(F.col("c").cast("double")) * scale).cast("bigint")
+        per_doc = counts.groupBy("doc").agg(
+            F.sum("c").cast("bigint").alias("t"),
+            F.sum(F.col("c") * qc).cast("bigint").alias("s"),
+        )
     # ln(T) must ride the SAME quantized grid as the ln(c) terms:
     # jvm Math.log and libm log disagree by 1 ulp on some inputs, and
     # a raw ln(T) leaks that ulp straight into the hash (observed on

@@ -2843,10 +2843,12 @@ def t34_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc character-bigram Shannon entropy (compression-ratio
     quality signal): templated/looping junk sits far below natural
     text. Folded on the t30/a08 quantized-integer grid — order-free
-    exact sums, two float ops per doc. Bigram explode collapses to
-    (doc, gram) counts inside the scan stage (plan pinned)."""
+    exact sums, two float ops per doc. impl='numpy': the m07 sliding-
+    window template replaced the per-character explode after the r9
+    fresh-JVM A/B (3.7 -> 1.1 s at sf0.1, PERF.md Round 9); only one
+    (doc, t, s) row per doc leaves Python (plan pinned)."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.char_entropy(docs)
+    return text.char_entropy(docs, impl="numpy")
 
 
 @_register("c12_corpus_datasheet", curation.corpus_datasheet_sql())

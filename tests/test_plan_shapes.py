@@ -1052,18 +1052,16 @@ def test_c12_three_scans_and_no_corpus_sort(spark):
             assert 0 <= agg_at < scan_at, tree
 
 
-def test_t34_bigram_explode_collapses_in_scan_stage(spark):
-    """t34 (char entropy): the per-character Generate must feed a
-    partial HashAggregate BEFORE any exchange — the shuffle carries
-    (doc, gram, count) rows bounded by the per-doc alphabet, never one
-    row per character — and the whole chain costs at most two shuffles
-    plus the broadcast join-back."""
-    import re
-
+def test_t34_numpy_stats_stay_per_doc_and_shuffle_free(spark):
+    """t34 (char entropy, numpy impl after the r9 A/B): the bigram
+    statistics must come out of ONE MapInPandas pass emitting a single
+    (doc, t, s) row per doc — no per-character Generate, no hash
+    aggregate of gram rows — and the join-back must broadcast the
+    per-doc stats, costing ZERO shuffle exchanges. The scan under the
+    Python seam must be pruned to (doc_id, text)."""
     plan = plan_of(spark, "t34_char_entropy")
-    tree = plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
-    gen = tree.index("Generate")
-    first_agg_above = tree.rindex("HashAggregate", 0, gen)
-    assert "Exchange" not in tree[first_agg_above:gen], tree
-    assert _shuffle_exchanges(plan) <= 2, plan
-    assert plan.count("HashAggregate") >= 4, plan
+    assert "MapInPandas" in plan, plan
+    assert "Generate" not in plan, plan
+    assert _shuffle_exchanges(plan) == 0, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "struct<doc_id:bigint,text:string>" in plan, plan
