@@ -1447,10 +1447,20 @@ def quantization_audit(
     lambdas, so the inlined form re-evaluated the full quantize-
     dequantize tree once for max_err and once per MSE term — measured
     14x (2.4 s → 0.17 s at sf0.1) for identical arithmetic.
+
+    Malformed vectors (NULL or shorter than ``dim``) emit an all-NULL
+    stats row in BOTH engines — the r9 embeddings NULL sweep caught the
+    divergence (Spark's slice+fold half-audited a truncated vector and
+    called an empty one a zero vector; DuckDB's unrolled ``arr[i]``
+    past the end NULLed the MSE chain but not the NULL-skipping
+    GREATEST) — the a18 rule applied here.
     """
+    well_formed = F.col(vec_col).isNotNull() & (F.size(vec_col) >= dim)
     x = F.slice(F.col(vec_col), 1, dim)
     absx = F.transform(x, lambda v: F.abs(v.cast("double")))
-    max_abs = F.aggregate(absx, F.lit(0.0), lambda a, v: F.greatest(a, v))
+    max_abs = F.when(
+        well_formed, F.aggregate(absx, F.lit(0.0), lambda a, v: F.greatest(a, v))
+    )
     staged = emb.select("vec_id", x.alias("__x"), max_abs.alias("max_abs"))
     scale = F.lit(127.0) / F.col("max_abs")
     with_err = staged.select(
@@ -1485,7 +1495,8 @@ def quantization_audit_sql(
     vec_col: str = "embedding", dim: int = DIM, table: str = "embeddings"
 ) -> str:
     g = ", ".join(f"ABS(CAST({vec_col}[{i + 1}] AS DOUBLE))" for i in range(dim))
-    max_abs = f"GREATEST({g})"
+    wf = f"({vec_col} IS NOT NULL AND len({vec_col}) >= {dim})"
+    max_abs = f"CASE WHEN {wf} THEN GREATEST({g}) END"
 
     def e(i: int) -> str:
         xi = f"CAST({vec_col}[{i + 1}] AS DOUBLE)"

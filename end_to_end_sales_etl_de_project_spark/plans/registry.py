@@ -74,118 +74,73 @@ DRIVER_WINDOW_SIZE = 50
 # window; all rotated-out queries stay under local parity at sf0.001
 # every run (tests/test_oracle_parity.py).
 DRIVER_WINDOW: list[str] = [
-    # ---- Round-8 rotation (VERDICT r7 #3). Every r7-window query is
-    # green in CORRECTNESS_r07, so slots go to (a) queries whose code
-    # or oracle changed this round, (b) the full r02/r03-era refresh
-    # queue (the standing queue from the r7 registry comment — every
-    # one of its rows now holds a slot), (c) oldest r04-era refresh.
-    # -- changed this round (driver_evidence.py stale set): the m03
-    # NULL-payload fix (sample_frames guard), the t02 NULL-text
-    # election fix (predicted_lang), the t27 persist() laziness fix
-    # (ADVICE r7), the d17 oracle ceiling guard (oracle text changed
-    # — not tracked by the tool, slotted defensively), and the three
-    # late-r7 edits the tool flags (e07/q58/q62)
-    "m03_frame_sample",
-    "t02_language_id",
-    "t27_dsir_importance",
-    "d17_substring_dedup",
+    # ---- Round-9 rotation (VERDICT r8 #2). Every r8-window query is
+    # green in CORRECTNESS_r08, so slots go to (a) queries whose code
+    # or oracle changed this round, (b) the standing r02/r03-era
+    # refresh queue in full, (c) oldest r04-era refresh.
+    # -- changed this round (driver_evidence.py stale set): the
+    # a04/a05 quantized-grid oracle promotion touches
+    # a04/a05/a12/a13 (ivf_train/pq_train shared); the a18 malformed-
+    # vector fix from the new embeddings NULL sweep; the t34 numpy
+    # rewrite; the q101 layout artifact; the q102 expectations empty-
+    # row_checks fix; e07/q58/q62 (late-r8 edits the tool flags); m07
+    # slotted defensively (phash_signatures gained the Pillow branch —
+    # an indirect callee the tool does not track)
+    "a04_ann_ivf",
+    "a05_ann_pq",
+    "a12_ivf_recall_audit",
+    "a13_pq_recall_audit",
+    "a18_norm_audit",
+    "t34_char_entropy",
+    "q101_bucketed_join",
+    "q102_constraint_audit",
     "e07_sessionize_lag",
     "q58_sorted_layout_readback",
     "q62_incremental_agg",
-    # -- r02/r03-era evidence refresh (the whole standing queue;
-    # d04/e04/e05/e06/e09-e13/e15/m01/q19 yielded their slots to t33/c11/
-    # t03-reentry/d18/c12/t34/a17/d19/t35/c13 — each
-    # holds green r02/r03 evidence and joins the r9 refresh-queue head)
-    "q59_data_profile",
-    "t10_pii_redact",
-    "t11_token_packing",
-    "t12_source_cap",
-    # -- stale via the r8 NULL-semantics fixes to shared operator
-    # bodies (windows.py _timed filter touches e01/e02/e03; grouped.py
-    # interarrival filter touches e08/e14 — all others already hold
-    # slots above)
-    "e02_sliding_hourly_30m",
-    # -- round-8 additions (no evidence yet): new queries MUST hold a
-    # slot per the union invariant; a02/a03/a07 yielded their slots
-    # (to the e02 staleness row, a16, and t29), and the late-round
-    # batch (q98/q99/q100 TPC-H Q12/Q9/Q20 shapes, t30 Zipf fit, t31
-    # token concentration, q101 bucketed co-located join) displaced the
-    # a08/c04/d01/d10/e16/q50 refresh rows, and q102 (expectations
-    # suite) + q103 (partition completeness) displaced a01/d05, and m07
-    # (perceptual near-dup) displaced t06 — all
-    # eight hold green prior evidence and join a02/a03/a07 at the head
-    # of the r9 refresh queue
-    "a16_knn_pagerank",
-    "t29_vocab_overlap",
-    "q98_line_priority",
-    "q99_profit_by_nation",
-    "q100_heavy_small_part_suppliers",
-    "t30_zipf_slope",
-    "t31_token_concentration",
-    "q101_bucketed_join",
-    "q102_constraint_audit",
-    "q103_partition_completeness",
     "m07_phash_neardup",
-    # -- second round-8 batch: q104 (TPC-H Q6, completing the 22-shape
-    # sweep) and t32 (domain mixture weights) displaced the q51/q54
-    # refresh rows — each holds green r02-era evidence and moves to
-    # the head of the r9 refresh queue alongside a01/a02/a03/a07/d05/
-    # t06
-    "q104_promo_revenue",
-    "t32_domain_mixture",
-    # t33 (BPE pair statistics) displaced the d04 refresh row;
-    # c11 (diversity sample) displaced the e04 refresh row
-    "t33_bpe_pairs",
-    "c11_diversity_sample",
-    # t03 re-enters: its quality expression was factored into the
-    # shared text.composite_quality helper (c11 reuse) — code newer
-    # than its r07 evidence; e05 yielded the slot
-    "t03_quality_score",
-    # d18 (incremental near-dup) displaced the e06 refresh row
-    "d18_incremental_neardup",
-    # c12 (corpus datasheet) displaced the e09 refresh row
-    "c12_corpus_datasheet",
-    # t34 (char entropy) displaced the e10 refresh row
-    "t34_char_entropy",
-    # a17 (Matryoshka truncation audit) displaced the e11 refresh row
-    "a17_matryoshka_audit",
-    # d19 (LSH tuning curve) displaced the e12 refresh row
-    "d19_lsh_tuning_curve",
-    # t35 (language confidence margin) displaced the e13 refresh row
-    "t35_language_confidence",
-    # c13 (corpus snapshot delta) displaced the e15 refresh row
-    # (e14 keeps a slot: grouped.py staleness)
-    "c13_corpus_delta",
-    # a18 (norm audit) and d20 (cross-source dup matrix) displaced
-    # the m01/q19 refresh rows
-    "a18_norm_audit",
-    "d20_cross_source_dups",
-    # t36 (length-drift KS) and c14 (packing fragmentation)
-    # displaced the q31/q53 refresh rows
-    "t36_length_drift",
-    "c14_packing_fragmentation",
-    # t37 (Gopher rule breakdown) and c15 (rule attribution)
-    # displaced the t04/t07 refresh rows (q55 keeps its slot —
-    # stale-flagged)
-    "q55_string_agg",
-    "t37_gopher_rules",
-    "c15_rule_attribution",
-    # t38 (unigram entropy) and a19 (isotropy histogram) displaced
-    # the t08/t09 refresh rows
-    "t38_unigram_entropy",
-    "a19_isotropy_histogram",
-    # t39 (PII density) displaced the t13 refresh row
-    "t39_pii_density",
-    "e14_interarrival_native",
+    # -- the full standing r02/r03-era refresh queue (registry comment
+    # r8; every row's evidence is 5-6 rounds old against actively-
+    # refactored shared helpers)
+    "e09_json_extract",
+    "q50_map_functions",
+    "q51_filtered_aggregates",
+    "q54_unpivot",
+    "a01_ann_bruteforce",
+    "d04_simhash",
+    "d05_embedding_neardup",
+    "e04_user_activity_rollup",
+    "e05_asof_join",
+    "e06_range_join",
+    "e10_value_deciles",
+    "e11_ohlc_hourly",
+    "e12_cohort_retention",
+    "e13_change_intervals",
+    "e15_funnel",
+    "t06_corpus_split",
+    "m01_multimodal_assets",
+    "q19_orderby_limit",
+    "q31_salted_agg",
+    "q53_posexplode_tokens",
+    "t04_doc_fingerprint",
+    "t07_repetition",
+    "t08_stratified_sample",
+    "t09_tfidf_top_terms",
+    "t13_token_rarity",
     # -- oldest r04-era refresh fills the remaining slots (displaced
-    # first if late-round additions need slots); a05 keeps its slot
-    # (spread() applied to its PQ encode this round — stale evidence),
-    # e01/e03 keep theirs (windows.py NULL-fix staleness), e08 keeps
-    # its (grouped.py interarrival filter staleness)
-    "a05_ann_pq",
-    "e01_tumbling_hourly",
-    "e03_session_window",
-    "e08_interarrival_stats",
+    # first if late-round additions need slots)
+    "a02_ann_lsh",
+    "a03_ann_lsh_multiprobe",
+    "a07_quantization_audit",
+    "a08_source_drift",
+    "c04_policy_diff",
+    "d01_dedup_exact",
+    "d10_incremental_dedup",
+    "e16_rolling_1h",
+    "e17_gap_fill_locf",
+    "e18_rolling_zscore",
+    "e19_exact_quantiles",
+    "e20_late_event_audit",
+    "e21_hourly_active_users",
 ]
 # ---- Standing r9 refresh queue (generated from the COVERAGE evidence
 # table: oldest-evidence rows NOT holding an r8 slot — the late-r8

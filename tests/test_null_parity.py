@@ -31,41 +31,25 @@ from end_to_end_sales_etl_de_project_spark.testing import (
 )
 
 # in-window queries whose plans (and oracles) read the documents table
-# (r8 rotation: m03 and t02 join the sweep with their NULL fixes —
-# the two r7 debt pins below flipped to parity coverage; late-r8:
-# a08/c04/d01/d10 yielded their window slots to t30/t31 + the q98-q101
-# relational batch and left the sweep with them)
+# (r9 rotation: the refresh queue brought the r02/r03-era doc readers
+# back in — their FIRST exposure to planted NULLs; the r8 batch left
+# the sweep with its slots, each already swept green in r8)
 WINDOW_DOC_QUERIES = [
-    "m03_frame_sample",
-    "t02_language_id",
-    "t27_dsir_importance",
-    "d17_substring_dedup",
-    "t10_pii_redact",
-    "t11_token_packing",
-    "t12_source_cap",
-    "t29_vocab_overlap",
-    "t30_zipf_slope",
-    "t31_token_concentration",
+    "a08_source_drift",
+    "c04_policy_diff",
+    "d01_dedup_exact",
+    "d04_simhash",
+    "d10_incremental_dedup",
+    "m01_multimodal_assets",
     "m07_phash_neardup",
-    # late-r8 additions (d04 left the sweep with its window slot;
-    # t03 re-entered with the composite_quality refactor)
-    "t03_quality_score",
-    "t32_domain_mixture",
-    "t33_bpe_pairs",
-    "c11_diversity_sample",
-    "d18_incremental_neardup",
-    "c12_corpus_datasheet",
+    "q53_posexplode_tokens",
+    "t04_doc_fingerprint",
+    "t06_corpus_split",
+    "t07_repetition",
+    "t08_stratified_sample",
+    "t09_tfidf_top_terms",
+    "t13_token_rarity",
     "t34_char_entropy",
-    "d19_lsh_tuning_curve",
-    "t35_language_confidence",
-    "c13_corpus_delta",
-    "d20_cross_source_dups",
-    "t36_length_drift",
-    "c14_packing_fragmentation",
-    "t37_gopher_rules",
-    "c15_rule_attribution",
-    "t38_unigram_entropy",
-    "t39_pii_density",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"

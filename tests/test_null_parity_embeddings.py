@@ -38,11 +38,21 @@ from end_to_end_sales_etl_de_project_spark.testing import (
 
 # in-window queries whose plans (and oracles) read the embeddings table
 WINDOW_EMB_QUERIES = [
+    # r9 rotation: the a-family refresh rows return — first planted-
+    # NULL exposure for a01/a02/a03/a07/a12/a13/d05; a04/a05/a18 hold
+    # stale-flag slots (a16/a17/a19 left the sweep with their window
+    # slots, swept green at sweep creation this round)
+    "a01_ann_bruteforce",
+    "a02_ann_lsh",
+    "a03_ann_lsh_multiprobe",
+    "a04_ann_ivf",
     "a05_ann_pq",
-    "a16_knn_pagerank",
-    "a17_matryoshka_audit",
+    "a07_quantization_audit",
+    "a08_source_drift",
+    "a12_ivf_recall_audit",
+    "a13_pq_recall_audit",
     "a18_norm_audit",
-    "a19_isotropy_histogram",
+    "d05_embedding_neardup",
 ]
 
 

@@ -32,16 +32,26 @@ from end_to_end_sales_etl_de_project_spark.testing import (
 
 # in-window queries whose plans (and oracles) read the events table
 WINDOW_EVENT_QUERIES = [
-    "e14_interarrival_native",
-    # (e04/e05/e06/e09-e13, e15 left the sweep with their window
-    # slots — yielded to the late-r8 operator batch; they rejoin
-    # as the r9 refresh queue rotates them back in)
-    "e01_tumbling_hourly",
-    "e02_sliding_hourly_30m",
-    "e03_session_window",
+    # r9 rotation: the full r02/r03-era event family returned via the
+    # refresh queue — first planted-NULL exposure for most of them;
+    # e07 stays with its stale-flag slot (e01/e02/e03/e08/e14/q62 left
+    # the sweep with their window slots, swept green in r8)
+    "e04_user_activity_rollup",
+    "e05_asof_join",
+    "e06_range_join",
     "e07_sessionize_lag",
-    "e08_interarrival_stats",
-    "q62_incremental_agg",
+    "e09_json_extract",
+    "e10_value_deciles",
+    "e11_ohlc_hourly",
+    "e12_cohort_retention",
+    "e13_change_intervals",
+    "e15_funnel",
+    "e16_rolling_1h",
+    "e17_gap_fill_locf",
+    "e18_rolling_zscore",
+    "e19_exact_quantiles",
+    "e20_late_event_audit",
+    "e21_hourly_active_users",
 ]
 
 

@@ -36,19 +36,19 @@ SALES_TABLES = ["lineitem", "orders", "customer", "supplier", "part", "nation", 
 
 # in-window queries whose plans (and oracles) read a sales table
 WINDOW_SALES_QUERIES = [
-    "q55_string_agg",
-    # (q19/q51/q54 left the sweep with their window slots — r9 queue)
+    # r9 rotation: the refresh queue brought the r02-era relational
+    # rows back in — first planted-NULL exposure for q19/q31/q50/q51/
+    # q54; q58/q62/q101/q102 stay with their stale-flag slots (the
+    # r8 batch left the sweep with its slots, swept green in r8)
+    "q19_orderby_limit",
+    "q31_salted_agg",
+    "q50_map_functions",
+    "q51_filtered_aggregates",
+    "q54_unpivot",
     "q58_sorted_layout_readback",
-    "q59_data_profile",
     "q62_incremental_agg",
-    "q98_line_priority",
-    "q99_profit_by_nation",
-    "q100_heavy_small_part_suppliers",
     "q101_bucketed_join",
     "q102_constraint_audit",
-    "q103_partition_completeness",
-    # late-r8: q104 joined the window (q51/q54 left with their slots)
-    "q104_promo_revenue",
 ]
 
 # per-table NULL masks: (column, modulus) — key % modulus == 0 nulls
