@@ -234,6 +234,10 @@ HEADLINE = [
     "t38_unigram_entropy",
     "a19_isotropy_histogram",
     "t39_pii_density",
+    # round-9 additions
+    "t40_tokenizer_fertility",
+    "a20_pq_distortion",
+    "a21_ivf_recall_curve",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -546,7 +546,7 @@ def _kmeans_sql_ctes(
     on_part = " AND ".join([f"q.{c} = c.{c}" for c in part_cols]) or "TRUE"
     ctes = []
     cur = f"{prefix}0"
-    ctes.append(f"{cur} AS (SELECT {pc}cid, pos, c FROM {seeds})")
+    ctes.append(f"{cur} AS MATERIALIZED (SELECT {pc}cid, pos, c FROM {seeds})")
     for i in range(iterations):
         nxt = f"{prefix}{i + 1}"
         a_on = " AND ".join(
@@ -557,12 +557,12 @@ def _kmeans_sql_ctes(
         )
         bpc = "".join(f"c.{c}, " for c in part_cols)
         ctes.append(
-            f"""{cur}_b AS (
+            f"""{cur}_b AS MATERIALIZED (
   SELECT {pc}cid, CASE WHEN SUM(c*c) = 0 THEN 1 ELSE SUM(c*c) END AS b
   FROM {cur} GROUP BY {pc}cid)"""
         )
         ctes.append(
-            f"""{cur}_sim AS (
+            f"""{cur}_sim AS MATERIALIZED (
   SELECT q.vec_id, {bpc}c.cid,
          CAST(SUM(q.val * c.c) AS DOUBLE)
            / SQRT(CAST(MIN(a.a) AS DOUBLE) * CAST(MIN(b.b) AS DOUBLE)) AS sim
@@ -573,7 +573,7 @@ def _kmeans_sql_ctes(
   GROUP BY q.vec_id, {bpc}c.cid)"""
         )
         ctes.append(
-            f"""{cur}_asg AS (
+            f"""{cur}_asg AS MATERIALIZED (
   SELECT vec_id, {pc}cid FROM (
     SELECT vec_id, {pc}cid,
            ROW_NUMBER() OVER (PARTITION BY vec_id{"".join(", " + c for c in part_cols)}
@@ -588,7 +588,7 @@ def _kmeans_sql_ctes(
             ["a.cid = c.cid"] + [f"a.{c} = c.{c}" for c in part_cols]
         )
         ctes.append(
-            f"""{nxt} AS (
+            f"""{nxt} AS MATERIALIZED (
   SELECT {pc}cid, pos, c FROM (
     SELECT {apc}a.cid, q.lp AS pos,
            CASE WHEN SUM(q.val) < 0
@@ -603,7 +603,7 @@ def _kmeans_sql_ctes(
         cur = nxt
     # final guarded norms + final assignment of every vector
     ctes.append(
-        f"""{cur}_b AS (
+        f"""{cur}_b AS MATERIALIZED (
   SELECT {pc}cid, CASE WHEN SUM(c*c) = 0 THEN 1 ELSE SUM(c*c) END AS b
   FROM {cur} GROUP BY {pc}cid)"""
     )
@@ -614,7 +614,7 @@ def _kmeans_sql_ctes(
     b_on = " AND ".join(["b.cid = c.cid"] + [f"b.{c} = c.{c}" for c in part_cols])
     on_part = " AND ".join([f"q.{c} = c.{c}" for c in part_cols]) or "TRUE"
     ctes.append(
-        f"""{cur}_sim AS (
+        f"""{cur}_sim AS MATERIALIZED (
   SELECT q.vec_id, {bpc}c.cid,
          CAST(SUM(q.val * c.c) AS DOUBLE)
            / SQRT(CAST(MIN(a.a) AS DOUBLE) * CAST(MIN(b.b) AS DOUBLE)) AS sim
@@ -657,14 +657,14 @@ vq AS (
   SELECT v.vec_id, d.pos AS lp,
          CAST(ROUND(CAST(v.embedding[d.pos] AS DOUBLE) * {scale}) AS BIGINT) AS val
   FROM valid v, dimpos d),
-aq AS (
+aq AS MATERIALIZED (
   SELECT vec_id,
          CASE WHEN SUM(val*val) = 0 THEN 1 ELSE SUM(val*val) END AS a
   FROM vq GROUP BY vec_id),
 seeds AS (
   SELECT vec_id, DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cid
   FROM (SELECT vec_id FROM valid ORDER BY vec_id LIMIT {n_centroids})),
-seed_vals AS (
+seed_vals AS MATERIALIZED (
   SELECT s.cid, q.lp AS pos, q.val AS c FROM seeds s JOIN vq q USING (vec_id)),
 {kmeans},
 cells AS (
@@ -1014,28 +1014,28 @@ vqs AS (
   SELECT v.vec_id, (d.pos - 1) // {sub} AS s, ((d.pos - 1) % {sub}) + 1 AS lp,
          CAST(ROUND(CAST(v.embedding[d.pos] AS DOUBLE) * {scale}) AS BIGINT) AS val
   FROM valid v, dimpos d),
-asub AS (
+asub AS MATERIALIZED (
   SELECT vec_id, s,
          CASE WHEN SUM(val*val) = 0 THEN 1 ELSE SUM(val*val) END AS a
   FROM vqs GROUP BY vec_id, s),
-afull AS (
+afull AS MATERIALIZED (
   SELECT vec_id,
          CASE WHEN SUM(val*val) = 0 THEN 1 ELSE SUM(val*val) END AS a
   FROM vqs GROUP BY vec_id),
 seeds AS (
   SELECT vec_id, DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cid
   FROM (SELECT vec_id FROM valid ORDER BY vec_id LIMIT {n_codes})),
-seed_vals AS (
+seed_vals AS MATERIALIZED (
   SELECT q.s, se.cid, q.lp AS pos, q.val AS c
   FROM seeds se JOIN vqs q USING (vec_id)),
 {kmeans},
-codes AS (
+codes AS MATERIALIZED (
   SELECT vec_id, s, cid FROM (
     SELECT vec_id, s, cid,
            ROW_NUMBER() OVER (PARTITION BY vec_id, s
                               ORDER BY sim DESC, cid DESC) AS rn
     FROM {cfin}_sim) WHERE rn = 1),
-recon AS (
+recon AS MATERIALIZED (
   SELECT cd.vec_id,
          CASE WHEN SUM(b.b0) = 0 THEN 1 ELSE SUM(b.b0) END AS r
   FROM codes cd
@@ -1072,6 +1072,255 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
                             ORDER BY cosine DESC, neighbor_id) AS rank
   FROM rescored)
 WHERE rank <= {k}
+"""
+
+
+def pq_distortion_by_label(
+    emb: DataFrame,
+    books: list[list[list[int]]],
+    label_col: str = "label",
+    dim: int = DIM,
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """Per-label PQ reconstruction distortion — the codebook-quality
+    audit run before trusting 64x-compressed codes for a corpus slice:
+    a label whose vectors sit far from every codeword (new modality,
+    encoder drift) gets systematically worse ANN shortlists, and this
+    table shows it per slice instead of as one corpus-wide average
+    (the per-label cousin of a08's drift report).
+
+    Exactness (enabled by the r9 quantized-grid promotion): each
+    vector's squared reconstruction error Σ(v_q − c_q)² is an exact
+    BIGINT — order-free, map-side combinable — and the per-label mean/
+    max are single double divisions by scale². Headroom: per-term
+    (2·2^20)² ≈ 2^42, ×64 dims ≈ 2^48, summed over 10^9 rows in
+    DuckDB's hugeint; Spark's per-label DOUBLE conversion happens
+    after the exact per-vector fold, keeping sums under 2^53 per
+    vector. Malformed vectors are excluded (the a18/a07 rule). One
+    scan of codes vs codebook literals; |labels| state rows."""
+    n_subspaces = len(books)
+    sub = dim // n_subspaces
+    vq = _vq_col("embedding", dim)
+    staged = _valid_vecs(emb, dim=dim).select(
+        F.col(label_col).alias("label"),
+        vq.alias("__vq"),
+        _pq_codes_col(vq, books, sub).alias("__codes"),
+    )
+    err = F.lit(0).cast("bigint")
+    for s, book in enumerate(books):
+        book_lit = F.array(
+            *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in book]
+        )
+        cw = F.element_at(book_lit, F.element_at(F.col("__codes"), s + 1) + 1)
+        prods = F.zip_with(
+            F.slice(F.col("__vq"), s * sub + 1, sub),
+            cw,
+            lambda x, y: (x - y) * (x - y),
+        )
+        err = err + F.aggregate(
+            prods, F.lit(0).cast("bigint"), lambda a, x: a + x
+        )
+    sq = float(scale) * float(scale)
+    per_vec = staged.select("label", err.alias("e"))
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        ((F.sum("e").cast("double") / F.lit(sq)) / F.count(F.lit(1)).cast("double")).alias(
+            "mean_sq_err"
+        ),
+        (F.max("e").cast("double") / F.lit(sq)).alias("max_sq_err"),
+    )
+
+
+def pq_distortion_by_label_sql(
+    label_col: str = "label",
+    dim: int = DIM,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    iterations: int = 2,
+    scale: int = QUANT_SCALE,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`pq_distortion_by_label` — retrains the
+    same quantized-grid codebooks (shared CTE machinery with the a05
+    twin) and folds the identical integer error sums."""
+    sub = dim // n_subspaces
+    sq = float(scale) * float(scale)
+    kmeans, cfin = _kmeans_sql_ctes(
+        "kb", "vqs", "asub", "seed_vals", iterations, part_cols=["s"]
+    )
+    return f"""
+WITH dimpos AS (SELECT unnest(range(1, {dim + 1})) AS pos),
+valid AS (
+  SELECT vec_id, embedding, {label_col} FROM {table}
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) >= {dim}),
+vqs AS (
+  SELECT v.vec_id, (d.pos - 1) // {sub} AS s, ((d.pos - 1) % {sub}) + 1 AS lp,
+         CAST(ROUND(CAST(v.embedding[d.pos] AS DOUBLE) * {scale}) AS BIGINT) AS val
+  FROM valid v, dimpos d),
+asub AS MATERIALIZED (
+  SELECT vec_id, s,
+         CASE WHEN SUM(val*val) = 0 THEN 1 ELSE SUM(val*val) END AS a
+  FROM vqs GROUP BY vec_id, s),
+seeds AS (
+  SELECT vec_id, DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM valid ORDER BY vec_id LIMIT {n_codes})),
+seed_vals AS MATERIALIZED (
+  SELECT q.s, se.cid, q.lp AS pos, q.val AS c
+  FROM seeds se JOIN vqs q USING (vec_id)),
+{kmeans},
+codes AS MATERIALIZED (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY sim DESC, cid DESC) AS rn
+    FROM {cfin}_sim) WHERE rn = 1),
+err AS (
+  SELECT q.vec_id, CAST(SUM((q.val - kk.c) * (q.val - kk.c)) AS BIGINT) AS e
+  FROM vqs q
+  JOIN codes cd ON cd.vec_id = q.vec_id AND cd.s = q.s
+  JOIN {cfin} kk ON kk.s = cd.s AND kk.cid = cd.cid AND kk.pos = q.lp
+  GROUP BY q.vec_id)
+SELECT v.{label_col} AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       (CAST(SUM(err.e) AS DOUBLE) / {sq}) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_sq_err,
+       CAST(MAX(err.e) AS DOUBLE) / {sq} AS max_sq_err
+FROM valid v JOIN err ON err.vec_id = v.vec_id
+GROUP BY 1
+"""
+
+
+def ivf_recall_curve(
+    emb: DataFrame,
+    queries: DataFrame,
+    exact: DataFrame,
+    centroids: list[list[int]],
+    k: int = 5,
+    dim: int = DIM,
+    probe_counts: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """Recall@k of the IVF path at several probe widths against the
+    exact baseline — the n_probe dial measured from a table (the a15
+    pattern applied to IVF, exactly oracle-able since the r9
+    quantized-grid promotion). Output: one row per probe count with
+    (n_probe, n_exact, n_hit, recall).
+
+    ``exact`` is the materialized brute-force top-k over the SAME
+    (emb, queries, k) — the session ground-truth artifact. Each probe
+    width re-runs only the candidate join + top-k (the centroid model
+    and cell assignment are shared by construction); the corpus is
+    never shuffled."""
+    exact_pairs = exact.select("query_id", "neighbor_id")
+    legs = []
+    for p in probe_counts:
+        approx = ivf_topk(
+            emb, queries, k=k, dim=dim, n_probe=p, centroids=centroids
+        ).select("query_id", "neighbor_id")
+        legs.append(
+            exact_pairs.join(
+                approx, ["query_id", "neighbor_id"], "left_semi"
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+            .crossJoin(
+                exact_pairs.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_exact")
+                )
+            )
+            .select(
+                F.lit(p).cast("int").alias("n_probe"),
+                "n_exact",
+                "n_hit",
+                (F.col("n_hit").cast("double") / F.col("n_exact").cast("double")).alias(
+                    "recall"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def ivf_recall_curve_sql(
+    query_pred: str,
+    k: int = 5,
+    dim: int = DIM,
+    n_centroids: int = 16,
+    probe_counts: tuple[int, ...] = (1, 2, 4),
+    iterations: int = 2,
+    scale: int = QUANT_SCALE,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`ivf_recall_curve`: ONE quantized-grid
+    Lloyd training + cell assignment + probe ranking, then one top-k +
+    hit-count leg per probe width, unioned."""
+    dot = _dot_sql("q.embedding", "n.embedding", dim, one_based=True)
+    qn = _norm_sql("q.embedding", dim, one_based=True)
+    nn = _norm_sql("n.embedding", dim, one_based=True)
+    bf = brute_force_topk_sql(query_pred, k=k, dim=dim, table=table)
+    kmeans, cfin = _kmeans_sql_ctes(
+        "c", "vq", "aq", "seed_vals", iterations, part_cols=[]
+    )
+    legs = []
+    for p in probe_counts:
+        legs.append(
+            f"""
+SELECT CAST({p} AS INTEGER) AS n_probe, tot.n_exact, h{p}.n_hit,
+       CAST(h{p}.n_hit AS DOUBLE) / CAST(tot.n_exact AS DOUBLE) AS recall
+FROM tot, (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM bf JOIN (
+    SELECT query_id, neighbor_id FROM (
+      SELECT s.query_id, s.neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                ORDER BY s.cosine DESC, s.neighbor_id) AS rank
+      FROM (
+        SELECT pr.query_id, c.neighbor_id,
+               ({dot}) / (({qn}) * ({nn})) AS cosine
+        FROM probe_rank pr
+        JOIN cells c ON c.cid = pr.cid
+        JOIN {table} q ON q.vec_id = pr.query_id
+        JOIN {table} n ON n.vec_id = c.neighbor_id
+        WHERE pr.rn <= {p} AND pr.query_id <> c.neighbor_id) s)
+    WHERE rank <= {k}) a
+  ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id) h{p}"""
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH dimpos AS (SELECT unnest(range(1, {dim + 1})) AS pos),
+valid AS (
+  SELECT vec_id, embedding FROM {table}
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) >= {dim}),
+vq AS (
+  SELECT v.vec_id, d.pos AS lp,
+         CAST(ROUND(CAST(v.embedding[d.pos] AS DOUBLE) * {scale}) AS BIGINT) AS val
+  FROM valid v, dimpos d),
+aq AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN SUM(val*val) = 0 THEN 1 ELSE SUM(val*val) END AS a
+  FROM vq GROUP BY vec_id),
+seeds AS (
+  SELECT vec_id, DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM valid ORDER BY vec_id LIMIT {n_centroids})),
+seed_vals AS MATERIALIZED (
+  SELECT s.cid, q.lp AS pos, q.val AS c FROM seeds s JOIN vq q USING (vec_id)),
+{kmeans},
+cells AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+    FROM {cfin}_sim) WHERE rn = 1),
+probe_rank AS MATERIALIZED (
+  SELECT vec_id AS query_id, cid, rn FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+    FROM {cfin}_sim
+    WHERE vec_id IN (SELECT q.vec_id FROM valid q WHERE ({query_pred})))),
+bf AS MATERIALIZED ({bf}),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM bf)
+{union}
 """
 
 

@@ -2910,3 +2910,51 @@ def t32_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny per-source aggregate (plan pinned: single Scan node)."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.domain_mixture(docs)
+
+
+# ---- round-9 batch: tokenizer fertility, PQ distortion, IVF curve
+
+
+@_register("t40_tokenizer_fertility", text.tokenizer_fertility_sql())
+def t40_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility/compression profile (Rust et
+    al. 2021): subword tokens per word and chars per token under the
+    t04/t11 pre-tokenization regex — the table that scales each
+    language's effective token budget in a multilingual mix. Exact
+    BIGINT sums, one scan, |langs| state rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tokenizer_fertility(docs)
+
+
+@_register("a20_pq_distortion", similarity.pq_distortion_by_label_sql())
+def a20_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label PQ reconstruction distortion (the codebook-quality
+    audit behind a05): exact integer Σ(v_q−c_q)² per vector on the
+    quantized grid, mean/max per label — a new-modality or
+    encoder-drift slice gets systematically worse shortlists and this
+    shows WHERE. Exactly oracle-able since the r9 grid promotion;
+    reads the session codebooks (_PQ_MODELS)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    if sf_dir not in _PQ_MODELS:
+        _PQ_MODELS[sf_dir] = similarity.pq_train(emb)
+    return similarity.pq_distortion_by_label(emb, books=_PQ_MODELS[sf_dir])
+
+
+@_register("a21_ivf_recall_curve", similarity.ivf_recall_curve_sql(_QUERY_PRED))
+def a21_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF path at n_probe ∈ {1,2,4} against the exact
+    ground truth — the probe-width dial measured from a table (a15's
+    curve pattern applied to IVF; exactly oracle-able since the r9
+    grid promotion). Reads the session centroid model and the
+    materialized brute-force baseline; each leg re-runs only the
+    candidate join + top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_MODELS:
+        _IVF_MODELS[sf_dir] = similarity.ivf_train(emb, 16)
+    exact, _ = _ann_baselines(spark, sf_dir)
+    return similarity.ivf_recall_curve(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        exact,
+        centroids=_IVF_MODELS[sf_dir],
+    )

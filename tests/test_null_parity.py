@@ -50,6 +50,8 @@ WINDOW_DOC_QUERIES = [
     "t09_tfidf_top_terms",
     "t13_token_rarity",
     "t34_char_entropy",
+    # late-r9 batch
+    "t40_tokenizer_fertility",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"

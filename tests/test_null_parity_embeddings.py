@@ -53,6 +53,9 @@ WINDOW_EMB_QUERIES = [
     "a13_pq_recall_audit",
     "a18_norm_audit",
     "d05_embedding_neardup",
+    # late-r9 batch
+    "a20_pq_distortion",
+    "a21_ivf_recall_curve",
 ]
 
 

@@ -49,9 +49,7 @@ WINDOW_EVENT_QUERIES = [
     "e16_rolling_1h",
     "e17_gap_fill_locf",
     "e18_rolling_zscore",
-    "e19_exact_quantiles",
-    "e20_late_event_audit",
-    "e21_hourly_active_users",
+    # (e19/e20/e21 yielded their window slots to the late-r9 batch)
 ]
 
 

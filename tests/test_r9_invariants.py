@@ -1,0 +1,53 @@
+"""Behavioral laws for the round-9 operator batch — invariants the
+hash oracle cannot express (cross-row monotonicity, conservation
+against the raw corpus), the r8 pattern continued."""
+
+from __future__ import annotations
+
+import pytest
+
+from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_a21_recall_curve_monotone_in_probes(spark):
+    rows = sorted(
+        QUERIES["a21_ivf_recall_curve"](spark, SF).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    assert [r["n_probe"] for r in rows] == [1, 2, 4]
+    n_exact = {r["n_exact"] for r in rows}
+    assert len(n_exact) == 1  # same ground truth under every leg
+    recalls = [r["recall"] for r in rows]
+    assert all(0.0 <= x <= 1.0 for x in recalls), recalls
+    # widening the probe set can only add candidates
+    assert recalls == sorted(recalls), recalls
+    for r in rows:
+        assert r["n_hit"] <= r["n_exact"], r
+
+
+def test_a20_distortion_totals_and_bounds(spark):
+    rows = QUERIES["a20_pq_distortion"](spark, SF).collect()
+    emb_count = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r["n_vecs"] for r in rows) == emb_count  # corpus is well-formed
+    for r in rows:
+        assert r["mean_sq_err"] >= 0.0, r
+        assert r["max_sq_err"] >= r["mean_sq_err"], r
+    # codebooks must actually fit SOMETHING: the corpus-wide mean
+    # distortion must be far below the mean squared norm (~1 for this
+    # corpus scale) — an untrained/broken codebook would not be
+    assert (
+        sum(r["mean_sq_err"] * r["n_vecs"] for r in rows) / emb_count < 10.0
+    ), rows
+
+
+def test_t40_fertility_conservation(spark):
+    rows = QUERIES["t40_tokenizer_fertility"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        # every WORD_REGEX word contains at least one TOKEN_REGEX token
+        assert r["total_tokens"] >= r["total_words"], r
+        assert r["fertility"] >= 1.0, r
+        assert r["chars_per_token"] > 0.0, r
