@@ -2933,8 +2933,10 @@ def a20_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized grid, mean/max per label — a new-modality or
     encoder-drift slice gets systematically worse shortlists and this
     shows WHERE. Exactly oracle-able since the r9 grid promotion;
-    reads the session codebooks (_PQ_MODELS)."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    reads the session codebooks (_PQ_MODELS). No spread: the error
+    fold is pure codegen (no Python seam), so the extra exchange would
+    only cost (plan pinned at one label exchange)."""
+    emb = load_table(spark, sf_dir, "embeddings")
     if sf_dir not in _PQ_MODELS:
         _PQ_MODELS[sf_dir] = similarity.pq_train(emb)
     return similarity.pq_distortion_by_label(emb, books=_PQ_MODELS[sf_dir])

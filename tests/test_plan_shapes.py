@@ -1065,3 +1065,39 @@ def test_t34_numpy_stats_stay_per_doc_and_shuffle_free(spark):
     assert _shuffle_exchanges(plan) == 0, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_t40_fertility_is_one_scan_partial_agg(spark):
+    """t40: all four sums fold map-side in ONE pruned scan; the only
+    exchange carries |langs| partial rows."""
+    import re
+
+    plan = plan_of(spark, "t40_tokenizer_fertility")
+    assert _shuffle_exchanges(plan) == 1, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1, plan
+    assert "struct<text:string,lang:string>" in plan, plan
+
+
+def test_a20_distortion_single_label_exchange(spark):
+    """a20: per-vector integer error folds against codebook LITERALS in
+    the projection (no join against a codebook table, nothing per-
+    subspace leaves the row), then one partial-agg exchange on label."""
+    plan = plan_of(spark, "a20_pq_distortion")
+    assert _shuffle_exchanges(plan) == 1, plan
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan, plan  # codebooks ride as literals
+
+
+def test_a21_curve_never_shuffles_corpus(spark):
+    """a21: every probe leg keeps the a04 equi-join shape — queries
+    broadcast onto centroid cells, corpus scanned in place; the only
+    exchanges are the scalar count roll-ups (SinglePartition), never a
+    hashpartitioning of corpus rows."""
+    plan = plan_of(spark, "a21_ivf_recall_curve")
+    import re
+
+    hash_ex = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert not hash_ex, hash_ex
+    assert "BroadcastHashJoin" in plan, plan
