@@ -235,9 +235,9 @@ HEADLINE = [
     "a19_isotropy_histogram",
     "t39_pii_density",
     # round-9 additions
-    "t40_tokenizer_fertility",
     "a20_pq_distortion",
     "a21_ivf_recall_curve",
+    "d21_cross_source_neardup",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

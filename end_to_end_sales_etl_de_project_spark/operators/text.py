@@ -1563,72 +1563,3 @@ SELECT source,
 FROM per_source
 """
 
-
-def tokenizer_fertility(
-    docs: DataFrame,
-    lang_col: str = "lang",
-    text_col: str = "text",
-) -> DataFrame:
-    """Per-language tokenizer fertility profile — the multilingual-mix
-    planning table (Rust et al. 2021, "How Good is Your Tokenizer?"):
-    fertility (subword tokens per whitespace word) and compression
-    (characters per subword token) quantify how expensive each language
-    is for a fixed tokenizer, which directly scales its effective
-    token budget in a mixed corpus. The BPE-ish pre-tokenization regex
-    (``TOKEN_REGEX``, the t04/t11 tokenizer) stands in for a trained
-    subword vocabulary.
-
-    Exactness: all four sums are exact BIGINT aggregation over
-    regexp_count/length (order-free, map-side combinable); the two
-    ratios are single double divisions of exact integers. NULL texts
-    count toward n_docs but contribute no sums (SUM skips NULL in both
-    engines); NULL langs group together (GROUP BY equality). One scan,
-    |langs| state rows — any corpus size.
-    """
-    return (
-        docs.groupBy(F.col(lang_col).alias("lang"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.length(text_col)).cast("bigint").alias("total_chars"),
-            F.sum(word_count(text_col)).cast("bigint").alias("total_words"),
-            F.sum(token_count(text_col)).cast("bigint").alias("total_tokens"),
-        )
-        .select(
-            "lang",
-            "n_docs",
-            "total_chars",
-            "total_words",
-            "total_tokens",
-            (
-                F.col("total_tokens").cast("double")
-                / F.col("total_words").cast("double")
-            ).alias("fertility"),
-            (
-                F.col("total_chars").cast("double")
-                / F.col("total_tokens").cast("double")
-            ).alias("chars_per_token"),
-        )
-    )
-
-
-def tokenizer_fertility_sql(
-    lang_col: str = "lang",
-    text_col: str = "text",
-    table: str = "documents",
-) -> str:
-    return f"""
-WITH agg AS (
-  SELECT {lang_col} AS lang,
-         CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(length({text_col})) AS BIGINT) AS total_chars,
-         CAST(SUM({word_count_sql(text_col)}) AS BIGINT) AS total_words,
-         CAST(SUM({token_count_sql(text_col)}) AS BIGINT) AS total_tokens
-  FROM {table} GROUP BY 1
-)
-SELECT lang, n_docs, total_chars, total_words, total_tokens,
-       CAST(total_tokens AS DOUBLE) / CAST(total_words AS DOUBLE)
-         AS fertility,
-       CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE)
-         AS chars_per_token
-FROM agg
-"""

@@ -2915,17 +2915,6 @@ def t32_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- round-9 batch: tokenizer fertility, PQ distortion, IVF curve
 
 
-@_register("t40_tokenizer_fertility", text.tokenizer_fertility_sql())
-def t40_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language tokenizer fertility/compression profile (Rust et
-    al. 2021): subword tokens per word and chars per token under the
-    t04/t11 pre-tokenization regex — the table that scales each
-    language's effective token budget in a multilingual mix. Exact
-    BIGINT sums, one scan, |langs| state rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    return text.tokenizer_fertility(docs)
-
-
 @_register("a20_pq_distortion", similarity.pq_distortion_by_label_sql())
 def a20_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label PQ reconstruction distortion (the codebook-quality
@@ -2959,4 +2948,17 @@ def a21_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 8),
         exact,
         centroids=_IVF_MODELS[sf_dir],
+    )
+
+
+@_register("d21_cross_source_neardup", dedup.cross_source_neardup_matrix_sql())
+def d21_cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair NEAR-dup matrix: d20's mirror detector for re-crawls
+    that differ by a timestamp or boilerplate line — d03's verified
+    near-dup pairs that cross a source boundary, counted per source
+    pair with their mean Jaccard on the quantized grid. Reads the
+    session shingle index; |sources|²-bounded output."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cross_source_neardup_matrix(
+        docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
     )

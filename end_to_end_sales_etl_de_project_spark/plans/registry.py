@@ -138,12 +138,12 @@ DRIVER_WINDOW: list[str] = [
     "e16_rolling_1h",
     "e17_gap_fill_locf",
     "e18_rolling_zscore",
-    # (e19/e20/e21 yielded their refresh slots to the late-r9 batch
+    # (e19-e21 yielded their refresh slots to the late-r9 batch
     # t40/a20/a21 — new queries MUST hold a slot per the union
     # invariant; all three keep r04 evidence and rejoin the r10 queue)
-    "t40_tokenizer_fertility",
     "a20_pq_distortion",
     "a21_ivf_recall_curve",
+    "d21_cross_source_neardup",
 ]
 # ---- Standing r9 refresh queue (generated from the COVERAGE evidence
 # table: oldest-evidence rows NOT holding an r8 slot — the late-r8

@@ -51,7 +51,7 @@ WINDOW_DOC_QUERIES = [
     "t13_token_rarity",
     "t34_char_entropy",
     # late-r9 batch
-    "t40_tokenizer_fertility",
+    "d21_cross_source_neardup",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"

@@ -49,7 +49,7 @@ WINDOW_EVENT_QUERIES = [
     "e16_rolling_1h",
     "e17_gap_fill_locf",
     "e18_rolling_zscore",
-    # (e19/e20/e21 yielded their window slots to the late-r9 batch)
+    # (e19-e21 yielded their window slots to the late-r9 batch)
 ]
 
 

@@ -1067,19 +1067,6 @@ def test_t34_numpy_stats_stay_per_doc_and_shuffle_free(spark):
     assert "struct<doc_id:bigint,text:string>" in plan, plan
 
 
-def test_t40_fertility_is_one_scan_partial_agg(spark):
-    """t40: all four sums fold map-side in ONE pruned scan; the only
-    exchange carries |langs| partial rows."""
-    import re
-
-    plan = plan_of(spark, "t40_tokenizer_fertility")
-    assert _shuffle_exchanges(plan) == 1, plan
-    assert "partial_count" in plan and "partial_sum" in plan, plan
-    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
-    assert len(scans) == 1, plan
-    assert "struct<text:string,lang:string>" in plan, plan
-
-
 def test_a20_distortion_single_label_exchange(spark):
     """a20: per-vector integer error folds against codebook LITERALS in
     the projection (no join against a codebook table, nothing per-

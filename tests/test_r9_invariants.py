@@ -42,12 +42,14 @@ def test_a20_distortion_totals_and_bounds(spark):
     ), rows
 
 
-def test_t40_fertility_conservation(spark):
-    rows = QUERIES["t40_tokenizer_fertility"](spark, SF).collect()
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
-    assert sum(r["n_docs"] for r in rows) == docs.count()
+def test_d21_matrix_canonical_and_thresholded(spark):
+    rows = QUERIES["d21_cross_source_neardup"](spark, SF).collect()
+    assert rows  # the synthetic corpus plants cross-source near-dups
+    pairs = [(r["source_a"], r["source_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
     for r in rows:
-        # every WORD_REGEX word contains at least one TOKEN_REGEX token
-        assert r["total_tokens"] >= r["total_words"], r
-        assert r["fertility"] >= 1.0, r
-        assert r["chars_per_token"] > 0.0, r
+        assert r["source_a"] < r["source_b"], r
+        assert r["n_pairs"] >= 1, r
+        # every contributing pair passed the 0.5 verify gate, so the
+        # quantized mean cannot sit below it (grid error < 1e-5)
+        assert r["mean_jaccard"] >= 0.5 - 1e-5, r
