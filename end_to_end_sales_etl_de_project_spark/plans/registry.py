@@ -145,18 +145,17 @@ DRIVER_WINDOW: list[str] = [
     "a21_ivf_recall_curve",
     "d21_cross_source_neardup",
 ]
-# ---- Standing r9 refresh queue (generated from the COVERAGE evidence
-# table: oldest-evidence rows NOT holding an r8 slot — the late-r8
-# operator batch displaced most of the r02/r03 refresh wave, so it
-# leads the next rotation). r02/r03-era first:
-#   e09, q50, q51, q54, a01, d04, d05, e04, e05, e06, e10, e11, e12,
-#   e13, e15, t06, m01, q19, q31, q53, t04, t07, t08, t09, t13
-# then the r04-era tail:
-#   a02, a03, a07, a08, c04, d01, d10, e16-e21, m04, q02, q12, q14,
-#   q63-q68, q70, q71, t01, t16-t19
-# plus whatever scripts/driver_evidence.py flags stale from the r9
-# diffs. tests/test_registry_window.py enforces the union invariant
-# either way.
+# ---- Standing r10 refresh queue (generated from the COVERAGE evidence
+# table: oldest-evidence rows NOT holding an r9 slot). The r9 rotation
+# consumed the whole r02/r03-era queue and the r04-era head; next up,
+# r04-era tail first:
+#   e19, e20, e21 (displaced by the late-r9 batch a20/a21/d21),
+#   m04, q02, q12, q14, q63, q64, q65, q66, q67, q68, q70, q71,
+#   t01, t16, t17, t18, t19
+# then the r05-era rows (a10, a11, c05, c06, d11-d14, e22-e28, q72-q90,
+# t20-t25...), plus whatever scripts/driver_evidence.py flags stale
+# from the r10 diffs. tests/test_registry_window.py enforces the union
+# invariant either way.
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a
 # rows-only check for these. This is a closed, documented allowlist
