@@ -486,15 +486,33 @@ def ivf_topk(
     the whole query is hash-exact against :func:`ivf_topk_sql`."""
     if centroids is None:
         centroids = ivf_train(emb, n_centroids, dim)
-    vq, aq = _vq_col("embedding", dim), _aq_col(_vq_col("embedding", dim))
-    n = with_norm(_valid_vecs(emb, dim=dim), dim=dim).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("n_emb"),
-        F.col("norm").alias("n_norm"),
-        F.array_max(_centroid_sims_q(vq, aq, centroids))["cid"].alias("cid"),
+    # stage vq/aq as COLUMNS before the per-centroid transform: inlined,
+    # the quantize fold re-evaluates once per centroid entry (16x per
+    # row) — the a07 two-stage materialization rule
+    n = (
+        with_norm(_valid_vecs(emb, dim=dim), dim=dim)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            F.col("norm").alias("n_norm"),
+            _vq_col("embedding", dim).alias("__vq"),
+        )
+        .withColumn("__aq", _aq_col(F.col("__vq")))
+        .select(
+            "neighbor_id",
+            "n_emb",
+            "n_norm",
+            F.array_max(
+                _centroid_sims_q(F.col("__vq"), F.col("__aq"), centroids)
+            )["cid"].alias("cid"),
+        )
     )
     probes = F.slice(
-        F.reverse(F.array_sort(_centroid_sims_q(vq, aq, centroids))),
+        F.reverse(
+            F.array_sort(
+                _centroid_sims_q(F.col("__vq"), F.col("__aq"), centroids)
+            )
+        ),
         1,
         n_probe,
     )
@@ -504,6 +522,13 @@ def ivf_topk(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
             F.col("norm").alias("q_norm"),
+            _vq_col("embedding", dim).alias("__vq"),
+        )
+        .withColumn("__aq", _aq_col(F.col("__vq")))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_norm",
             F.explode(probes).alias("probe"),
         )
         .select("query_id", "q_emb", "q_norm", F.col("probe.cid").alias("cid"))
@@ -909,10 +934,21 @@ def pq_topk(
     if books is None:
         books = pq_train(emb, n_subspaces, dim=dim)
 
-    codes_tbl = _valid_vecs(emb, dim=dim).select(
-        F.col("vec_id").alias("neighbor_id"),
-        _pq_codes_col(_vq_col("embedding", dim), books, sub).alias("codes"),
-    ).withColumn("recon_sq", _pq_recon_sq_col(F.col("codes"), books))
+    # stage vq as a COLUMN before the per-code transforms (the a07
+    # two-stage rule: inlined, the quantize fold re-evaluates once per
+    # subspace argmax plus once per subspace norm)
+    codes_tbl = (
+        _valid_vecs(emb, dim=dim)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            _vq_col("embedding", dim).alias("__vq"),
+        )
+        .select(
+            "neighbor_id",
+            _pq_codes_col(F.col("__vq"), books, sub).alias("codes"),
+        )
+        .withColumn("recon_sq", _pq_recon_sq_col(F.col("codes"), books))
+    )
 
     q = with_norm(_valid_vecs(queries, dim=dim), dim=dim).select(
         F.col("vec_id").alias("query_id"),
@@ -1100,11 +1136,17 @@ def pq_distortion_by_label(
     scan of codes vs codebook literals; |labels| state rows."""
     n_subspaces = len(books)
     sub = dim // n_subspaces
-    vq = _vq_col("embedding", dim)
-    staged = _valid_vecs(emb, dim=dim).select(
-        F.col(label_col).alias("label"),
-        vq.alias("__vq"),
-        _pq_codes_col(vq, books, sub).alias("__codes"),
+    staged = (
+        _valid_vecs(emb, dim=dim)
+        .select(
+            F.col(label_col).alias("label"),
+            _vq_col("embedding", dim).alias("__vq"),
+        )
+        .select(
+            "label",
+            "__vq",
+            _pq_codes_col(F.col("__vq"), books, sub).alias("__codes"),
+        )
     )
     err = F.lit(0).cast("bigint")
     for s, book in enumerate(books):
