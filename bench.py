@@ -238,6 +238,7 @@ HEADLINE = [
     "a20_pq_distortion",
     "a21_ivf_recall_curve",
     "d21_cross_source_neardup",
+    "d22_bloom_decontaminate",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

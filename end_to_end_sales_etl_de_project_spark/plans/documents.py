@@ -2962,3 +2962,19 @@ def d21_cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cross_source_neardup_matrix(
         docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
     )
+
+
+@_register("d22_bloom_decontaminate", dedup.bloom_decontaminate_sql())
+def d22_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter decontamination audit: per source, distinct
+    train shingles flagged by the m-bit Bloom filter of the test
+    shingle set, split into verbatim hits and false positives — the
+    constant-size (m bits, ~1.2 MB here) alternative to d07's
+    broadcast of the full test shingle-hash set, with its verify
+    workload priced exactly. Map-side probe (one broadcast hash-lookup
+    join per hash-family member, never a probe-side shuffle); reads
+    the session shingle index."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.bloom_decontaminate(
+        docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
+    )

@@ -52,6 +52,7 @@ WINDOW_DOC_QUERIES = [
     "t34_char_entropy",
     # late-r9 batch
     "d21_cross_source_neardup",
+    "d22_bloom_decontaminate",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"

@@ -1088,3 +1088,16 @@ def test_a21_curve_never_shuffles_corpus(spark):
     hash_ex = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert not hash_ex, hash_ex
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_d22_bloom_probe_is_mapside(spark):
+    """d22: Bloom membership is decided by per-family-member broadcast
+    hash-lookup joins (n_seeds bit lookups + the exact-verify marker,
+    all LeftOuter BuildRight) — the probe side is NEVER the shuffled
+    side of a join. The only hashpartitioning exchanges the probe rows
+    pay are the source-attribution distinct and the final per-source
+    rollup; a SortMergeJoin anywhere means the broadcast promise
+    broke."""
+    plan = plan_of(spark, "d22_bloom_decontaminate")
+    assert plan.count("BroadcastHashJoin LeftOuter") == 3, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -53,3 +53,19 @@ def test_d21_matrix_canonical_and_thresholded(spark):
         # every contributing pair passed the 0.5 verify gate, so the
         # quantized mean cannot sit below it (grid error < 1e-5)
         assert r["mean_jaccard"] >= 0.5 - 1e-5, r
+
+
+def test_d22_bloom_law_and_fp_nonvacuity(spark):
+    """The Bloom filter can NEVER miss a member (no false negatives),
+    so per source n_bloom_pos == n_exact + n_false_pos exactly — any
+    drift means the probe's hash family diverged from the build side.
+    And the default sizing must keep the FP leg structurally
+    non-vacuous on the test corpus (a 0-FP audit would silently stop
+    exercising the verify-workload accounting, the a19 lesson)."""
+    rows = QUERIES["d22_bloom_decontaminate"](spark, SF).collect()
+    assert rows, "empty report"
+    for r in rows:
+        assert r["n_bloom_pos"] == r["n_exact"] + r["n_false_pos"], r
+        assert 0 <= r["n_bloom_pos"] <= r["n_probe_shingles"], r
+    assert sum(r["n_exact"] for r in rows) > 0, "no verbatim contamination"
+    assert sum(r["n_false_pos"] for r in rows) > 0, "FP leg vacuous"
