@@ -147,3 +147,55 @@ def get_spark_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def runtime_filter_conf(
+    creation_side_threshold: str = "10MB",
+    application_side_scan_threshold: str = "10GB",
+    expected_num_items: int = 1_000_000,
+    max_num_bits: int = 67_108_864,
+    semi_join_reduction: bool = False,
+) -> dict[str, str]:
+    """Runtime-filter (row-level Bloom) preset for large shuffled
+    joins — the Catalyst-native sibling of the explicit d22 prefilter.
+    Pass as ``extra_conf`` to :func:`get_spark_session`.
+
+    What it does at 100 TB: for a shuffled fact ⋈ filtered-dim join,
+    Catalyst builds a Bloom filter over the dim join keys (one
+    ``bloom_filter_agg`` subquery on the SMALL side) and injects
+    ``might_contain(...)`` into the FACT side's scan filter — fact rows
+    that cannot match are dropped at the scan, BEFORE paying the
+    shuffle write. Complements (does not replace) dynamic partition
+    pruning: DPP prunes whole partitions by partition column; the
+    runtime Bloom prunes row-level on arbitrary join keys.
+
+    The thresholds are cluster-sized on purpose (build side ≤
+    ``creation_side_threshold`` so the filter build never dominates;
+    probe side ≥ ``application_side_scan_threshold`` so tiny scans
+    skip the overhead) — local[] test corpora never cross the 10 GB
+    application floor, which is why the plan-shape pin
+    (``tests/test_plan_shapes.py::test_runtime_bloom_filter_injection``)
+    lowers both to exercise the injection at test scale. Broadcast
+    joins never inject (the build side ships whole anyway);
+    ``autoBroadcastJoinThreshold`` decides that first.
+
+    ``semi_join_reduction`` additionally injects an exact semi-join
+    filter instead of a Bloom where the optimizer estimates it pays;
+    kept off by default to match Spark's default.
+    """
+    return {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+            creation_side_threshold
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": (
+            application_side_scan_threshold
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems": (
+            str(expected_num_items)
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits": str(max_num_bits),
+        "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": (
+            "true" if semi_join_reduction else "false"
+        ),
+    }

@@ -1101,3 +1101,47 @@ def test_d22_bloom_probe_is_mapside(spark):
     plan = plan_of(spark, "d22_bloom_decontaminate")
     assert plan.count("BroadcastHashJoin LeftOuter") == 3, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """runtime_filter_conf: with the thresholds lowered to test scale,
+    Catalyst must build a bloom_filter_agg over the filtered dim's join
+    keys and inject might_contain(...) into the FACT side — row-level
+    scan pruning before the shuffle, the 100 TB join-pruning preset.
+    Conf is session-scoped, so restore around the pin."""
+    from end_to_end_sales_etl_de_project_spark.session import runtime_filter_conf
+
+    conf = runtime_filter_conf(
+        creation_side_threshold="100MB", application_side_scan_threshold="0"
+    )
+    # the rule (correctly) declines when the dim would broadcast anyway
+    # — a BHJ never pays the shuffle the filter exists to prune — so
+    # the pin must also force the shuffle-join regime
+    conf["spark.sql.autoBroadcastJoinThreshold"] = "-1"
+    saved = {}
+    for k in conf:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
