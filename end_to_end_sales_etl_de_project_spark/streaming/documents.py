@@ -187,3 +187,62 @@ def start_mixture_monitor(
         .foreachBatch(fold)
         .start()
     )
+
+
+def decontamination_gate(
+    docs: DataFrame,
+    bitmap_words: list[int],
+    m_bits: int | None = None,
+    n_seeds: int | None = None,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming Bloom decontamination at the ingest door: per arriving
+    document, how many of its k-word shingles hit the test-set Bloom
+    filter — ``(doc_id, source, n_shingles, n_flagged, contaminated)``.
+    The streaming face of d22 (``operators/dedup.bloom_decontaminate``):
+    batch audits the corpus, this gate screens documents AS THEY LAND
+    so contaminated ingest is quarantined for exact verification before
+    it ever reaches a training shard.
+
+    STATELESS by construction, which is the whole design: the filter
+    rides along as a packed ``array<long>`` literal
+    (``dedup.bloom_bitmap_words`` — m bits regardless of corpus or
+    test-set size), and membership is per-row higher-order-function
+    arithmetic (``dedup.bloom_membership``), so the gate runs in append
+    mode with ZERO state rows at any ingest rate — no stream-static
+    join to re-plan, no keyed aggregation. Batch ≡ stream is exact
+    because both run the identical projection.
+
+    A flagged doc is a Bloom hit, not a conviction — the d22 audit
+    prices the FP rate; the quarantine path applies the exact
+    shingle join to flagged docs only (|flagged| ≪ |ingest|).
+
+    NULL text ⇒ 0 shingles, not flagged (``size(NULL)`` is -1 under
+    legacy semantics — the t37 lesson — so the counts are guarded
+    explicitly)."""
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60
+    from end_to_end_sales_etl_de_project_spark.operators.dedup import (
+        BLOOM_M_BITS,
+        BLOOM_N_SEEDS,
+        bloom_membership,
+    )
+    from end_to_end_sales_etl_de_project_spark.operators.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    m = BLOOM_M_BITS if m_bits is None else m_bits
+    seeds = BLOOM_N_SEEDS if n_seeds is None else n_seeds
+    shingles = shingles_from_tokens(tokens("text"), k)
+    flagged = F.filter(
+        shingles, lambda s: bloom_membership(h60(s), bitmap_words, m, seeds)
+    )
+    n_sh = F.when(F.col("text").isNull(), F.lit(0)).otherwise(F.size(shingles))
+    n_fl = F.when(F.col("text").isNull(), F.lit(0)).otherwise(F.size(flagged))
+    return docs.select(
+        "doc_id",
+        "source",
+        n_sh.cast("bigint").alias("n_shingles"),
+        n_fl.cast("bigint").alias("n_flagged"),
+        (n_fl > 0).alias("contaminated"),
+    )

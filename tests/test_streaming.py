@@ -604,3 +604,78 @@ def test_mixture_monitor_stream_equals_t32_batch(spark, docs_src, tmpdir):
     batch = domain_mixture(spark.read.parquet(docs_src))
     got, want = _canon(live), _canon(batch)
     assert len(want) > 1 and got == want
+
+
+def _test_bloom_words(spark, sf_dir):
+    """Bitmap over the sf corpus's test-split shingles — the artifact a
+    deployed gate would load from the decontamination build."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60
+    from end_to_end_sales_etl_de_project_spark.operators import dedup
+    from end_to_end_sales_etl_de_project_spark.operators.text import corpus_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = dedup.shingle_table(docs, "doc_id", "text", 3).select(
+        "doc", h60(F.col("shingle")).alias("shingle")
+    )
+    splits = docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("doc"), corpus_split("text").alias("split")
+    )
+    test_sh = (
+        sh.join(splits, "doc")
+        .filter(F.col("split") == "test")
+        .select("shingle")
+        .distinct()
+    )
+    bits = test_sh.select(
+        F.explode(
+            F.array(
+                *[
+                    dedup._bloom_bit(F.col("shingle"), s, dedup.BLOOM_M_BITS)
+                    for s in range(dedup.BLOOM_N_SEEDS)
+                ]
+            )
+        ).alias("bit")
+    ).distinct()
+    return dedup.bloom_bitmap_words(bits), test_sh
+
+
+def test_decontamination_gate_stream_equals_batch(spark, sf_dir, docs_src):
+    """The Bloom ingest gate is a stateless projection: stream output
+    must equal the batch projection row for row, and the Bloom
+    no-false-negative law must hold against the exact shingle join —
+    every doc sharing ≥1 shingle with the test split is flagged."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60
+    from end_to_end_sales_etl_de_project_spark.operators import dedup
+    from end_to_end_sales_etl_de_project_spark.streaming.documents import (
+        decontamination_gate,
+        read_documents_stream,
+    )
+
+    words, test_sh = _test_bloom_words(spark, sf_dir)
+    stream = read_documents_stream(spark, docs_src)
+    result = run_to_memory_sink(
+        decontamination_gate(stream, words), "doc_decon_test", "append"
+    )
+    batch = decontamination_gate(spark.read.parquet(docs_src), words)
+    got, want = _canon(result), _canon(batch)
+    assert len(want) > 0 and got == want
+    # non-vacuous: the landing zone contains the corpus's own test docs,
+    # which the filter must flag in full; and a clean majority passes
+    flagged = {r[0] for r in want if r[4]}
+    assert 0 < len(flagged) < len(want)
+    # Bloom law at doc grain: exact contamination ⊆ flagged
+    landing = spark.read.parquet(docs_src)
+    exact_docs = {
+        r.doc
+        for r in dedup.shingle_table(landing, "doc_id", "text", 3)
+        .select("doc", h60(F.col("shingle")).alias("shingle"))
+        .join(test_sh, "shingle", "semi")
+        .select("doc")
+        .distinct()
+        .collect()
+    }
+    assert exact_docs <= flagged, sorted(exact_docs - flagged)[:5]
