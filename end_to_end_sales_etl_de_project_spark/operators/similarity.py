@@ -408,6 +408,187 @@ def _centroid_sims_q(
     return F.transform(cents_lit, entry)
 
 
+def _with_cells_np(
+    df: DataFrame,
+    cents_q: list[list[int]],
+    vq_col: str = "__vq",
+    n_probe: int | None = None,
+    out_col: str = "cid",
+) -> DataFrame:
+    """Vectorized twin of the :func:`_centroid_sims_q` consumers: adds
+    the argmax cell id (``n_probe=None``) or the top-``n_probe`` probe
+    cell ids (``array<int>``) to ``df`` via one Arrow-batched int64
+    matmul per batch — the m07/t34 numpy template applied to the ANN
+    hot path, where the interpreted per-row HOF fold (k x dim lambda
+    evaluations per vector) was measured at ~1.75 ms/row vs ~µs for
+    the matmul (PERF.md round 9).
+
+    Bit-compatibility is by CONSTRUCTION, not tolerance: quantization
+    (the only rounding) stays JVM-side in ``vq_col``; here T = vq·c and
+    A = Σvq² are exact int64 (|vq| ≤ 2^20·√dim ⇒ sums < 2^47, no
+    overflow), promoted to float64 (< 2^53, exact) for the identical
+    IEEE sqrt/divide the JVM evaluates; ties break to the HIGHEST cid
+    exactly like the (sim, cid) struct order under array_max /
+    reverse(array_sort). The udf is a closure (pickled by value, repo
+    invariant); passthrough columns ride the Arrow batch untouched."""
+    from pyspark.sql import types as T
+
+    if n_probe is None:
+        out_field = T.StructField(out_col, T.IntegerType())
+    else:
+        out_field = T.StructField(out_col, T.ArrayType(T.IntegerType()))
+    out_schema = T.StructType(list(df.schema.fields) + [out_field])
+    in_cols = [f.name for f in df.schema.fields]
+
+    def assign_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cents_q, dtype=np.int64)  # k x dim
+        k = C.shape[0]
+        B = np.maximum((C * C).sum(axis=1), 1).astype(np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = pd.Series([], dtype="object")
+                yield pdf
+                continue
+            V = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[vq_col]])
+            A = np.maximum((V * V).sum(axis=1), 1).astype(np.float64)
+            sims = (V @ C.T).astype(np.float64) / np.sqrt(A[:, None] * B[None, :])
+            if n_probe is None:
+                # argmax returns the FIRST max; struct order favors the
+                # LARGEST cid on ties — reverse the column axis
+                cid = (k - 1) - np.argmax(sims[:, ::-1], axis=1)
+                pdf[out_col] = cid.astype(np.int32)
+            else:
+                cids = np.arange(k)
+                probes = [
+                    cids[np.lexsort((-cids, -row))][:n_probe].astype(np.int32)
+                    for row in sims
+                ]
+                pdf[out_col] = probes
+            yield pdf
+
+    return df.mapInPandas(assign_batches, out_schema)
+
+
+def _with_codes_np(
+    df: DataFrame,
+    books: list[list[list[int]]],
+    vq_col: str = "__vq",
+    out_col: str = "codes",
+    with_recon_sq: bool = False,
+    with_err: bool = False,
+) -> DataFrame:
+    """Vectorized twin of :func:`_pq_codes_col`: per-subspace nearest-
+    codeword ids as ``array<int>``, one int64 matmul per subspace per
+    Arrow batch (same construction-exactness argument as
+    :func:`_with_cells_np`; tie → highest code id). With
+    ``with_recon_sq`` also emits :func:`_pq_recon_sq_col`'s guarded
+    (0→1) reconstruction norm — Σ per-subspace codeword ||·||², exact
+    int64 — and ``with_err`` the exact squared reconstruction error
+    Σ(v_q − c_q)² (the a20 fold), both here instead of as literal-table
+    expression trees because DRIVER-side plan analysis of those trees
+    was the measured cost (PERF.md r9)."""
+    from pyspark.sql import types as T
+
+    out_fields = [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+    if with_recon_sq:
+        out_fields.append(T.StructField("recon_sq", T.LongType()))
+    if with_err:
+        out_fields.append(T.StructField("err_sq", T.LongType()))
+    out_schema = T.StructType(list(df.schema.fields) + out_fields)
+
+    def code_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        Cs = [np.asarray(book, dtype=np.int64) for book in books]
+        Bs = [
+            np.maximum((C * C).sum(axis=1), 1).astype(np.float64) for C in Cs
+        ]
+        sqn = [(C * C).sum(axis=1) for C in Cs]  # int64 codeword norms
+        sub = Cs[0].shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = pd.Series([], dtype="object")
+                if with_recon_sq:
+                    pdf["recon_sq"] = pd.Series([], dtype="int64")
+                if with_err:
+                    pdf["err_sq"] = pd.Series([], dtype="int64")
+                yield pdf
+                continue
+            V = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[vq_col]])
+            cols = []
+            recon = np.zeros(len(pdf), dtype=np.int64)
+            err = np.zeros(len(pdf), dtype=np.int64)
+            for s, (C, B) in enumerate(zip(Cs, Bs)):
+                Vs = V[:, s * sub : (s + 1) * sub]
+                A = np.maximum((Vs * Vs).sum(axis=1), 1).astype(np.float64)
+                sims = (Vs @ C.T).astype(np.float64) / np.sqrt(
+                    A[:, None] * B[None, :]
+                )
+                k = C.shape[0]
+                cid = (k - 1) - np.argmax(sims[:, ::-1], axis=1)
+                cols.append(cid)
+                recon += sqn[s][cid]
+                if with_err:
+                    d = Vs - C[cid]
+                    err += (d * d).sum(axis=1)
+            codes = np.stack(cols, axis=1).astype(np.int32)
+            pdf[out_col] = list(codes)
+            if with_recon_sq:
+                pdf["recon_sq"] = np.maximum(recon, 1)
+            if with_err:
+                pdf["err_sq"] = err
+            yield pdf
+
+    return df.mapInPandas(code_batches, out_schema)
+
+
+def _with_lut_np(
+    df: DataFrame,
+    books: list[list[list[int]]],
+    vq_col: str = "q_vq",
+    out_col: str = "__lut",
+) -> DataFrame:
+    """Per-QUERY ADC lookup table: ``array<array<bigint>>`` of
+    dot(q_s, codeword) for every (subspace, codeword) — exact int64
+    matmuls (same exactness argument as :func:`_with_cells_np`).
+    Computed in the numpy seam rather than as 64 unrolled fold
+    expressions because the DRIVER-side analysis of that literal tree
+    was the measured pq_topk bottleneck (~4 s per fresh plan, PERF.md
+    r9) — the data-side cost was never the problem."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.ArrayType(T.LongType())))]
+    )
+
+    def lut_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        Cs = [np.asarray(book, dtype=np.int64) for book in books]
+        sub = Cs[0].shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = pd.Series([], dtype="object")
+                yield pdf
+                continue
+            V = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[vq_col]])
+            luts = [
+                V[:, s * sub : (s + 1) * sub] @ C.T for s, C in enumerate(Cs)
+            ]
+            pdf[out_col] = [
+                [lut[i].tolist() for lut in luts] for i in range(len(pdf))
+            ]
+            yield pdf
+
+    return df.mapInPandas(lut_batches, out_schema)
+
+
 def ivf_train(
     emb: DataFrame,
     n_centroids: int,
@@ -439,13 +620,7 @@ def ivf_train(
     if n_centroids == 0:
         raise ValueError("ivf_train: empty corpus — no centroids to seed")
     for _ in range(iterations):
-        withs = base.withColumn("aq", _aq_col(F.col("vq")))
-        assigned = withs.select(
-            "vq",
-            F.array_max(_centroid_sims_q(F.col("vq"), F.col("aq"), cents))[
-                "cid"
-            ].alias("cid"),
-        )
+        assigned = _with_cells_np(base.select("vq"), cents, vq_col="vq")
         cells = (
             assigned.select("cid", F.posexplode("vq").alias("pos", "val"))
             .groupBy("cid", "pos")
@@ -486,53 +661,29 @@ def ivf_topk(
     the whole query is hash-exact against :func:`ivf_topk_sql`."""
     if centroids is None:
         centroids = ivf_train(emb, n_centroids, dim)
-    # stage vq/aq as COLUMNS before the per-centroid transform: inlined,
-    # the quantize fold re-evaluates once per centroid entry (16x per
-    # row) — the a07 two-stage materialization rule
-    n = (
-        with_norm(_valid_vecs(emb, dim=dim), dim=dim)
-        .select(
+    # quantize JVM-side (the only rounding), then run the k x dim sim
+    # fold as one Arrow-batched int64 matmul per batch — the
+    # interpreted HOF fold was the measured ANN hot path (PERF.md r9)
+    n = _with_cells_np(
+        with_norm(_valid_vecs(emb, dim=dim), dim=dim).select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("n_emb"),
             F.col("norm").alias("n_norm"),
             _vq_col("embedding", dim).alias("__vq"),
-        )
-        .withColumn("__aq", _aq_col(F.col("__vq")))
-        .select(
-            "neighbor_id",
-            "n_emb",
-            "n_norm",
-            F.array_max(
-                _centroid_sims_q(F.col("__vq"), F.col("__aq"), centroids)
-            )["cid"].alias("cid"),
-        )
-    )
-    probes = F.slice(
-        F.reverse(
-            F.array_sort(
-                _centroid_sims_q(F.col("__vq"), F.col("__aq"), centroids)
-            )
         ),
-        1,
-        n_probe,
-    )
-    q = (
-        with_norm(_valid_vecs(queries, dim=dim), dim=dim)
-        .select(
+        centroids,
+    ).select("neighbor_id", "n_emb", "n_norm", "cid")
+    q = _with_cells_np(
+        with_norm(_valid_vecs(queries, dim=dim), dim=dim).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
             F.col("norm").alias("q_norm"),
             _vq_col("embedding", dim).alias("__vq"),
-        )
-        .withColumn("__aq", _aq_col(F.col("__vq")))
-        .select(
-            "query_id",
-            "q_emb",
-            "q_norm",
-            F.explode(probes).alias("probe"),
-        )
-        .select("query_id", "q_emb", "q_norm", F.col("probe.cid").alias("cid"))
-    )
+        ),
+        centroids,
+        n_probe=n_probe,
+        out_col="probe_cids",
+    ).select("query_id", "q_emb", "q_norm", F.explode("probe_cids").alias("cid"))
     dot = _dot_col("q_emb", "n_emb", dim)
     scored = (
         F.broadcast(q)
@@ -850,15 +1001,16 @@ def pq_train(
     # multiplies the dominant cost (the scan) by the subspace count
     # for zero extra information.
     for _ in range(iterations):
+        assigned = _with_codes_np(base.select("vq"), books, vq_col="vq")
         parts = []
         for s in range(n_subspaces):
             sl = F.slice(F.col("vq"), s * sub + 1, sub)
-            cid = F.array_max(_centroid_sims_q(sl, _aq_col(sl), books[s]))["cid"]
+            cid = F.element_at(F.col("codes"), s + 1)
             parts.append(
                 F.struct(F.lit(s).alias("s"), cid.alias("cid"), sl.alias("v"))
             )
         cells = (
-            base.select(F.explode(F.array(*parts)).alias("a"))
+            assigned.select(F.explode(F.array(*parts)).alias("a"))
             .select("a.s", "a.cid", F.posexplode("a.v").alias("pos", "val"))
             .groupBy("s", "cid", "pos")
             .agg(F.sum("val").alias("sv"), F.count(F.lit(1)).alias("n"))
@@ -934,21 +1086,17 @@ def pq_topk(
     if books is None:
         books = pq_train(emb, n_subspaces, dim=dim)
 
-    # stage vq as a COLUMN before the per-code transforms (the a07
-    # two-stage rule: inlined, the quantize fold re-evaluates once per
-    # subspace argmax plus once per subspace norm)
-    codes_tbl = (
-        _valid_vecs(emb, dim=dim)
-        .select(
+    # quantize JVM-side, then per-subspace code assignment as one
+    # Arrow-batched matmul per subspace (_with_codes_np — the measured
+    # ANN hot path, PERF.md r9)
+    codes_tbl = _with_codes_np(
+        _valid_vecs(emb, dim=dim).select(
             F.col("vec_id").alias("neighbor_id"),
             _vq_col("embedding", dim).alias("__vq"),
-        )
-        .select(
-            "neighbor_id",
-            _pq_codes_col(F.col("__vq"), books, sub).alias("codes"),
-        )
-        .withColumn("recon_sq", _pq_recon_sq_col(F.col("codes"), books))
-    )
+        ),
+        books,
+        with_recon_sq=True,
+    ).select("neighbor_id", "codes", "recon_sq")
 
     q = with_norm(_valid_vecs(queries, dim=dim), dim=dim).select(
         F.col("vec_id").alias("query_id"),
@@ -957,22 +1105,18 @@ def pq_topk(
         _vq_col("embedding", dim).alias("q_vq"),
     ).withColumn("q_aq", _aq_col(F.col("q_vq")))
 
-    # approx dot: sum over subspaces of dot(q_s, codeword) — exact
-    # BIGINT folds; the codebook rides as a nested literal and
-    # element_at picks the codeword
+    # approx dot via the classic ADC lookup table: dot(q_s, codeword)
+    # depends only on (query, subspace, code id), so it is computed
+    # ONCE per query on the broadcast side (exact int64 matmuls in the
+    # numpy seam — unrolled fold expressions here made DRIVER-side
+    # plan analysis the bottleneck, PERF.md r9) and each
+    # (query, corpus-code) pair pays n_subspaces array lookups
+    q = _with_lut_np(q, books)
     approx_t = F.lit(0).cast("bigint")
-    for s, book in enumerate(books):
-        book_lit = F.array(
-            *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in book]
-        )
-        cw = F.element_at(book_lit, F.element_at(F.col("codes"), s + 1) + 1)
-        prods = F.zip_with(
-            F.slice(F.col("q_vq"), s * sub + 1, sub),
-            cw,
-            lambda x, y: x * y,
-        )
-        approx_t = approx_t + F.aggregate(
-            prods, F.lit(0).cast("bigint"), lambda a, x: a + x
+    for s in range(len(books)):
+        approx_t = approx_t + F.element_at(
+            F.element_at(F.col("__lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
         )
 
     approx_cos = approx_t.cast("double") / F.sqrt(
@@ -1134,36 +1278,17 @@ def pq_distortion_by_label(
     after the exact per-vector fold, keeping sums under 2^53 per
     vector. Malformed vectors are excluded (the a18/a07 rule). One
     scan of codes vs codebook literals; |labels| state rows."""
-    n_subspaces = len(books)
-    sub = dim // n_subspaces
-    staged = (
-        _valid_vecs(emb, dim=dim)
-        .select(
+    staged = _with_codes_np(
+        _valid_vecs(emb, dim=dim).select(
             F.col(label_col).alias("label"),
             _vq_col("embedding", dim).alias("__vq"),
-        )
-        .select(
-            "label",
-            "__vq",
-            _pq_codes_col(F.col("__vq"), books, sub).alias("__codes"),
-        )
+        ),
+        books,
+        out_col="__codes",
+        with_err=True,
     )
-    err = F.lit(0).cast("bigint")
-    for s, book in enumerate(books):
-        book_lit = F.array(
-            *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in book]
-        )
-        cw = F.element_at(book_lit, F.element_at(F.col("__codes"), s + 1) + 1)
-        prods = F.zip_with(
-            F.slice(F.col("__vq"), s * sub + 1, sub),
-            cw,
-            lambda x, y: (x - y) * (x - y),
-        )
-        err = err + F.aggregate(
-            prods, F.lit(0).cast("bigint"), lambda a, x: a + x
-        )
     sq = float(scale) * float(scale)
-    per_vec = staged.select("label", err.alias("e"))
+    per_vec = staged.select("label", F.col("err_sq").alias("e"))
     return per_vec.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         ((F.sum("e").cast("double") / F.lit(sq)) / F.count(F.lit(1)).cast("double")).alias(

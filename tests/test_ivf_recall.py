@@ -107,3 +107,96 @@ def test_topk_pairs_are_distinct(spark, sf_dir):
         pairs = fn(emb, queries, k=K).select("query_id", "neighbor_id")
         total = pairs.count()
         assert total == pairs.distinct().count(), f"{name} emits duplicate pairs"
+
+
+def test_numpy_seam_equals_expression_reference(spark, sf_dir):
+    """The r9 Arrow-batched ANN seams (_with_cells_np / _with_codes_np
+    / _with_lut_np) must be BIT-identical to the expression-level
+    reference semantics (_centroid_sims_q / _pq_codes_col /
+    _pq_recon_sq_col) they replaced on the hot path — cell ids, probe
+    order (ties → highest id), codes, reconstruction norms, and ADC
+    table entries. This is the contract that lets the oracle SQL twins
+    stay written against the expression semantics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_train(emb, 16)
+    books = similarity.pq_train(emb)
+    sub = similarity.DIM // len(books)
+    staged = similarity._valid_vecs(emb).select(
+        "vec_id", similarity._vq_col("embedding", similarity.DIM).alias("__vq")
+    ).withColumn("__aq", similarity._aq_col(F.col("__vq")))
+
+    ref_cells = {
+        r["vec_id"]: r["cid"]
+        for r in staged.select(
+            "vec_id",
+            F.array_max(
+                similarity._centroid_sims_q(F.col("__vq"), F.col("__aq"), cents)
+            )["cid"].alias("cid"),
+        ).collect()
+    }
+    np_cells = {
+        r["vec_id"]: r["cid"]
+        for r in similarity._with_cells_np(
+            staged.select("vec_id", "__vq"), cents
+        ).collect()
+    }
+    assert np_cells == ref_cells
+
+    ref_probes = {
+        r["vec_id"]: list(r["p"])
+        for r in staged.select(
+            "vec_id",
+            F.transform(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            similarity._centroid_sims_q(
+                                F.col("__vq"), F.col("__aq"), cents
+                            )
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                lambda s: s["cid"],
+            ).alias("p"),
+        ).collect()
+    }
+    np_probes = {
+        r["vec_id"]: list(r["p"])
+        for r in similarity._with_cells_np(
+            staged.select("vec_id", "__vq"), cents, n_probe=4, out_col="p"
+        ).collect()
+    }
+    assert np_probes == ref_probes
+
+    ref_codes = {
+        r["vec_id"]: (list(r["codes"]), r["recon_sq"])
+        for r in staged.select(
+            "vec_id",
+            similarity._pq_codes_col(F.col("__vq"), books, sub).alias("codes"),
+        )
+        .withColumn(
+            "recon_sq", similarity._pq_recon_sq_col(F.col("codes"), books)
+        )
+        .collect()
+    }
+    np_codes = {
+        r["vec_id"]: (list(r["codes"]), r["recon_sq"])
+        for r in similarity._with_codes_np(
+            staged.select("vec_id", "__vq"), books, with_recon_sq=True
+        ).collect()
+    }
+    assert np_codes == ref_codes
+
+    # LUT entries equal the expression-level subspace dots
+    lut_rows = similarity._with_lut_np(
+        staged.select("vec_id", F.col("__vq").alias("q_vq")).limit(4), books
+    ).collect()
+    for r in lut_rows:
+        vq = list(r["q_vq"])
+        for s, book in enumerate(books):
+            qs = vq[s * sub : (s + 1) * sub]
+            for c_i, cw in enumerate(book):
+                want = sum(int(a) * int(b) for a, b in zip(qs, cw))
+                assert r["__lut"][s][c_i] == want
