@@ -1961,42 +1961,44 @@ def source_drift_report(
     precisely what a07 measures. One aggregation with 64 conditional
     sums per side; the 1-row corpus aggregate broadcasts.
     """
+    # The wide per-dim arithmetic is built as SQL-EXPRESSION STRINGS
+    # (one py4j parse call each) instead of Column-by-Column: the
+    # Python-side tree construction was ~20k py4j round trips ≈ 6 s of
+    # DRIVER time per fresh plan (PERF.md r9) — the resolved expression
+    # trees, and therefore the bits, are identical either way.
     x = F.slice(F.col(vec_col), 1, dim)
     absx = F.transform(x, lambda v: F.abs(v.cast("double")))
     row_max = F.aggregate(absx, F.lit(0.0), lambda a, v: F.greatest(a, v))
     gmax = emb.agg(F.max(row_max).alias("gmax"))
-    scale = F.lit(127.0) / F.col("gmax")
     joined = emb.join(docs.select("doc_id", "source"),
                       emb.vec_id == F.col("doc_id")).crossJoin(F.broadcast(gmax))
     q = [
-        F.floor(x[i].cast("double") * scale + F.lit(0.5)).cast("bigint").alias(f"q{i}")
+        F.expr(
+            f"CAST(FLOOR(CAST({vec_col}[{i}] AS DOUBLE) * (CAST(127.0 AS DOUBLE)"
+            f" / gmax) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q{i}"
+        )
         for i in range(dim)
     ]
     quantized = joined.select("source", *q)
     per_src = quantized.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        *[F.sum(f"q{i}").alias(f"s{i}") for i in range(dim)],
+        *[F.expr(f"sum(q{i}) AS s{i}") for i in range(dim)],
     )
     total = quantized.agg(
-        *[F.sum(f"q{i}").alias(f"t{i}") for i in range(dim)]
+        *[F.expr(f"sum(q{i}) AS t{i}") for i in range(dim)]
     )
     both = per_src.crossJoin(F.broadcast(total))
-    dot = sum(
-        (F.col(f"s{i}").cast("double") * F.col(f"t{i}").cast("double")
-         for i in range(1, dim)),
-        F.col("s0").cast("double") * F.col("t0").cast("double"),
+
+    def _pairsum(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}{i} AS DOUBLE) * CAST({b}{i} AS DOUBLE)"
+            for i in range(dim)
+        )
+
+    cos = F.expr(
+        f"({_pairsum('s', 't')}) / (SQRT({_pairsum('s', 's')})"
+        f" * SQRT({_pairsum('t', 't')}))"
     )
-    ns = sum(
-        (F.col(f"s{i}").cast("double") * F.col(f"s{i}").cast("double")
-         for i in range(1, dim)),
-        F.col("s0").cast("double") * F.col("s0").cast("double"),
-    )
-    nt = sum(
-        (F.col(f"t{i}").cast("double") * F.col(f"t{i}").cast("double")
-         for i in range(1, dim)),
-        F.col("t0").cast("double") * F.col("t0").cast("double"),
-    )
-    cos = dot / (F.sqrt(ns) * F.sqrt(nt))
     return both.select(
         "source",
         "n_vecs",
