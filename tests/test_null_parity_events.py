@@ -48,8 +48,7 @@ WINDOW_EVENT_QUERIES = [
     "e15_funnel",
     "e16_rolling_1h",
     "e17_gap_fill_locf",
-    "e18_rolling_zscore",
-    # (e19-e21 yielded their window slots to the late-r9 batch)
+    # (e18 yielded its slot to d22; e19-e21 to the late-r9 batch)
 ]
 
 
