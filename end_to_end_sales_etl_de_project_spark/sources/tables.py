@@ -28,10 +28,22 @@ TABLES = (
 
 
 
+# Resolved-relation memo — the catalog role a metastore plays: each
+# spark.read.parquet call re-lists the path and re-reads footers for
+# schema (~0.15 s of driver time, measured sf0.1), and every fresh
+# query construction re-paid it per table (a 6-table join chain spent
+# ~1 s here alone, PERF.md r9). DataFrames are immutable lazy plans, so
+# one resolved relation per (session, corpus, table) serves every
+# consumer; keyed by applicationId like the other session artifacts so
+# a stopped session's relations are never reused.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one catalog table. Plain `spark.read.parquet` — filters and
-    projections applied by callers are pushed into the scan by Catalyst,
-    so no eager work happens here.
+    """Load one catalog table. Plain `spark.read.parquet` (memoized per
+    session — see ``_TABLE_MEMO``) — filters and projections applied by
+    callers are pushed into the scan by Catalyst, so no eager work
+    happens here.
 
     Pins the session timezone to UTC: timestamp→string rendering (the
     reference's month-key semantics) must not depend on whoever built
@@ -45,10 +57,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (Spark 4 default is ANSI on) — pin NULL semantics for any session
     if spark.conf.get("spark.sql.ansi.enabled", "true") != "false":
         spark.conf.set("spark.sql.ansi.enabled", "false")
-    if name == "events":
-        enable_nanos_as_long(spark)
-        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    app = spark.sparkContext.applicationId
+    for key in [key for key in _TABLE_MEMO if key[0] != app]:
+        del _TABLE_MEMO[key]
+    key = (app, sf_dir, name)
+    if key not in _TABLE_MEMO:
+        if name == "events":
+            enable_nanos_as_long(spark)
+            _TABLE_MEMO[key] = normalize_event_ts(
+                spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            )
+        else:
+            _TABLE_MEMO[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _TABLE_MEMO[key]
 
 
 def enable_nanos_as_long(spark: SparkSession) -> None:

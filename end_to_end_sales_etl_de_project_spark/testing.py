@@ -105,10 +105,32 @@ class CompareResult:
         return self.match
 
 
+def _to_pandas_resilient(spark_df: DataFrame) -> pd.DataFrame:
+    """``toPandas`` with the same transient-allocation discipline as
+    ``run_oracle``'s DuckDB ladder: under suite-plus-bench contention
+    the PYTHON process's Arrow conversion can hit a raw malloc failure
+    (``ArrowMemoryError``) while concurrent JVMs spike — a race, not a
+    footprint problem, so gc + short backoff and retry at full size."""
+    import gc
+    import time as _time
+
+    for attempt, backoff in enumerate((1.0, 4.0, None)):
+        try:
+            return spark_df.toPandas()
+        except Exception as e:  # noqa: BLE001 — only the malloc race retries
+            if "MemoryError" not in type(e).__name__ and "malloc" not in str(e):
+                raise
+            if backoff is None:
+                raise
+            gc.collect()
+            _time.sleep(backoff)
+    raise AssertionError("unreachable")
+
+
 def compare_spark_to_oracle(
     name: str, spark_df: DataFrame, oracle_df: pd.DataFrame, max_report: int = 5
 ) -> CompareResult:
-    sp = spark_df.toPandas()
+    sp = _to_pandas_resilient(spark_df)
     problems: list[str] = []
     if sorted(sp.columns) != sorted(oracle_df.columns):
         problems.append(
