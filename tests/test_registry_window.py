@@ -115,3 +115,30 @@ def test_entry_contract_stable(spark):
     b = E.entry(spark)
     assert a.schema == b.schema
     assert len(a.take(1)) == 1
+
+
+def test_infra_attestation_is_fingerprint_scoped():
+    """The r9 attestation mechanism must excuse ONLY the exact pinned
+    source: with the fingerprint perturbed (simulating a future edit to
+    load_table without a fresh attestation), the load_table-staleness
+    must come back in force — the escape hatch cannot silently absorb
+    the next infrastructure change."""
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    try:
+        de = importlib.import_module("driver_evidence")
+    finally:
+        sys.path.pop(0)
+    assert de.INFRA_ATTESTATIONS, "attestation list unexpectedly empty"
+    baseline = len(de.stale_queries())
+    saved = [dict(a) for a in de.INFRA_ATTESTATIONS]
+    try:
+        for att in de.INFRA_ATTESTATIONS:
+            att["fingerprint"] = "0" * 16
+        perturbed = len(de.stale_queries())
+    finally:
+        de.INFRA_ATTESTATIONS[:] = saved
+    assert perturbed > baseline + 100, (perturbed, baseline)
