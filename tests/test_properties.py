@@ -341,3 +341,58 @@ def test_repetition_profile_flags_looping_text(spark):
     assert not out[3]["repetitive"]
     for r in out.values():
         assert r["dup_chars"] <= r["total_chars"]
+
+
+# ---- Bloom tier laws (d22 / streaming gate) on random hash sets ----
+
+HASHES = st.lists(
+    st.integers(min_value=0, max_value=(1 << 60) - 1), min_size=1, max_size=60
+)
+
+
+@given(test_hashes=HASHES, probe_hashes=HASHES)
+@settings(**_SETTINGS)
+def test_bloom_membership_never_misses(spark, test_hashes, probe_hashes):
+    """The Bloom law on arbitrary inputs, through the REAL Spark
+    column paths (d22's broadcast-lookup probe is pinned equal to the
+    packed-bitmap probe elsewhere; here the bitmap probe faces random
+    member/non-member hash sets): every true member must test positive
+    — a single false negative anywhere means the build and probe hash
+    families diverged."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_sales_etl_de_project_spark.operators import dedup
+
+    member = set(test_hashes)
+    tdf = spark.createDataFrame([(h,) for h in sorted(member)], "shingle: long")
+    bits = (
+        tdf.select(
+            F.explode(
+                F.array(
+                    *[
+                        dedup._bloom_bit(F.col("shingle"), s, dedup.BLOOM_M_BITS)
+                        for s in range(dedup.BLOOM_N_SEEDS)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    words = dedup.bloom_bitmap_words(bits)
+    probes = sorted(set(probe_hashes) | member)
+    pdf = spark.createDataFrame([(h,) for h in probes], "shingle: long")
+    got = {
+        r["shingle"]: r["m"]
+        for r in pdf.select(
+            "shingle",
+            dedup.bloom_membership(F.col("shingle"), words).alias("m"),
+        ).collect()
+    }
+    for h in member:
+        assert got[h], f"false negative for member {h}"
+    # sanity on the other side: with a tiny member set against a 64k-bit
+    # filter, SOME random non-member should test negative (an all-positive
+    # filter would mean the bitmap degenerated to all-ones)
+    non_members = [h for h in probes if h not in member]
+    if len(non_members) >= 20:
+        assert not all(got[h] for h in non_members), "filter degenerated"
