@@ -239,6 +239,7 @@ HEADLINE = [
     "a21_ivf_recall_curve",
     "d21_cross_source_neardup",
     "d22_bloom_decontaminate",
+    "d23_bloom_sizing_curve",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

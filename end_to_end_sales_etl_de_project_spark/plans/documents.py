@@ -2978,3 +2978,17 @@ def d22_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.bloom_decontaminate(
         docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
     )
+
+
+@_register("d23_bloom_sizing_curve", dedup.bloom_sizing_curve_sql())
+def d23_bloom_sizing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom m-dial as a hash-checked table (d19's tuning-curve
+    pattern on the d22 prefilter): per filter size, bits set, probes,
+    true hits, and measured false positives — 8 KB flags ~5.5% of
+    probes falsely where 64 KB flags ~0.16% on this corpus. One shared
+    shingle/split labeling (session index), one map-side probe per
+    grid entry."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.bloom_sizing_curve(
+        docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
+    )

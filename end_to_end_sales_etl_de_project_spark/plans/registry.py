@@ -136,7 +136,9 @@ DRIVER_WINDOW: list[str] = [
     "d01_dedup_exact",
     "d10_incremental_dedup",
     "e16_rolling_1h",
-    "e17_gap_fill_locf",
+    # (e17 yielded its refresh slot to the late-r9 addition d23 — it
+    # keeps r04 evidence and rejoins the r10 queue)
+    "d23_bloom_sizing_curve",
     # (e18 yielded its refresh slot to the late-r9 addition d22 — new
     # queries MUST hold a slot per the union invariant; e18 keeps r04
     # evidence and rejoins the r10 queue)
@@ -152,7 +154,7 @@ DRIVER_WINDOW: list[str] = [
 # table: oldest-evidence rows NOT holding an r9 slot). The r9 rotation
 # consumed the whole r02/r03-era queue and the r04-era head; next up,
 # r04-era tail first:
-#   e18 (displaced by the late-r9 addition d22),
+#   e17, e18 (displaced by the late-r9 additions d23/d22),
 #   e19, e20, e21 (displaced by the late-r9 batch a20/a21/d21),
 #   m04, q02, q12, q14, q63, q64, q65, q66, q67, q68, q70, q71,
 #   t01, t16, t17, t18, t19

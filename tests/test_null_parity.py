@@ -53,6 +53,7 @@ WINDOW_DOC_QUERIES = [
     # late-r9 batch
     "d21_cross_source_neardup",
     "d22_bloom_decontaminate",
+    "d23_bloom_sizing_curve",
 ]
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"

@@ -69,3 +69,24 @@ def test_d22_bloom_law_and_fp_nonvacuity(spark):
         assert 0 <= r["n_bloom_pos"] <= r["n_probe_shingles"], r
     assert sum(r["n_exact"] for r in rows) > 0, "no verbatim contamination"
     assert sum(r["n_false_pos"] for r in rows) > 0, "FP leg vacuous"
+
+
+def test_d23_sizing_curve_laws(spark):
+    """Per-row Bloom law; n_exact must be IDENTICAL across filter
+    sizes (membership truth does not depend on m); bits-set bounded by
+    both the filter size and 2x the test-shingle count; and on this
+    corpus the measured FP rate must not increase with m — the whole
+    point of the dial."""
+    rows = sorted(
+        QUERIES["d23_bloom_sizing_curve"](spark, SF).collect(),
+        key=lambda r: r["m_bits"],
+    )
+    assert [r["m_bits"] for r in rows] == [8192, 16384, 65536]
+    exacts = {r["n_exact"] for r in rows}
+    assert len(exacts) == 1, rows
+    for r in rows:
+        assert r["n_bloom_pos"] == r["n_exact"] + r["n_false_pos"], r
+        assert 0 < r["n_bits_set"] <= r["m_bits"], r
+    fps = [r["fp_rate"] for r in rows]
+    assert fps == sorted(fps, reverse=True), fps
+    assert fps[-1] > 0.0, "largest filter vacuously FP-free"
