@@ -30,31 +30,27 @@ from end_to_end_sales_etl_de_project_spark.testing import (
     run_oracle,
 )
 
-# in-window queries whose plans (and oracles) read the documents table
-# (r9 rotation: the refresh queue brought the r02/r03-era doc readers
-# back in — their FIRST exposure to planted NULLs; the r8 batch left
-# the sweep with its slots, each already swept green in r8)
-WINDOW_DOC_QUERIES = [
-    "a08_source_drift",
-    "c04_policy_diff",
-    "d01_dedup_exact",
-    "d04_simhash",
-    "d10_incremental_dedup",
-    "m01_multimodal_assets",
-    "m07_phash_neardup",
-    "q53_posexplode_tokens",
-    "t04_doc_fingerprint",
-    "t06_corpus_split",
-    "t07_repetition",
-    "t08_stratified_sample",
-    "t09_tfidf_top_terms",
-    "t13_token_rarity",
-    "t34_char_entropy",
-    # late-r9 batch
-    "d21_cross_source_neardup",
-    "d22_bloom_decontaminate",
-    "d23_bloom_sizing_curve",
-]
+# In-window document-readers deliberately OUTSIDE the parity sweep,
+# each with its own dedicated pin below. An exclusion must name a
+# registered oracle (test_exclusions_are_registered) so it cannot
+# silently outlive a query rename/removal.
+SWEEP_EXCLUSIONS = {
+    "d15_prefix_duplicates",  # fail-loud precondition, pinned below
+}
+
+import re as _re
+
+_READER_PAT = _re.compile(r"\bdocuments\b")
+
+# Sweep scope is DERIVED (VERDICT r9 #1): window ∩ oracle-references-
+# documents, minus the documented exclusions. Rotations update the
+# sweep automatically — the r9 failure mode (d23 displaced e17 after
+# the hand list was written) cannot recur by construction.
+WINDOW_DOC_QUERIES = sorted(
+    n
+    for n in DRIVER_WINDOW
+    if n in ORACLES and _READER_PAT.search(ORACLES[n]) and n not in SWEEP_EXCLUSIONS
+)
 
 _PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"
 
@@ -114,36 +110,17 @@ def null_con(null_sf_dir):
     return duckdb_connection(null_sf_dir)
 
 
-# In-window document-readers deliberately OUTSIDE the parity sweep,
-# each with its own dedicated pin below.
-SWEEP_EXCLUSIONS = {
-    "d15_prefix_duplicates",  # fail-loud precondition, pinned below
-}
+def test_exclusions_are_registered():
+    """A stale exclusion (renamed/removed query) must fail loudly, not
+    silently stop matching anything."""
+    for name in SWEEP_EXCLUSIONS:
+        assert name in ORACLES, f"stale sweep exclusion: {name}"
 
 
-def test_scope_is_current(spark):
-    """The scoped list must track the window: every listed query holds
-    a slot and has an oracle (rotations must update this list)."""
-    for name in WINDOW_DOC_QUERIES:
-        assert name in DRIVER_WINDOW, f"{name} rotated out — update scope"
-        assert name in ORACLES, name
-
-
-def test_scope_is_complete():
-    """No in-window document-reader silently skips the NULL sweep: any
-    window query whose ORACLE references the documents table must be
-    either in the sweep or on the documented exclusion list (this is
-    how the m02 NULL-payload crash was found — it was the one reader
-    the hand-written scope missed)."""
-    import re
-
-    readers = {
-        n
-        for n in DRIVER_WINDOW
-        if n in ORACLES and re.search(r"\bdocuments\b", ORACLES[n])
-    }
-    unswept = readers - set(WINDOW_DOC_QUERIES) - SWEEP_EXCLUSIONS
-    assert not unswept, f"document-readers missing from the NULL sweep: {sorted(unswept)}"
+def test_sweep_is_nonvacuous():
+    """A rotation that empties the sweep would silently disable the
+    whole NULL-parity class for this family — fail instead."""
+    assert WINDOW_DOC_QUERIES, "no in-window documents-readers — sweep vacuous"
 
 
 def test_d15_fail_loud_guard_fires_on_null_text(spark, null_sf_dir):

@@ -36,27 +36,22 @@ from end_to_end_sales_etl_de_project_spark.testing import (
     run_oracle,
 )
 
-# in-window queries whose plans (and oracles) read the embeddings table
-WINDOW_EMB_QUERIES = [
-    # r9 rotation: the a-family refresh rows return — first planted-
-    # NULL exposure for a01/a02/a03/a07/a12/a13/d05; a04/a05/a18 hold
-    # stale-flag slots (a16/a17/a19 left the sweep with their window
-    # slots, swept green at sweep creation this round)
-    "a01_ann_bruteforce",
-    "a02_ann_lsh",
-    "a03_ann_lsh_multiprobe",
-    "a04_ann_ivf",
-    "a05_ann_pq",
-    "a07_quantization_audit",
-    "a08_source_drift",
-    "a12_ivf_recall_audit",
-    "a13_pq_recall_audit",
-    "a18_norm_audit",
-    "d05_embedding_neardup",
-    # late-r9 batch
-    "a20_pq_distortion",
-    "a21_ivf_recall_curve",
-]
+# In-window embeddings-readers deliberately OUTSIDE the parity sweep,
+# each with a documented reason (and a dedicated pin if behavior-
+# bearing). Exclusions must name registered oracles
+# (test_exclusions_are_registered).
+SWEEP_EXCLUSIONS: set[str] = set()
+
+_READER_PAT = re.compile(r"\bembeddings\b")
+
+# Sweep scope is DERIVED (VERDICT r9 #1): window ∩ oracle-references-
+# embeddings, minus the documented exclusions. Rotations update the
+# sweep automatically.
+WINDOW_EMB_QUERIES = sorted(
+    n
+    for n in DRIVER_WINDOW
+    if n in ORACLES and _READER_PAT.search(ORACLES[n]) and n not in SWEEP_EXCLUSIONS
+)
 
 
 @pytest.fixture(scope="module")
@@ -94,29 +89,13 @@ def null_emb_con(null_emb_dir):
     return duckdb_connection(null_emb_dir)
 
 
-# In-window embeddings-readers deliberately OUTSIDE the parity sweep,
-# each with a documented reason (and a dedicated pin if
-# behavior-bearing).
-SWEEP_EXCLUSIONS: set[str] = set()
+def test_exclusions_are_registered():
+    for name in SWEEP_EXCLUSIONS:
+        assert name in ORACLES, f"stale sweep exclusion: {name}"
 
 
-def test_scope_is_current():
-    for name in WINDOW_EMB_QUERIES:
-        assert name in DRIVER_WINDOW, f"{name} rotated out — update scope"
-        assert name in ORACLES, name
-
-
-def test_scope_is_complete():
-    """No in-window embeddings-reader silently skips the sweep."""
-    readers = {
-        n
-        for n in DRIVER_WINDOW
-        if n in ORACLES and re.search(r"\bembeddings\b", ORACLES[n])
-    }
-    unswept = readers - set(WINDOW_EMB_QUERIES) - SWEEP_EXCLUSIONS
-    assert not unswept, (
-        f"embeddings-readers missing from the NULL sweep: {sorted(unswept)}"
-    )
+def test_sweep_is_nonvacuous():
+    assert WINDOW_EMB_QUERIES, "no in-window embeddings-readers — sweep vacuous"
 
 
 @pytest.mark.parametrize("name", WINDOW_EMB_QUERIES)

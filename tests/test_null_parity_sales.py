@@ -34,22 +34,21 @@ from end_to_end_sales_etl_de_project_spark.testing import (
 
 SALES_TABLES = ["lineitem", "orders", "customer", "supplier", "part", "nation", "region"]
 
-# in-window queries whose plans (and oracles) read a sales table
-WINDOW_SALES_QUERIES = [
-    # r9 rotation: the refresh queue brought the r02-era relational
-    # rows back in — first planted-NULL exposure for q19/q31/q50/q51/
-    # q54; q58/q62/q101/q102 stay with their stale-flag slots (the
-    # r8 batch left the sweep with its slots, swept green in r8)
-    "q19_orderby_limit",
-    "q31_salted_agg",
-    "q50_map_functions",
-    "q51_filtered_aggregates",
-    "q54_unpivot",
-    "q58_sorted_layout_readback",
-    "q62_incremental_agg",
-    "q101_bucketed_join",
-    "q102_constraint_audit",
-]
+# In-window sales-readers deliberately OUTSIDE the parity sweep, each
+# with a documented reason (and a dedicated pin if behavior-bearing).
+# Exclusions must name registered oracles (test_exclusions_are_registered).
+SWEEP_EXCLUSIONS: set[str] = set()
+
+_READER_PAT = re.compile(r"\b(" + "|".join(SALES_TABLES) + r")\b")
+
+# Sweep scope is DERIVED (VERDICT r9 #1): window ∩ oracle-references-
+# a-sales-table, minus the documented exclusions. Rotations update the
+# sweep automatically.
+WINDOW_SALES_QUERIES = sorted(
+    n
+    for n in DRIVER_WINDOW
+    if n in ORACLES and _READER_PAT.search(ORACLES[n]) and n not in SWEEP_EXCLUSIONS
+)
 
 # per-table NULL masks: (column, modulus) — key % modulus == 0 nulls
 # the column for that row; moduli are distinct primes so the NULL
@@ -108,23 +107,13 @@ def null_sales_con(null_sales_dir):
     return duckdb_connection(null_sales_dir)
 
 
-# In-window sales-readers deliberately OUTSIDE the parity sweep, each
-# with a documented reason (and a dedicated pin if behavior-bearing).
-SWEEP_EXCLUSIONS: set[str] = set()
+def test_exclusions_are_registered():
+    for name in SWEEP_EXCLUSIONS:
+        assert name in ORACLES, f"stale sweep exclusion: {name}"
 
 
-def test_scope_is_current():
-    for name in WINDOW_SALES_QUERIES:
-        assert name in DRIVER_WINDOW, f"{name} rotated out — update scope"
-        assert name in ORACLES, name
-
-
-def test_scope_is_complete():
-    """No in-window sales-table reader silently skips the sweep."""
-    pat = re.compile(r"\b(" + "|".join(SALES_TABLES) + r")\b")
-    readers = {n for n in DRIVER_WINDOW if n in ORACLES and pat.search(ORACLES[n])}
-    unswept = readers - set(WINDOW_SALES_QUERIES) - SWEEP_EXCLUSIONS
-    assert not unswept, f"sales-readers missing from the NULL sweep: {sorted(unswept)}"
+def test_sweep_is_nonvacuous():
+    assert WINDOW_SALES_QUERIES, "no in-window sales-readers — sweep vacuous"
 
 
 def test_fixture_actually_plants_nulls(null_sales_con):
