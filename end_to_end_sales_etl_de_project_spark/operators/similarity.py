@@ -338,11 +338,18 @@ QUANT_SCALE = 1 << 20
 
 def _valid_vecs(emb: DataFrame, vec_col: str = "embedding", dim: int = DIM) -> DataFrame:
     """Rows an ANN index can hold: non-NULL id, non-NULL full-length
-    vector. The SQL twins apply the identical predicate."""
+    vector with NO NULL ELEMENT in the first ``dim`` positions. The
+    element-nullity clause is load-bearing (ADVICE r9): a full-length
+    vector with a NULL element passes the size gate but would reach
+    the numpy seams as a None→int64 cast (garbage codes) while the
+    DuckDB twins NULL-propagate it out of every distance — the
+    embeddings NULL sweep plants exactly this row. The SQL twins apply
+    the identical predicate (``list_filter`` over the same slice)."""
     return emb.filter(
         F.col("vec_id").isNotNull()
         & F.col(vec_col).isNotNull()
         & (F.size(vec_col) >= dim)
+        & ~F.exists(F.slice(F.col(vec_col), 1, dim), lambda x: x.isNull())
     )
 
 
@@ -828,7 +835,8 @@ WITH dimpos AS (SELECT unnest(range(1, {dim + 1})) AS pos),
 valid AS (
   SELECT vec_id, embedding FROM {table}
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-    AND len(embedding) >= {dim}),
+    AND len(embedding) >= {dim}
+    AND len(list_filter(embedding[1:{dim}], x -> x IS NULL)) = 0),
 vq AS (
   SELECT v.vec_id, d.pos AS lp,
          CAST(ROUND(CAST(v.embedding[d.pos] AS DOUBLE) * {scale}) AS BIGINT) AS val
@@ -1189,7 +1197,8 @@ WITH dimpos AS (SELECT unnest(range(1, {dim + 1})) AS pos),
 valid AS (
   SELECT vec_id, embedding FROM {table}
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-    AND len(embedding) >= {dim}),
+    AND len(embedding) >= {dim}
+    AND len(list_filter(embedding[1:{dim}], x -> x IS NULL)) = 0),
 vqs AS (
   SELECT v.vec_id, (d.pos - 1) // {sub} AS s, ((d.pos - 1) % {sub}) + 1 AS lp,
          CAST(ROUND(CAST(v.embedding[d.pos] AS DOUBLE) * {scale}) AS BIGINT) AS val
@@ -1320,7 +1329,8 @@ WITH dimpos AS (SELECT unnest(range(1, {dim + 1})) AS pos),
 valid AS (
   SELECT vec_id, embedding, {label_col} FROM {table}
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-    AND len(embedding) >= {dim}),
+    AND len(embedding) >= {dim}
+    AND len(list_filter(embedding[1:{dim}], x -> x IS NULL)) = 0),
 vqs AS (
   SELECT v.vec_id, (d.pos - 1) // {sub} AS s, ((d.pos - 1) % {sub}) + 1 AS lp,
          CAST(ROUND(CAST(v.embedding[d.pos] AS DOUBLE) * {scale}) AS BIGINT) AS val
@@ -1459,7 +1469,8 @@ WITH dimpos AS (SELECT unnest(range(1, {dim + 1})) AS pos),
 valid AS (
   SELECT vec_id, embedding FROM {table}
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-    AND len(embedding) >= {dim}),
+    AND len(embedding) >= {dim}
+    AND len(list_filter(embedding[1:{dim}], x -> x IS NULL)) = 0),
 vq AS (
   SELECT v.vec_id, d.pos AS lp,
          CAST(ROUND(CAST(v.embedding[d.pos] AS DOUBLE) * {scale}) AS BIGINT) AS val

@@ -116,6 +116,55 @@ _CURATION_DECISIONS: dict[tuple, DataFrame] = {}
 _COMPONENTS: dict[tuple, DataFrame] = {}
 
 
+# Bloom-tier split-shingle artifact (test_sh, train_sh, train_src):
+# the three distinct split-labeled shingle-hash tables both Bloom
+# consumers probe (d22's curve + chosen-m report, d23's grid legs).
+# Same production rationale — the DISTINCTs are the tier's only
+# shuffles, and pre-r10 each d23 grid leg re-paid them from the
+# shingle index (~4x the dominant cost of the round's slowest bench
+# query). On a real cluster: a bucketed parquet of the three tables.
+_SPLIT_SHINGLES: dict[tuple, tuple[DataFrame, DataFrame, DataFrame]] = {}
+
+
+def _split_shingle_artifact(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    app = spark.sparkContext.applicationId
+    for key in [key for key in _SPLIT_SHINGLES if key[0] != app]:
+        del _SPLIT_SHINGLES[key]
+    key = (app, sf_dir)
+    if key not in _SPLIT_SHINGLES:
+        docs = load_table(spark, sf_dir, "documents")
+        test_sh, train_sh, train_src = dedup.split_shingle_tables(
+            docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
+        )
+        _SPLIT_SHINGLES[key] = (
+            test_sh.localCheckpoint(eager=True),
+            train_sh.localCheckpoint(eager=True),
+            train_src.localCheckpoint(eager=True),
+        )
+    return _SPLIT_SHINGLES[key]
+
+
+# The Bloom sizing decision (chosen m for the 1% FP target) — made
+# once per (session, corpus), like a deployment sizes its filter once
+# per corpus refresh, not per probe job.
+_BLOOM_M: dict[tuple, int] = {}
+
+
+def _bloom_m_artifact(spark: SparkSession, sf_dir: str) -> int:
+    app = spark.sparkContext.applicationId
+    for key in [key for key in _BLOOM_M if key[0] != app]:
+        del _BLOOM_M[key]
+    key = (app, sf_dir)
+    if key not in _BLOOM_M:
+        test_sh, train_sh, _ = _split_shingle_artifact(spark, sf_dir)
+        docs = load_table(spark, sf_dir, "documents")
+        curve = dedup.bloom_sizing_curve(docs, split_shingles=(test_sh, train_sh))
+        _BLOOM_M[key] = dedup.bloom_choose_m(curve)
+    return _BLOOM_M[key]
+
+
 def _component_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = spark.sparkContext.applicationId
     for key in [key for key in _COMPONENTS if key[0] != app]:
@@ -2923,8 +2972,11 @@ def a20_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder-drift slice gets systematically worse shortlists and this
     shows WHERE. Exactly oracle-able since the r9 grid promotion;
     reads the session codebooks (_PQ_MODELS). No spread: the error
-    fold is pure codegen (no Python seam), so the extra exchange would
-    only cost (plan pinned at one label exchange)."""
+    fold rides the Arrow-batched numpy seam (_with_codes_np with
+    with_err — one int64 matmul per batch, the same seam the code
+    assignment uses), so a salting exchange would only add a shuffle
+    around an already-vectorized map stage (plan pinned at one label
+    exchange)."""
     emb = load_table(spark, sf_dir, "embeddings")
     if sf_dir not in _PQ_MODELS:
         _PQ_MODELS[sf_dir] = similarity.pq_train(emb)
@@ -2967,16 +3019,20 @@ def d21_cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("d22_bloom_decontaminate", dedup.bloom_decontaminate_sql())
 def d22_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefilter decontamination audit: per source, distinct
-    train shingles flagged by the m-bit Bloom filter of the test
-    shingle set, split into verbatim hits and false positives — the
-    constant-size (m bits, ~1.2 MB here) alternative to d07's
-    broadcast of the full test shingle-hash set, with its verify
-    workload priced exactly. Map-side probe (one broadcast hash-lookup
-    join per hash-family member, never a probe-side shuffle); reads
-    the session shingle index."""
+    train shingles flagged by the Bloom filter of the test shingle
+    set, split into verbatim hits and false positives — the
+    constant-size alternative to d07's broadcast of the full test
+    shingle-hash set, with its verify workload priced exactly. The
+    filter size is CHOSEN from the measured d23 curve (smallest grid m
+    with corpus FP <= 1%, VERDICT r9 #6) and reported in the m_bits
+    column. Map-side probe (one broadcast hash-lookup join per
+    hash-family member, never a probe-side shuffle); reads the staged
+    split-shingle artifact shared with d23."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.bloom_decontaminate(
-        docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
+        docs,
+        m_bits=_bloom_m_artifact(spark, sf_dir),
+        split_shingles=_split_shingle_artifact(spark, sf_dir),
     )
 
 
@@ -2985,10 +3041,9 @@ def d23_bloom_sizing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Bloom m-dial as a hash-checked table (d19's tuning-curve
     pattern on the d22 prefilter): per filter size, bits set, probes,
     true hits, and measured false positives — 8 KB flags ~5.5% of
-    probes falsely where 64 KB flags ~0.16% on this corpus. One shared
-    shingle/split labeling (session index), one map-side probe per
-    grid entry."""
+    probes falsely where 64 KB flags ~0.16% on this corpus. Probes the
+    staged split-shingle artifact (shared with d22), one map-side
+    probe per grid entry."""
+    test_sh, train_sh, _ = _split_shingle_artifact(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.bloom_sizing_curve(
-        docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
-    )
+    return dedup.bloom_sizing_curve(docs, split_shingles=(test_sh, train_sh))

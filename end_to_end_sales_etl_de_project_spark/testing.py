@@ -24,9 +24,12 @@ from end_to_end_sales_etl_de_project_spark.sources.tables import TABLES
 
 # sf_dir each connection was built against, so run_oracle's subprocess
 # fallback can rebuild the same catalog in a fresh allocator. Keyed by
-# id(con) — connections are long-lived module-scoped fixtures, and the
-# value is only consulted while the connection object is alive.
-_CON_SF_DIR: dict[int, str] = {}
+# the connection OBJECT (identity hash, strong ref): keying by id()
+# would let CPython reuse a garbage-collected connection's id for a
+# fresh unregistered one and silently hand the fallback the wrong
+# sf_dir. The strong ref is deliberate — a handful of module-scoped
+# fixture connections per run, never a per-query churn.
+_CON_SF_DIR: dict[duckdb.DuckDBPyConnection, str] = {}
 
 DUCKDB_MEMORY_LIMIT = "4GB"
 
@@ -55,7 +58,7 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
         )
-    _CON_SF_DIR[id(con)] = sf_dir
+    _CON_SF_DIR[con] = sf_dir
     return con
 
 
@@ -167,7 +170,8 @@ def _run_oracle_subprocess(sf_dir: str, sql: str) -> pd.DataFrame:
     import subprocess
     import sys
 
-    out = tempfile.mktemp(suffix=".parquet", prefix="oracle_sub_")
+    fd, out = tempfile.mkstemp(suffix=".parquet", prefix="oracle_sub_")
+    os.close(fd)  # the child's COPY overwrites the placeholder file
     child_src = (
         "import sys, duckdb, tempfile\n"
         "sf_dir, out, limit = sys.argv[1], sys.argv[2], sys.argv[3]\n"
@@ -234,7 +238,7 @@ def run_oracle(con: duckdb.DuckDBPyConnection, sql: str) -> pd.DataFrame:
             return con.execute(sql).df()
         except duckdb.OutOfMemoryException:
             if i == len(backoffs) - 1:
-                sf_dir = _CON_SF_DIR.get(id(con))
+                sf_dir = _CON_SF_DIR.get(con)
                 if sf_dir is None:
                     raise
                 return _run_oracle_subprocess(sf_dir, sql)

@@ -95,3 +95,30 @@ def dim_dataframes(spark):
         " is_manager string, address string, pincode string, joining_date string",
     )
     return {"customer": customer, "store": store, "sales_team": sales_team}
+
+
+def tiny_png(width: int = 4, height: int = 4, shade: int = 17) -> bytes:
+    """A genuine spec-valid 8-bit grayscale PNG written with the stdlib
+    only (signature, CRC'd IHDR/IDAT/IEND chunks, zlib-compressed
+    filter-0 scanlines) — a REAL image-format fixture for the decode
+    seams that works in containers without Pillow. Constant ``shade``
+    so the decoded pixel stats are known exactly."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([shade]) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )

@@ -8,8 +8,9 @@ driver rows. The t34/t37 pre-ship catches proved this class only
 surfaces on planted data.
 
 Planted corners: NULL vec_id, NULL embedding, empty embedding array, a
-SHORT (3-elem) embedding, NULL label, and an all-NULL row — vec_ids
-9000001+ so the a-family's fixed query set (vec_id < 8) is unchanged.
+SHORT (3-elem) embedding, a full-length embedding with a NULL ELEMENT,
+NULL label, and an all-NULL row — vec_ids 9000001+ so the a-family's
+fixed query set (vec_id < 8) is unchanged.
 
 Scope is self-checking like the other sweeps: every in-window query
 whose oracle references the embeddings table must be in the sweep or on
@@ -65,6 +66,14 @@ def null_emb_dir(sf_dir, tmp_path_factory):
         if name != "embeddings.parquet":
             shutil.copy(os.path.join(sf_dir, name), d / name)
     full = "[" + ", ".join(f"{(i % 7 - 3) / 8:.3f}" for i in range(64)) + "]"
+    # full-LENGTH vector with a NULL element: passes the size gate but
+    # must be excluded by the element-nullity predicate (ADVICE r9 —
+    # the numpy seams would otherwise crash where DuckDB NULL-propagates)
+    holed = (
+        "["
+        + ", ".join("NULL" if i == 17 else f"{(i % 5 - 2) / 8:.3f}" for i in range(64))
+        + "]"
+    )
     duckdb.connect().execute(
         f"""
 COPY (
@@ -76,7 +85,8 @@ COPY (
     (9000003, CAST([0.25, -0.5, 0.125] AS FLOAT[]),  CAST(2 AS INTEGER)),
     (9000004, CAST({full} AS FLOAT[]),               NULL),
     (NULL,    CAST({full} AS FLOAT[]),               CAST(4 AS INTEGER)),
-    (9000006, NULL, NULL)
+    (9000006, NULL, NULL),
+    (9000007, CAST({holed} AS FLOAT[]),              CAST(5 AS INTEGER))
   ) t(vec_id, embedding, label)
 ) TO '{d / "embeddings.parquet"}' (FORMAT PARQUET)
 """

@@ -1150,8 +1150,8 @@ def test_runtime_bloom_filter_injection(spark):
 def test_d23_curve_probes_stay_mapside(spark):
     """d23 runs the d22 probe once per grid entry: every membership
     decision remains a broadcast hash-lookup (LeftOuter BuildRight),
-    never a shuffled join — 3 sizes x (n_seeds bit lookups + exact
-    marker) = 9 such joins, zero SortMergeJoin."""
+    never a shuffled join — 4 sizes x (n_seeds bit lookups + exact
+    marker) = 12 such joins, zero SortMergeJoin."""
     plan = plan_of(spark, "d23_bloom_sizing_curve")
-    assert plan.count("BroadcastHashJoin LeftOuter") == 9, plan
+    assert plan.count("BroadcastHashJoin LeftOuter") == 12, plan
     assert "SortMergeJoin" not in plan, plan

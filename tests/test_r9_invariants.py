@@ -71,6 +71,28 @@ def test_d22_bloom_law_and_fp_nonvacuity(spark):
     assert sum(r["n_false_pos"] for r in rows) > 0, "FP leg vacuous"
 
 
+def test_d22_m_is_the_curve_choice(spark):
+    """VERDICT r9 #6: d22's filter size must be DERIVED from the
+    measured d23 curve — smallest grid m whose corpus fp_rate meets
+    the 1% target, largest grid size if none qualifies — not a
+    hardcoded constant sitting beside the sizing audit."""
+    import math
+
+    from end_to_end_sales_etl_de_project_spark.operators import dedup
+
+    rows = QUERIES["d22_bloom_decontaminate"](spark, SF).collect()
+    chosen = {r["m_bits"] for r in rows}
+    assert len(chosen) == 1, rows  # one filter, every source
+    curve = QUERIES["d23_bloom_sizing_curve"](spark, SF).collect()
+    ok = [
+        r["m_bits"]
+        for r in curve
+        if not math.isnan(r["fp_rate"]) and r["fp_rate"] <= dedup.BLOOM_TARGET_FP
+    ]
+    expect = min(ok) if ok else max(dedup.BLOOM_M_GRID)
+    assert chosen == {expect}, (chosen, curve)
+
+
 def test_d23_sizing_curve_laws(spark):
     """Per-row Bloom law; n_exact must be IDENTICAL across filter
     sizes (membership truth does not depend on m); bits-set bounded by
@@ -81,7 +103,7 @@ def test_d23_sizing_curve_laws(spark):
         QUERIES["d23_bloom_sizing_curve"](spark, SF).collect(),
         key=lambda r: r["m_bits"],
     )
-    assert [r["m_bits"] for r in rows] == [8192, 16384, 65536]
+    assert [r["m_bits"] for r in rows] == [8192, 16384, 65536, 262144]
     exacts = {r["n_exact"] for r in rows}
     assert len(exacts) == 1, rows
     for r in rows:
