@@ -1062,11 +1062,23 @@ def curriculum_phases(
     codegen'd CASE. No global sort of the corpus, no single-partition
     window over data-sized input (the textbook ntile() would do
     exactly that). Ties at a cutoff all land in the lower phase.
+
+    NULL policy: NULL-text docs (no measurable length) are EXCLUDED
+    from the quantile histogram — Spark's NULLS FIRST cumulative walk
+    would otherwise count the NULL group into every cutoff while
+    DuckDB's NULLS LAST counts it into none, shifting every phase
+    boundary between engines (caught by the documents NULL sweep on
+    first exposure, r10). They stay in the output with a NULL phase:
+    no length, no curriculum position.
     """
     sized = docs.select(
         F.col(id_col), word_count(text_col).cast("bigint").alias("n_words")
     )
-    hist = sized.groupBy("n_words").agg(F.count(F.lit(1)).alias("cnt"))
+    hist = (
+        sized.filter(F.col("n_words").isNotNull())
+        .groupBy("n_words")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     # single-partition window over the HISTOGRAM (bounded cardinality)
     cum = hist.withColumn(
         "cum", F.sum("cnt").over(Window.orderBy("n_words"))
@@ -1079,11 +1091,12 @@ def curriculum_phases(
         ).alias(name)
 
     cuts = cum.agg(cut(0.25, "c25"), cut(0.50, "c50"), cut(0.75, "c75"))
-    phase = (
+    phase = F.when(
+        F.col("n_words").isNotNull(),
         F.lit(1)
         + F.when(F.col("n_words") > F.col("c25"), 1).otherwise(0)
         + F.when(F.col("n_words") > F.col("c50"), 1).otherwise(0)
-        + F.when(F.col("n_words") > F.col("c75"), 1).otherwise(0)
+        + F.when(F.col("n_words") > F.col("c75"), 1).otherwise(0),
     )
     return sized.crossJoin(F.broadcast(cuts)).select(
         F.col(id_col), "n_words", phase.cast("bigint").alias("phase")
@@ -1096,7 +1109,9 @@ def curriculum_phases_sql(
     wc = word_count_sql(text_col)
     return f"""
 WITH sized AS (SELECT {id_col}, {wc} AS n_words FROM {table}),
-hist AS (SELECT n_words AS v, COUNT(*) AS cnt FROM sized GROUP BY 1),
+hist AS (
+  SELECT n_words AS v, COUNT(*) AS cnt FROM sized
+  WHERE n_words IS NOT NULL GROUP BY 1),
 cum AS (
   SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum, SUM(cnt) OVER () AS n FROM hist
 ),
@@ -1108,9 +1123,11 @@ cuts AS (
   FROM cum
 )
 SELECT {id_col}, CAST(n_words AS BIGINT) AS n_words,
-       CAST(1 + (CASE WHEN n_words > c25 THEN 1 ELSE 0 END)
-              + (CASE WHEN n_words > c50 THEN 1 ELSE 0 END)
-              + (CASE WHEN n_words > c75 THEN 1 ELSE 0 END) AS BIGINT) AS phase
+       CASE WHEN n_words IS NOT NULL THEN
+         CAST(1 + (CASE WHEN n_words > c25 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_words > c50 THEN 1 ELSE 0 END)
+                + (CASE WHEN n_words > c75 THEN 1 ELSE 0 END) AS BIGINT)
+       END AS phase
 FROM sized, cuts
 """
 

@@ -1217,7 +1217,8 @@ _E27_ORACLE = """
 WITH seq AS (
   SELECT user_id, event_type,
          LEAD(event_type) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+           PARTITION BY user_id
+           ORDER BY ts NULLS LAST, event_id NULLS LAST) AS next_type
   FROM events
 ),
 counts AS (
@@ -1244,11 +1245,19 @@ def e27_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy on a 25-cell key space, and the row-normalization window
     runs over ≤|types| rows per partition. The probability is one IEEE
     division of exact integer counts.
+
+    NULL policy: NULLS LAST explicitly on both sort keys — Spark's ASC
+    default is NULLS FIRST where DuckDB's is NULLS LAST, so an
+    un-annotated ORDER BY silently reorders NULL-ts rows between
+    engines (caught by the events NULL sweep on first exposure, r10).
+    A NULL-ts event sorts to the end of its user's sequence in both.
     """
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     seq = ev.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
     ).filter(F.col("next_type").isNotNull())

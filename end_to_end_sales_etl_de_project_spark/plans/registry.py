@@ -74,93 +74,82 @@ DRIVER_WINDOW_SIZE = 50
 # window; all rotated-out queries stay under local parity at sf0.001
 # every run (tests/test_oracle_parity.py).
 DRIVER_WINDOW: list[str] = [
-    # ---- Round-9 rotation (VERDICT r8 #2). Every r8-window query is
-    # green in CORRECTNESS_r08, so slots go to (a) queries whose code
-    # or oracle changed this round, (b) the standing r02/r03-era
-    # refresh queue in full, (c) oldest r04-era refresh.
-    # -- changed this round (driver_evidence.py stale set): the
-    # a04/a05 quantized-grid oracle promotion touches
-    # a04/a05/a12/a13 (ivf_train/pq_train shared); the a18 malformed-
-    # vector fix from the new embeddings NULL sweep; the t34 numpy
-    # rewrite; the q101 layout artifact; the q102 expectations empty-
-    # row_checks fix; e07/q58/q62 (late-r8 edits the tool flags); m07
-    # slotted defensively (phash_signatures gained the Pillow branch —
-    # an indirect callee the tool does not track)
+    # ---- Round-10 rotation (VERDICT r9 #2). Every r9-window query is
+    # green in CORRECTNESS_r09 (50/50 hash), so slots go to (a) queries
+    # whose code or oracle changed this round, (b) the standing r04-era
+    # refresh queue in full, (c) oldest r05-era refresh.
+    # -- changed this round: the Bloom rework (curve-driven d22 default
+    # + m_bits column + extended grid + staged split-shingle artifact)
+    # touches d22/d23; the a20 docstring/plan edit; the ANN NULL-element
+    # validity fix changes _valid_vecs and the four IVF/PQ SQL twins —
+    # a04/a05/a20/a21 directly, a12/a13 through the recall audits
+    # (two-level callees driver_evidence.py's one-level scan cannot
+    # see, slotted defensively); the pointer-doubling rewrite of
+    # neardup_components touches d06/a10 (flagged) and, through the
+    # component/curation artifacts, d14/t25/c01/c02/c06 (defensive)
+    "d22_bloom_decontaminate",
+    "d23_bloom_sizing_curve",
+    "a20_pq_distortion",
     "a04_ann_ivf",
     "a05_ann_pq",
     "a12_ivf_recall_audit",
     "a13_pq_recall_audit",
-    "a18_norm_audit",
-    "t34_char_entropy",
-    "q101_bucketed_join",
-    "q102_constraint_audit",
-    "e07_sessionize_lag",
-    "q58_sorted_layout_readback",
-    "q62_incremental_agg",
-    "m07_phash_neardup",
-    # -- the full standing r02/r03-era refresh queue (registry comment
-    # r8; every row's evidence is 5-6 rounds old against actively-
-    # refactored shared helpers)
-    "e09_json_extract",
-    "q50_map_functions",
-    "q51_filtered_aggregates",
-    "q54_unpivot",
-    "a01_ann_bruteforce",
-    "d04_simhash",
-    "d05_embedding_neardup",
-    "e04_user_activity_rollup",
-    "e05_asof_join",
-    "e06_range_join",
-    "e10_value_deciles",
-    "e11_ohlc_hourly",
-    "e12_cohort_retention",
-    "e13_change_intervals",
-    "e15_funnel",
-    "t06_corpus_split",
-    "m01_multimodal_assets",
-    "q19_orderby_limit",
-    "q31_salted_agg",
-    "q53_posexplode_tokens",
-    "t04_doc_fingerprint",
-    "t07_repetition",
-    "t08_stratified_sample",
-    "t09_tfidf_top_terms",
-    "t13_token_rarity",
-    # -- oldest r04-era refresh fills the remaining slots (displaced
-    # first if late-round additions need slots)
-    "a02_ann_lsh",
-    "a03_ann_lsh_multiprobe",
-    "a07_quantization_audit",
-    "a08_source_drift",
-    "c04_policy_diff",
-    "d01_dedup_exact",
-    "d10_incremental_dedup",
-    "e16_rolling_1h",
-    # (e17 yielded its refresh slot to the late-r9 addition d23 — it
-    # keeps r04 evidence and rejoins the r10 queue)
-    "d23_bloom_sizing_curve",
-    # (e18 yielded its refresh slot to the late-r9 addition d22 — new
-    # queries MUST hold a slot per the union invariant; e18 keeps r04
-    # evidence and rejoins the r10 queue)
-    "d22_bloom_decontaminate",
-    # (e19-e21 yielded their refresh slots to the late-r9 batch
-    # t40/a20/a21 — new queries MUST hold a slot per the union
-    # invariant; all three keep r04 evidence and rejoin the r10 queue)
-    "a20_pq_distortion",
     "a21_ivf_recall_curve",
-    "d21_cross_source_neardup",
+    "d06_neardup_resolve",
+    "a10_semantic_dedup",
+    "d14_cluster_size_histogram",
+    "t25_effective_tokens",
+    "c01_curate_corpus",
+    "c02_training_manifest",
+    "c06_dedup_impact",
+    # -- the full standing r04-era refresh queue (registry comment r9:
+    # e17-e21 displaced by the late-r9 landings, plus the r04-era tail)
+    "e17_gap_fill_locf",
+    "e18_rolling_zscore",
+    "e19_exact_quantiles",
+    "e20_late_event_audit",
+    "e21_hourly_active_users",
+    "m04_decode_batches",
+    "q02_sales_team_incentive",
+    "q12_pricing_summary",
+    "q14_sales_team_mart",
+    "q63_fk_orphans",
+    "q64_numeric_histogram",
+    "q65_sole_late_supplier",
+    "q66_except_all",
+    "q67_salted_join",
+    "q68_full_outer_reconcile",
+    "q70_fuzzy_name_match",
+    "q71_zorder_key",
+    "t01_text_stats",
+    "t16_weighted_source_mix",
+    "t17_training_shards",
+    "t18_chunk_dedup",
+    "t19_bigram_lm",
+    # -- oldest r05-era refresh fills the remaining slots (displaced
+    # first if late-round additions need slots)
+    "a11_ann_filtered",
+    "c05_curriculum_phases",
+    "c07_source_skew_profile",
+    "c09_quality_budget_fill",
+    "d12_fuzzy_decontaminate",
+    "d13_semantic_decontaminate",
+    "e22_ewma",
+    "e23_quantiles_histogram",
+    "e24_attribution_last_touch",
+    "e25_hourly_leaderboard",
+    "e26_daily_streaks",
+    "e27_event_transitions",
+    "e28_concurrency_peak",
 ]
-# ---- Standing r10 refresh queue (generated from the COVERAGE evidence
-# table: oldest-evidence rows NOT holding an r9 slot). The r9 rotation
-# consumed the whole r02/r03-era queue and the r04-era head; next up,
-# r04-era tail first:
-#   e17, e18 (displaced by the late-r9 additions d23/d22),
-#   e19, e20, e21 (displaced by the late-r9 batch a20/a21/d21),
-#   m04, q02, q12, q14, q63, q64, q65, q66, q67, q68, q70, q71,
-#   t01, t16, t17, t18, t19
-# then the r05-era rows (a10, a11, c05, c06, d11-d14, e22-e28, q72-q90,
-# t20-t25...), plus whatever scripts/driver_evidence.py flags stale
-# from the r10 diffs. tests/test_registry_window.py enforces the union
+# ---- Standing r11 refresh queue (generated from the COVERAGE evidence
+# table: oldest-evidence rows NOT holding an r10 slot). The r10
+# rotation consumed the r04-era queue and the r05-era head; next up,
+# the r05-era tail first:
+#   e29, e30, e31, m05, m06, q72-q90, t20, t21, t22, t23, t24
+# then the r06-era rows (t02, t03, t05, t10-t12, t14, t15, d16, q33-ish
+# roundtrips...), plus whatever scripts/driver_evidence.py flags stale
+# from the r11 diffs. tests/test_registry_window.py enforces the union
 # invariant either way.
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a
