@@ -74,11 +74,11 @@ class _FlakyOnce:
 def test_transient_oom_retries_at_same_budget(con):
     sql = E.oracle_sql()["q59_data_profile"]
     flaky = _FlakyOnce(con, sql)
-    _CON_SF_DIR[id(flaky)] = SF
+    _CON_SF_DIR[flaky] = SF
     try:
         out = run_oracle(flaky, sql)  # type: ignore[arg-type]
     finally:
-        del _CON_SF_DIR[id(flaky)]
+        del _CON_SF_DIR[flaky]
     assert flaky.oom_count == 1
     # the retry re-asserted the BASELINE budget, never a lower one
     assert flaky.limits_set == [f"SET memory_limit='{DUCKDB_MEMORY_LIMIT}'"]
@@ -102,11 +102,11 @@ class _AlwaysOOM:
 def test_persistent_oom_falls_back_to_subprocess(con):
     sql = E.oracle_sql()["q59_data_profile"]
     dead = _AlwaysOOM()
-    _CON_SF_DIR[id(dead)] = SF
+    _CON_SF_DIR[dead] = SF
     try:
         out = run_oracle(dead, sql)  # type: ignore[arg-type]
     finally:
-        del _CON_SF_DIR[id(dead)]
+        del _CON_SF_DIR[dead]
     assert dead.attempts == 4  # full backoff ladder exhausted first
     assert _canon_rows(out) == _canon_rows(run_oracle(con, sql))
 
