@@ -1,0 +1,33 @@
+"""Behavioral laws for the round-10 changes — the chooser that now
+drives d22's filter size, pinned on hand-built curves where the law is
+unambiguous (the corpus-level pin lives in test_r9_invariants)."""
+
+from __future__ import annotations
+
+from end_to_end_sales_etl_de_project_spark.operators import dedup
+
+GRID = (8_192, 16_384, 65_536)
+
+
+def _curve(spark, rows):
+    return spark.createDataFrame(rows, "m_bits long, fp_rate double")
+
+
+def test_choose_m_takes_smallest_qualifying(spark):
+    c = _curve(spark, [(8_192, 0.5), (16_384, 0.005), (65_536, 0.001)])
+    assert dedup.bloom_choose_m(c, GRID, 0.01) == 16_384
+
+
+def test_choose_m_falls_back_to_largest_when_none_qualify(spark):
+    c = _curve(spark, [(8_192, 0.5), (16_384, 0.2), (65_536, 0.1)])
+    assert dedup.bloom_choose_m(c, GRID, 0.01) == 65_536
+
+
+def test_choose_m_nan_and_null_never_qualify(spark):
+    """A zero-probe corpus yields NaN fp_rate (0/0 IEEE division) —
+    NaN compares false against the target in Python, Spark, and DuckDB
+    alike, so it must neither qualify nor crash; NULL likewise."""
+    c = _curve(spark, [(8_192, float("nan")), (16_384, None), (65_536, 0.001)])
+    assert dedup.bloom_choose_m(c, GRID, 0.01) == 65_536
+    c2 = _curve(spark, [(8_192, float("nan")), (16_384, None), (65_536, None)])
+    assert dedup.bloom_choose_m(c2, GRID, 0.01) == 65_536  # fallback
