@@ -240,6 +240,8 @@ HEADLINE = [
     "d21_cross_source_neardup",
     "d22_bloom_decontaminate",
     "d23_bloom_sizing_curve",
+    # round-10 additions
+    "d24_dedup_tier_attribution",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -146,6 +146,30 @@ def _split_shingle_artifact(
     return _SPLIT_SHINGLES[key]
 
 
+# MinHash signature artifact (doc, mh0..mh15): the signature groupBy
+# is the LSH family's dominant shuffle and every consumer re-paid it
+# (d03, d19's three banding legs, d21, the component artifact) until
+# r10 — same production rationale as the shingle index one level down:
+# a real pipeline signs the corpus once per refresh and every banding/
+# verification job reads the signature table.
+_MINHASH_SIGS: dict[tuple, DataFrame] = {}
+
+
+def _minhash_sig_artifact(
+    spark: SparkSession, sf_dir: str, n_hashes: int = 16
+) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for key in [key for key in _MINHASH_SIGS if key[0] != app]:
+        del _MINHASH_SIGS[key]
+    key = (app, sf_dir, n_hashes)
+    if key not in _MINHASH_SIGS:
+        sigs = dedup.minhash_signatures(
+            _shingle_index(spark, sf_dir, 3), n_hashes, pre_hashed=True
+        )
+        _MINHASH_SIGS[key] = sigs.localCheckpoint(eager=True)
+    return _MINHASH_SIGS[key]
+
+
 # The Bloom sizing decision (chosen m for the 1% FP target) — made
 # once per (session, corpus), like a deployment sizes its filter once
 # per corpus refresh, not per probe job.
@@ -173,7 +197,11 @@ def _component_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _COMPONENTS:
         docs = load_table(spark, sf_dir, "documents")
         pairs = dedup.minhash_lsh_pairs(
-            docs, "doc_id", "text", hashed_shingles=_shingle_index(spark, sf_dir, 3)
+            docs,
+            "doc_id",
+            "text",
+            hashed_shingles=_shingle_index(spark, sf_dir, 3),
+            signatures=_minhash_sig_artifact(spark, sf_dir),
         )
         comp = dedup.neardup_components(docs, pairs, "doc_id")
         _COMPONENTS[key] = comp.localCheckpoint(eager=True)
@@ -403,7 +431,11 @@ def d03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 0.5 — the linear-time near-dedup scale path."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", hashed_shingles=_shingle_index(spark, sf_dir, 3)
+        docs,
+        "doc_id",
+        "text",
+        hashed_shingles=_shingle_index(spark, sf_dir, 3),
+        signatures=_minhash_sig_artifact(spark, sf_dir),
     )
 
 
@@ -467,7 +499,11 @@ def d06_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate. Oracle: recursive transitive-closure CTE."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", hashed_shingles=_shingle_index(spark, sf_dir, 3)
+        docs,
+        "doc_id",
+        "text",
+        hashed_shingles=_shingle_index(spark, sf_dir, 3),
+        signatures=_minhash_sig_artifact(spark, sf_dir),
     )
     return dedup.neardup_components(docs, pairs, "doc_id")
 
@@ -2870,7 +2906,9 @@ def d19_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle index."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.lsh_tuning_curve(
-        docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
+        docs,
+        hashed_shingles=_shingle_index(spark, sf_dir, 3),
+        signatures=_minhash_sig_artifact(spark, sf_dir),
     )
 
 
@@ -3047,3 +3085,24 @@ def d23_bloom_sizing_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_sh, train_sh, _ = _split_shingle_artifact(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     return dedup.bloom_sizing_curve(docs, split_shingles=(test_sh, train_sh))
+
+
+@_register(
+    "d24_dedup_tier_attribution",
+    dedup.dedup_tier_attribution_sql(containment_max_df=_D16_MAX_DF),
+)
+def d24_dedup_tier_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cascade attribution: per tier (exact → MinHash-LSH
+    near-dup → df-capped containment), the docs it flags that no
+    cheaper tier already caught, plus the cumulative total — the table
+    that says which tier earns its cost before a 100 TB run buys all
+    three. Reads the session component artifact and the df-capped
+    shingle index; the three flag sets are doc-id anti-joins and the
+    output rows are scalar-count broadcast join-backs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_tier_attribution(
+        docs,
+        containment_max_df=_D16_MAX_DF,
+        capped_shingles=_shingle_index(spark, sf_dir, 3, max_df=_D16_MAX_DF),
+        components=_component_artifact(spark, sf_dir),
+    )

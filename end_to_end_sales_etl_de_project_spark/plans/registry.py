@@ -136,11 +136,16 @@ DRIVER_WINDOW: list[str] = [
     "d13_semantic_decontaminate",
     "e22_ewma",
     "e23_quantiles_histogram",
-    "e24_attribution_last_touch",
-    "e25_hourly_leaderboard",
-    "e26_daily_streaks",
     "e27_event_transitions",
-    "e28_concurrency_peak",
+    # (e24-e26, e28 yielded their refresh slots to the r10 addition d24
+    # and to d03/d11/d19, whose code paths changed with the late-r10
+    # signature-artifact wiring — new/stale queries MUST hold a slot
+    # per the union + staleness invariants; all four keep r05 evidence
+    # and rejoin the r11 queue)
+    "d24_dedup_tier_attribution",
+    "d03_minhash_lsh",
+    "d11_chunk_neardup",
+    "d19_lsh_tuning_curve",
 ]
 # ---- Standing r11 refresh queue (generated from the COVERAGE evidence
 # table: oldest-evidence rows NOT holding an r10 slot). The r10

@@ -31,3 +31,24 @@ def test_choose_m_nan_and_null_never_qualify(spark):
     assert dedup.bloom_choose_m(c, GRID, 0.01) == 65_536
     c2 = _curve(spark, [(8_192, float("nan")), (16_384, None), (65_536, None)])
     assert dedup.bloom_choose_m(c2, GRID, 0.01) == 65_536  # fallback
+
+
+def test_d24_tier_attribution_laws(spark):
+    """Cumulative = prefix-sum of marginals, and the cascade must flag
+    SOMETHING on the canonical corpus (near-dups are planted in the
+    synthetic data). The exact tier's non-vacuous case — a verbatim
+    copy — lives in the documents NULL sweep's planted corpus, where
+    d24's hash parity covers it."""
+    from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["d24_dedup_tier_attribution"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["tier"],
+    )
+    assert [r["tier"] for r in rows] == ["1_exact", "2_neardup", "3_containment"]
+    cum = 0
+    for r in rows:
+        assert r["n_flagged_new"] >= 0
+        cum += r["n_flagged_new"]
+        assert r["n_flagged_cum"] == cum, rows
+    assert cum > 0, "cascade flagged nothing — corpus fixture degenerate"
