@@ -381,6 +381,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     hashed_shingles: DataFrame | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """The full curation decision per document — what an LLM-data
     pipeline runs end-to-end before training:
@@ -411,6 +412,12 @@ def curate_corpus(
     corpus — so the full-corpus artifact is reused by filtering it to
     survivor ids instead of re-tokenizing the survivor texts inside
     this plan (signatures + verify each re-read that subtree).
+
+    ``signatures``: the corpus's materialized MinHash signature table
+    (doc, mh0..mh15). Per-doc signatures are corpus-independent (min
+    over the doc's OWN shingles), so the survivor subset's signatures
+    are exactly the artifact filtered to survivor ids — the survivor
+    signature groupBy is skipped entirely.
     """
     base = docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
     ok = base.filter(quality_bucket("text") == "ok")
@@ -433,8 +440,15 @@ def curate_corpus(
             # carry the width stamp through the survivor restriction so
             # the downstream k-mismatch guard keeps working
             surv_shingles._shingle_k = hk
+    surv_sigs = None
+    if signatures is not None and surv_shingles is not None:
+        surv_sigs = signatures.join(survivors.select("doc"), "doc")
     pairs = dedup.minhash_lsh_pairs(
-        survivors, "doc", "text", hashed_shingles=surv_shingles
+        survivors,
+        "doc",
+        "text",
+        hashed_shingles=surv_shingles,
+        signatures=surv_sigs,
     )
     comps = dedup.neardup_components(survivors, pairs, "doc").select(
         F.col("doc_id").alias("doc"), "is_canonical"

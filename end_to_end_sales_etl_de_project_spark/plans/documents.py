@@ -220,7 +220,9 @@ def _curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _CURATION_DECISIONS:
         docs = load_table(spark, sf_dir, "documents")
         decisions = curation.curate_corpus(
-            docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
+            docs,
+            hashed_shingles=_shingle_index(spark, sf_dir, 3),
+            signatures=_minhash_sig_artifact(spark, sf_dir),
         )
         _CURATION_DECISIONS[key] = decisions.localCheckpoint(eager=True)
     return _CURATION_DECISIONS[key]
@@ -945,7 +947,9 @@ def c01_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained CTEs over the recursive transitive-closure twin."""
     docs = load_table(spark, sf_dir, "documents")
     return curation.curate_corpus(
-        docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
+        docs,
+        hashed_shingles=_shingle_index(spark, sf_dir, 3),
+        signatures=_minhash_sig_artifact(spark, sf_dir),
     )
 
 
@@ -2958,7 +2962,9 @@ def d18_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     story extended to near-dups); reads the session shingle index."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.incremental_neardup(
-        docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
+        docs,
+        hashed_shingles=_shingle_index(spark, sf_dir, 3),
+        signatures=_minhash_sig_artifact(spark, sf_dir),
     )
 
 
@@ -3050,7 +3056,9 @@ def d21_cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     session shingle index; |sources|²-bounded output."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.cross_source_neardup_matrix(
-        docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
+        docs,
+        hashed_shingles=_shingle_index(spark, sf_dir, 3),
+        signatures=_minhash_sig_artifact(spark, sf_dir),
     )
 
 

@@ -134,18 +134,18 @@ DRIVER_WINDOW: list[str] = [
     "c09_quality_budget_fill",
     "d12_fuzzy_decontaminate",
     "d13_semantic_decontaminate",
-    "e22_ewma",
-    "e23_quantiles_histogram",
     "e27_event_transitions",
-    # (e24-e26, e28 yielded their refresh slots to the r10 addition d24
-    # and to d03/d11/d19, whose code paths changed with the late-r10
-    # signature-artifact wiring — new/stale queries MUST hold a slot
-    # per the union + staleness invariants; all four keep r05 evidence
-    # and rejoin the r11 queue)
+    # (e22-e26, e28 yielded their refresh slots to the r10 addition d24
+    # and to d03/d11/d18/d19/d21, whose code paths changed with the
+    # late-r10 signature-artifact wiring — new/stale queries MUST hold
+    # a slot per the union + staleness invariants; all six keep r05-r08
+    # evidence and rejoin the r11 queue)
     "d24_dedup_tier_attribution",
     "d03_minhash_lsh",
     "d11_chunk_neardup",
     "d19_lsh_tuning_curve",
+    "d18_incremental_neardup",
+    "d21_cross_source_neardup",
 ]
 # ---- Standing r11 refresh queue (generated from the COVERAGE evidence
 # table: oldest-evidence rows NOT holding an r10 slot). The r10
