@@ -396,3 +396,57 @@ def test_bloom_membership_never_misses(spark, test_hashes, probe_hashes):
     non_members = [h for h in probes if h not in member]
     if len(non_members) >= 20:
         assert not all(got[h] for h in non_members), "filter degenerated"
+
+
+# ---------------------------------------------------------------------------
+# Connected components (pointer-doubling min-label loop) vs union-find
+# ---------------------------------------------------------------------------
+
+_EDGE_SETS = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda e: e[0] != e[1]),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=_EDGE_SETS)
+def test_neardup_components_matches_union_find(spark, edges):
+    """The r10 pointer-doubling hop must not change the fixpoint: on
+    arbitrary pair graphs (cycles, stars, multi-edges, self-symmetric
+    duplicates), every node's component label equals the min reachable
+    id computed by a sequential union-find, and is_canonical marks
+    exactly the min of each component."""
+    from end_to_end_sales_etl_de_project_spark.operators.dedup import (
+        neardup_components,
+    )
+
+    n = 25
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in range(n)}
+
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = (
+        spark.createDataFrame(edges, "doc_a long, doc_b long")
+        if edges
+        else spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    got = {
+        r.doc_id: (r.component, r.is_canonical)
+        for r in neardup_components(docs, pairs, "doc_id").collect()
+    }
+    for i in range(n):
+        assert got[i][0] == expect[i], (i, got[i], expect[i])
+        assert got[i][1] == (i == expect[i]), (i, got[i])
