@@ -246,3 +246,152 @@ def decontamination_gate(
         n_fl.cast("bigint").alias("n_flagged"),
         (n_fl > 0).alias("contaminated"),
     )
+
+
+def neardup_probe(
+    docs: DataFrame,
+    corpus_index: DataFrame,
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-dup probe at the ingest door — the streaming face of d18
+    (``operators/dedup.incremental_neardup``): each arriving document
+    probes the corpus's LSH banding index
+    (``operators/dedup.corpus_lsh_index``) and every verified match
+    surfaces as a row; the election into per-doc decisions is
+    ``neardup_decisions`` below.
+
+    STATELESS end to end, which is the design: the per-doc MinHash
+    signature is a per-row higher-order-function fold — ``array_min``
+    over the shingle array per hash-family member, EXACTLY the batch
+    groupBy-min (a min cannot be changed by duplicate shingles, so the
+    multiset array and the distinct shingle table agree) — the band
+    keys are the same ``concat_ws`` strings the batch banding writes,
+    and candidates come from a stream-static LEFT equi-join on
+    (band, key) with the verify as an ``array_intersect`` Jaccard
+    (one IEEE division of exact counts, the ``jaccard_pairs``
+    arithmetic verbatim). Append mode, zero state rows at any ingest
+    rate; the corpus side is the static index a deployment refreshes
+    per corpus build.
+
+    Output: one row per (doc, band[, candidate]) —
+    (doc_id, matched_doc, jaccard), with sub-threshold and unmatched
+    probes carrying NULLs. Every doc always emits its ``n_bands`` rows
+    (LEFT join), so the election can decide ``novel`` without an
+    anti-join; a pair matching in several bands appears several times
+    and collapses in the election.
+
+    NULL/empty text: no shingles → NULL signature members → concat_ws
+    skips NULLs → key "" — which can never match a corpus key (corpus
+    rows come from docs WITH shingles) — so such docs flow through as
+    unmatched rows and elect to ``novel``, exactly d18's left-join
+    semantics."""
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import (
+        h60,
+        minhash_family,
+    )
+    from end_to_end_sales_etl_de_project_spark.operators.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    assert n_hashes % n_bands == 0
+    rpb = n_hashes // n_bands
+    sh_a = F.array_distinct(
+        F.transform(shingles_from_tokens(tokens("text"), k), lambda s: h60(s))
+    )
+    def _mh_member(i: int):
+        # factory closure: a 2-arg lambda would be misread by pyspark's
+        # HOF bridge as an (element, index) lambda
+        return F.array_min(F.transform(sh_a, lambda h: minhash_family(h, i)))
+
+    mh = [_mh_member(i) for i in range(n_hashes)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[mh[b * rpb + r] for r in range(rpb)]).alias(
+                    "key"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    probe = docs.select(
+        "doc_id", sh_a.alias("sh_a"), F.explode(bands).alias("bk")
+    ).select(
+        "doc_id",
+        "sh_a",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    joined = probe.join(corpus_index, ["band", "key"], "left")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("bigint")
+    n_a = F.size("sh_a").cast("bigint")
+    jac = inter / (n_a + F.col("n_b") - inter).cast("double")
+    hit = F.col("corpus_doc").isNotNull() & (jac >= F.lit(min_jaccard))
+    return joined.select(
+        "doc_id",
+        F.when(hit, F.col("corpus_doc")).alias("matched_doc"),
+        F.when(hit, jac).alias("jaccard"),
+    )
+
+
+def neardup_decisions(probe_rows: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Best-match election over ``neardup_probe`` rows — BATCH mode
+    (the streaming face applies it per micro-batch via ``foreachBatch``;
+    file-source micro-batches contain whole files, so one doc's probe
+    rows never split across triggers): max Jaccard, ties to the
+    smallest corpus doc id (d18's exact election), docs whose rows are
+    all NULL elect to ``novel``."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc_nulls_last(), F.col("matched_doc").asc_nulls_last()
+    )
+    best = (
+        probe_rows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return best.select(
+        F.col("doc_id").alias(id_col),
+        F.when(F.col("matched_doc").isNull(), "novel")
+        .otherwise("near_dup_of_corpus")
+        .alias("decision"),
+        "matched_doc",
+        "jaccard",
+    )
+
+
+def start_neardup_gate(
+    spark: SparkSession,
+    src_dir: str,
+    corpus_index: DataFrame,
+    decisions_path: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    min_jaccard: float = 0.5,
+):
+    """Continuous near-dup gate: as document files land, probe the
+    static corpus LSH index (stream-static join, zero streaming state)
+    and append each micro-batch's elected decisions to the decisions
+    mart. The election runs inside ``foreachBatch`` in batch mode —
+    the same ``neardup_decisions`` the batch path uses, so live and
+    nightly decisions are bit-identical on identical input."""
+    stream = read_documents_stream(spark, src_dir)
+    rows = neardup_probe(stream, corpus_index, k, n_hashes, n_bands, min_jaccard)
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        neardup_decisions(batch_df).write.mode("append").parquet(decisions_path)
+
+    return (
+        rows.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(fold)
+        .start()
+    )

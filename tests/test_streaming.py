@@ -679,3 +679,70 @@ def test_decontamination_gate_stream_equals_batch(spark, sf_dir, docs_src):
         .collect()
     }
     assert exact_docs <= flagged, sorted(exact_docs - flagged)[:5]
+
+
+def test_neardup_gate_stream_equals_batch_and_d18(spark, sf_dir, tmpdir):
+    """The streaming near-dup gate: probe rows come from a genuine
+    stream-static LEFT join against the corpus LSH index (stateless —
+    append mode, zero state), the per-row HOF MinHash signature must
+    equal the batch groupBy signature, and the elected decisions must
+    BIT-MATCH d18 (incremental_neardup) on the same membership split.
+    (On this corpus no bucket trips the hot-bucket guard, so d18's
+    both-sides guard scope and the index's corpus-only scope agree —
+    the guard-scope difference is documented in corpus_lsh_index.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60
+    from end_to_end_sales_etl_de_project_spark.operators import dedup
+    from end_to_end_sales_etl_de_project_spark.streaming.documents import (
+        neardup_decisions,
+        neardup_probe,
+        read_documents_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    member = docs.select(
+        "doc_id",
+        F.pmod(
+            h60(F.concat(F.lit("ingest-v1"), F.col("doc_id").cast("string"))),
+            F.lit(100),
+        ).alias("b"),
+    )
+    corpus = docs.join(member.filter(F.col("b") < 80).select("doc_id"), "doc_id")
+    batch = docs.join(member.filter(F.col("b") >= 80).select("doc_id"), "doc_id")
+    idx = dedup.corpus_lsh_index(corpus).localCheckpoint(eager=True)
+
+    # batch docs land as TWO files so the gate crosses a trigger boundary
+    src = f"{tmpdir}/neardup-landing"
+    os.makedirs(src)
+    half_a = batch.filter(F.col("doc_id") % 2 == 0)
+    half_b = batch.filter(F.col("doc_id") % 2 == 1)
+    for i, part in enumerate((half_a, half_b)):
+        staged = f"{src}-stage-{i}"
+        part.coalesce(1).write.parquet(staged)
+        pf = [f for f in os.listdir(staged) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(staged, pf), f"{src}/docs-{i:03d}.parquet")
+        shutil.rmtree(staged)
+
+    stream = read_documents_stream(spark, src)
+    rows = run_to_memory_sink(
+        neardup_probe(stream, idx), "neardup_gate_test", "append"
+    )
+
+    def decide(probe_rows):
+        return {
+            r["doc_id"]: (r["decision"], r["matched_doc"], r["jaccard"])
+            for r in neardup_decisions(probe_rows).collect()
+        }
+
+    got = decide(rows)
+    via_static = decide(neardup_probe(spark.read.parquet(src), idx))
+    assert got == via_static  # stream ≡ batch, same code path
+    want = {
+        r["doc_id"]: (r["decision"], r["matched_doc"], r["jaccard"])
+        for r in dedup.incremental_neardup(docs).collect()
+    }
+    assert got == want  # gate ≡ d18 on the same split, bit-exact
+    assert sum(1 for v in got.values() if v[0] != "novel") > 0  # non-vacuous
