@@ -242,6 +242,7 @@ HEADLINE = [
     "d23_bloom_sizing_curve",
     # round-10 additions
     "d24_dedup_tier_attribution",
+    "q105_small_qty_revenue",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -4310,3 +4310,49 @@ def q104_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
     )
+
+
+_Q105_ORACLE = """
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS DOUBLE) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13' AND p.p_size < 15
+  AND l.l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@_register("q105_small_qty_revenue", _Q105_ORACLE)
+def q105_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lines whose
+    quantity is under 20% of their part's average, summed — written as
+    a CORRELATED scalar-aggregate subquery through ``spark.sql`` so
+    Catalyst's decorrelation is an exercised, pinned surface (q30
+    covers correlated EXISTS; this is the correlated-aggregate form —
+    the optimizer must rewrite it into a per-part aggregate joined
+    back, the plan a 100 TB run needs, instead of one subquery
+    execution per row; ``tests/test_plan_shapes.py`` pins the rewrite).
+
+    Exactness: the per-part threshold is decimal-sum/count (l_quantity
+    is integral so even its double sum is exact; the DECIMAL cast
+    matches q12's discipline), and revenue is one decimal sum cast to
+    double over a 7.0 division — bit-equal cross-engine under any
+    partitioning."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_q105")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("v_part_q105")
+    return spark.sql(
+        """
+        SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0 AS DOUBLE) AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_small_lines
+        FROM v_li_q105 l JOIN v_part_q105 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#13' AND p.p_size < 15
+          AND l.l_quantity < (
+            SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                            / COUNT(*))
+            FROM v_li_q105 l2 WHERE l2.l_partkey = l.l_partkey)
+        """
+    )

@@ -133,7 +133,9 @@ DRIVER_WINDOW: list[str] = [
     "c07_source_skew_profile",
     "c09_quality_budget_fill",
     "d12_fuzzy_decontaminate",
-    "d13_semantic_decontaminate",
+    # (d13 yielded its refresh slot to the late-r10 addition q105 —
+    # it keeps r05 evidence and rejoins the r11 queue)
+    "q105_small_qty_revenue",
     "e27_event_transitions",
     # (e22-e26, e28 yielded their refresh slots to the r10 addition d24
     # and to d03/d11/d18/d19/d21, whose code paths changed with the

@@ -1155,3 +1155,15 @@ def test_d23_curve_probes_stay_mapside(spark):
     plan = plan_of(spark, "d23_bloom_sizing_curve")
     assert plan.count("BroadcastHashJoin LeftOuter") == 12, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q105_correlated_aggregate_is_decorrelated(spark):
+    """The correlated scalar-aggregate subquery (TPC-H Q17 shape) must
+    be rewritten by Catalyst into a per-part aggregate JOINED back —
+    zero Subquery nodes in the physical plan (a per-row subquery
+    execution would be the 100 TB disaster this pin guards against);
+    the threshold comparison rides the join condition."""
+    plan = plan_of(spark, "q105_small_qty_revenue")
+    assert "Subquery" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # per-part threshold agg
+    assert "BroadcastHashJoin Inner" in plan, plan
