@@ -1900,11 +1900,16 @@ def t23_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     this curve is where a bigger vocab stops paying).
 
     Scale shape: the only pass over the corpus is the explode+count
-    (map-side combinable); ranking then runs over the VOCABULARY
-    (|V| ≪ corpus, the global window is over distinct tokens only —
-    at web scale you'd pre-prune with an approximate count cutoff);
-    the k spine is a 3-row broadcast. Exact integer counts, one IEEE
-    division per output row.
+    (map-side combinable). Vocabulary grows with the corpus (typos,
+    numbers, code tokens — 10⁸+ distinct at web scale), so the rank
+    NEVER windows the full frequency table: tokens with rnk > max(k)
+    contribute zero to both `covered` and `vocab_used` (the
+    denominator `total` is a separate full aggregate), so we top-k
+    FIRST via orderBy+limit (TakeOrderedAndProject — the t19 pattern)
+    and window only the max(k)=10000 survivors. Output-identical,
+    and the single-partition sort is bounded at 10000 rows instead
+    of |V|. The k spine is a 3-row broadcast. Exact integer counts,
+    one IEEE division per output row.
     """
     from pyspark.sql.window import Window
 
@@ -1914,8 +1919,13 @@ def t23_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    ranked = freq.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.desc("f"), "token"))
+    max_k = 10000
+    ranked = (
+        freq.orderBy(F.desc("f"), "token")
+        .limit(max_k)
+        .withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("f"), "token"))
+        )
     )
     tot = freq.groupBy().agg(F.sum("f").alias("total"))
     ks = spark.createDataFrame([(100,), (1000,), (10000,)], "k int")

@@ -563,11 +563,19 @@ def test_concurrency_peak_has_no_global_point_window(spark):
 
 
 def test_vocab_coverage_ranks_vocab_not_corpus(spark):
-    """t23: the corpus pass ends at the token-frequency aggregate; the
-    global rank window's input is the vocabulary rollup."""
+    """t23: the corpus pass ends at the token-frequency aggregate, and
+    the rank window NEVER sees the full vocabulary — the plan must
+    pre-prune to the top max(k)=10000 tokens via TakeOrderedAndProject
+    (the t19 pattern), so the only unpartitioned window runs over a
+    bounded 10000-row survivor set, not |V| (VERDICT r10 #2)."""
     plan = plan_of(spark, "t23_vocab_coverage")
     assert plan.count("HashAggregate") >= 2, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # k-spine + total scalars
+    assert "TakeOrderedAndProject" in plan, plan
+    # exactly one Window node, and it sits ABOVE the TakeOrdered prune
+    # (the tree section prints parents first as "Window (n)")
+    assert plan.count(") Window") == 1, plan
+    assert plan.index("Window (") < plan.index("TakeOrderedAndProject ("), plan
 
 
 def test_source_skew_profile_single_corpus_pass(spark):
