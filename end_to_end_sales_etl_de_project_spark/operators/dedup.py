@@ -49,6 +49,31 @@ from end_to_end_sales_etl_de_project_spark.operators.text import (
     word_shingles_sql,
 )
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the storage blocks behind a ``localCheckpoint(eager=True)``
+    DataFrame that no later plan references.
+
+    PySpark exposes no public unpersist for checkpoints — ``Dataset.
+    unpersist`` only uncaches CacheManager entries — so iterative
+    operators that checkpoint per round (``neardup_components``) would
+    otherwise pin O(rounds × blocks) storage until the ContextCleaner
+    happens to GC the orphaned RDDs (ADVICE r10). The checkpointed
+    Dataset's analyzed plan is a ``LogicalRDD`` holding the persisted
+    RDD; unpersist that directly. Best-effort by design: only fires
+    when the plan node really is a LogicalRDD, and any reflection
+    failure falls back to the ContextCleaner path (a leak, never a
+    correctness issue). NEVER call this while a downstream plan may
+    still recompute from the checkpoint — local checkpoints have no
+    lineage to rebuild from.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -450,6 +475,16 @@ def minhash_lsh_pairs(
     session, the shingle-index pattern one level up.
     """
     assert n_hashes % n_bands == 0
+    if signatures is not None and hashed_shingles is None:
+        # every sibling consumer (incremental_neardup, lsh_tuning_curve,
+        # corpus_lsh_index) honors a passed signature table
+        # unconditionally; silently recomputing from docs here would
+        # serve different signatures than the caller staged — refuse
+        raise ValueError(
+            "minhash_lsh_pairs: `signatures` requires `hashed_shingles` "
+            "(the verify step reads the shingle index; a signature table "
+            "alone cannot confirm Jaccard)"
+        )
     if hashed_shingles is not None:
         _check_index_k(hashed_shingles, k)
         if signatures is not None:
@@ -745,6 +780,11 @@ def neardup_components(
 
     converged = False
     rounds = 0
+    # the checkpointed DataFrame whose blocks currently back `labels`;
+    # each round frees its predecessor once the new round's checkpoint
+    # is fully materialized (ADVICE r10: without this, a deep chain
+    # pins O(rounds × |edge nodes|) storage until ContextCleaner GC)
+    prev_ckpt = labels
     for _ in range(max_iterations):
         rounds += 1
         neighbor_min = (
@@ -785,6 +825,11 @@ def neardup_components(
             ).collect()[0]["c"]
             or 0
         )
+        # `stepped` is materialized (eager checkpoint + the collect
+        # above), so the prior round's blocks are now unreachable by
+        # any future plan — free them instead of waiting for GC
+        _free_local_checkpoint(prev_ckpt)
+        prev_ckpt = stepped
         labels = stepped.select("node", "lbl")
         if n_changed == 0:
             converged = True
@@ -2002,6 +2047,11 @@ def split_shingle_tables(
     if hashed_shingles is None:
         sh = shingle_table(docs, id_col, text_col, k)
         hashed_shingles = sh.select("doc", h60(F.col("shingle")).alias("shingle"))
+    else:
+        # same guard as every other pre-hashed consumer: a k-mismatched
+        # session index would silently yield a wrong-k Bloom audit (and
+        # a chosen m derived from it) instead of failing loudly
+        _check_index_k(hashed_shingles, k)
     labeled = hashed_shingles.join(splits, "doc")
     test_sh = labeled.filter(F.col("split") == "test").select("shingle").distinct()
     train_sh = (

@@ -13,6 +13,7 @@ from __future__ import annotations
 import datetime as _dt
 import math
 import tempfile
+import weakref
 from dataclasses import dataclass, field
 
 import duckdb
@@ -24,12 +25,15 @@ from end_to_end_sales_etl_de_project_spark.sources.tables import TABLES
 
 # sf_dir each connection was built against, so run_oracle's subprocess
 # fallback can rebuild the same catalog in a fresh allocator. Keyed by
-# the connection OBJECT (identity hash, strong ref): keying by id()
-# would let CPython reuse a garbage-collected connection's id for a
-# fresh unregistered one and silently hand the fallback the wrong
-# sf_dir. The strong ref is deliberate — a handful of module-scoped
-# fixture connections per run, never a per-query churn.
-_CON_SF_DIR: dict[duckdb.DuckDBPyConnection, str] = {}
+# the connection OBJECT (identity hash): keying by id() would let
+# CPython reuse a garbage-collected connection's id for a fresh
+# unregistered one and silently hand the fallback the wrong sf_dir.
+# WeakKeyDictionary (DuckDBPyConnection supports weakrefs) keeps that
+# id-reuse fix without pinning dead connections — and their memory
+# budgets / spill dirs — for process lifetime (ADVICE r10).
+_CON_SF_DIR: "weakref.WeakKeyDictionary[duckdb.DuckDBPyConnection, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 DUCKDB_MEMORY_LIMIT = "4GB"
 

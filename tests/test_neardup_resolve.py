@@ -60,3 +60,24 @@ def test_deep_chain_converges_in_log_rounds(spark):
     assert sum(r.is_canonical for r in rows) == 1
     bound = math.ceil(math.log2(n)) + 2
     assert out._convergence_rounds <= bound, (out._convergence_rounds, bound)
+
+
+def test_rounds_release_prior_checkpoints(spark):
+    """ADVICE r10: each round's localCheckpoint must free the previous
+    round's blocks once materialized — a deep chain must NOT pin
+    O(rounds x |edge nodes|) storage until ContextCleaner GC. After the
+    run exactly the FINAL round's checkpoint (which backs the returned
+    plan) may remain persisted."""
+    n = 128
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = neardup_components(docs, pairs, "doc_id")
+    out.collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # >= 7 rounds on a 127-deep chain: pre-fix leak would leave ~rounds
+    # checkpointed RDDs behind; fixed, only the final one survives
+    assert out._convergence_rounds >= 5
+    assert after - before <= 1, (before, after, out._convergence_rounds)
