@@ -4139,14 +4139,15 @@ GROUP BY 1
 # table writes per query call measured the layout, not the join — the
 # c11 fingerprint-artifact pattern applies). Keyed by applicationId so
 # a fresh session rebuilds; stale apps' entries are dropped.
-_BUCKET_TABLES: dict[tuple[str, str], tuple[str, str]] = {}
+_BUCKET_TABLES: dict[tuple, tuple[str, str]] = {}
 
 
 def _bucketed_join_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    app = spark.sparkContext.applicationId
-    for key in [key for key in _BUCKET_TABLES if key[0] != app]:
-        del _BUCKET_TABLES[key]
-    key = (app, sf_dir)
+    from end_to_end_sales_etl_de_project_spark.sources.tables import (
+        session_memo_key,
+    )
+
+    key = session_memo_key(_BUCKET_TABLES, spark, sf_dir)
     if key not in _BUCKET_TABLES:
         import hashlib
 
