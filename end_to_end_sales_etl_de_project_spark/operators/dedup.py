@@ -2525,29 +2525,42 @@ def dedup_tier_attribution(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    source_col: str = "source",
     k: int = 3,
     min_jaccard: float = 0.5,
     min_containment: float = 0.9,
     containment_max_df: int = 5,
+    m_bits: int | None = None,
+    n_seeds: int = BLOOM_N_SEEDS,
+    m_grid: tuple[int, ...] = BLOOM_M_GRID,
+    target_fp: float = BLOOM_TARGET_FP,
     hashed_shingles: DataFrame | None = None,
     signatures: DataFrame | None = None,
     capped_shingles: DataFrame | None = None,
     components: DataFrame | None = None,
+    split_shingles: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
-    """Tier-by-tier drop attribution for the dedup cascade — per tier,
-    how many docs it flags that NO earlier tier already flagged, plus
-    the cumulative total: the table that says which tier earns its
-    cost before a 100 TB run buys all three.
+    """Tier-by-tier drop attribution for the full curation cascade —
+    per tier, how many docs it flags that NO earlier tier already
+    flagged, plus the cumulative total: the table that says which tier
+    earns its cost before a 100 TB run buys all four.
 
     Tiers, in pipeline order (each strictly cheaper tiers first, so
     marginal counts attribute a doc to the CHEAPEST tier that catches
     it):
 
+    0. ``0_bloom_decontam`` — the d22 Bloom gate, the cheapest filter
+       a real pipeline runs first: TRAIN-split docs with ≥1 shingle
+       whose probe against the test-split filter (size ``m_bits``,
+       curve-chosen at ``target_fp`` when not pinned) is positive.
+       Bloom-positive includes the gate's false positives by design —
+       this tier prices what the GATE holds for exact verification,
+       which is the deployment cost being attributed.
     1. ``1_exact`` — verbatim copies (d01's grouping): every doc whose
        text-hash group has a lower id.
     2. ``2_neardup`` — MinHash-LSH verified near-dup components (the
        d03 pairs resolved by d06): non-canonical members not already
-       exact-flagged.
+       flagged.
     3. ``3_containment`` — asymmetric ≥``min_containment`` shingle
        containment (d16, df-capped universe): the CONTAINED side
        (smaller shingle set; ties drop the larger id, keeping the min
@@ -2556,17 +2569,59 @@ def dedup_tier_attribution(
     NULL policy: NULL-text docs are outside dedup scope entirely (no
     content to compare) — excluded from every tier in both engines.
 
-    Scale shape: tier 1 is one 8-byte-key groupBy; tiers 2-3 read the
-    session artifacts (components, df-capped shingle index) instead of
-    re-running resolution; the three flag sets are doc-id anti-joins
-    and the output is three rows built from scalar counts (broadcast
-    1-row join-backs). Counts are exact integers — hash-exact oracle.
+    Scale shape: tier 0 probes the distinct train-shingle table with
+    broadcast bit-lookups (never shuffling the corpus) and attributes
+    positive shingles to docs with one equi-join on the session
+    shingle index; tier 1 is one 8-byte-key groupBy; tiers 2-3 read
+    the session artifacts (components, df-capped shingle index)
+    instead of re-running resolution; the four flag sets are doc-id
+    anti-joins and the output is four rows built from scalar counts
+    (broadcast 1-row join-backs). Counts are exact integers —
+    hash-exact oracle.
     """
     scoped = docs.filter(F.col(text_col).isNotNull())
-    # tier 1: exact
+    # tier 0: Bloom decontamination gate (d22's filter at doc grain)
+    if hashed_shingles is None:
+        sh = shingle_table(docs, id_col, text_col, k)
+        hashed_shingles = sh.select("doc", h60(F.col("shingle")).alias("shingle"))
+    else:
+        _check_index_k(hashed_shingles, k)
+    if split_shingles is None:
+        split_shingles = split_shingle_tables(
+            docs, id_col, text_col, source_col, k, hashed_shingles
+        )
+    test_sh, train_sh, _ = split_shingles
+    if m_bits is None:
+        curve = bloom_sizing_curve(
+            docs,
+            id_col,
+            text_col,
+            k,
+            m_grid,
+            n_seeds,
+            split_shingles=(test_sh, train_sh),
+        )
+        m_bits = bloom_choose_m(curve, m_grid, target_fp)
+    probed, is_pos, _ = _bloom_probe(train_sh, test_sh, m_bits, n_seeds)
+    pos_sh = probed.filter(is_pos).select("shingle")
+    train_docs = scoped.filter(corpus_split(text_col) == "train").select(
+        F.col(id_col).alias("doc")
+    )
+    bloom_f = (
+        hashed_shingles.join(train_docs, "doc")
+        .join(pos_sh, "shingle")
+        .select("doc")
+        .distinct()
+    )
+    # tier 1: exact (marginal: minus the gate's holds)
     th = scoped.select(F.col(id_col).alias("doc"), h60(text_col).alias("h"))
     canon = th.groupBy("h").agg(F.min("doc").alias("c"))
-    exact_f = th.join(canon, "h").filter(F.col("doc") > F.col("c")).select("doc")
+    exact_f = (
+        th.join(canon, "h")
+        .filter(F.col("doc") > F.col("c"))
+        .select("doc")
+        .join(bloom_f, "doc", "left_anti")
+    )
     # tier 2: near-dup components (artifact or derived)
     if components is None:
         pairs = minhash_lsh_pairs(
@@ -2582,14 +2637,11 @@ def dedup_tier_attribution(
     near_all = components.filter(~F.col("is_canonical")).select(
         F.col("doc_id").alias("doc")
     )
-    near_f = near_all.join(exact_f, "doc", "left_anti")
+    near_f = near_all.join(bloom_f, "doc", "left_anti").join(
+        exact_f, "doc", "left_anti"
+    )
     # tier 3: containment (df-capped universe, d16's exact semantics)
     if capped_shingles is None:
-        if hashed_shingles is None:
-            sh = shingle_table(docs, id_col, text_col, k)
-            hashed_shingles = sh.select(
-                "doc", h60(F.col("shingle")).alias("shingle")
-            )
         kept = (
             hashed_shingles.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -2603,33 +2655,43 @@ def dedup_tier_attribution(
         .otherwise(F.col("doc_b"))
         .alias("doc")
     ).distinct()
-    cont_f = contained.join(exact_f, "doc", "left_anti").join(
-        near_f, "doc", "left_anti"
+    cont_f = (
+        contained.join(bloom_f, "doc", "left_anti")
+        .join(exact_f, "doc", "left_anti")
+        .join(near_f, "doc", "left_anti")
     )
 
     def cnt(df: DataFrame, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
 
     row = (
-        cnt(exact_f, "n1")
+        cnt(bloom_f, "n0")
+        .crossJoin(F.broadcast(cnt(exact_f, "n1")))
         .crossJoin(F.broadcast(cnt(near_f, "n2")))
         .crossJoin(F.broadcast(cnt(cont_f, "n3")))
     )
     legs = [
         row.select(
+            F.lit("0_bloom_decontam").alias("tier"),
+            F.col("n0").alias("n_flagged_new"),
+            F.col("n0").alias("n_flagged_cum"),
+        ),
+        row.select(
             F.lit("1_exact").alias("tier"),
             F.col("n1").alias("n_flagged_new"),
-            F.col("n1").alias("n_flagged_cum"),
+            (F.col("n0") + F.col("n1")).alias("n_flagged_cum"),
         ),
         row.select(
             F.lit("2_neardup").alias("tier"),
             F.col("n2").alias("n_flagged_new"),
-            (F.col("n1") + F.col("n2")).alias("n_flagged_cum"),
+            (F.col("n0") + F.col("n1") + F.col("n2")).alias("n_flagged_cum"),
         ),
         row.select(
             F.lit("3_containment").alias("tier"),
             F.col("n3").alias("n_flagged_new"),
-            (F.col("n1") + F.col("n2") + F.col("n3")).alias("n_flagged_cum"),
+            (F.col("n0") + F.col("n1") + F.col("n2") + F.col("n3")).alias(
+                "n_flagged_cum"
+            ),
         ),
     ]
     return reduce(lambda a, b: a.unionByName(b), legs)
@@ -2642,8 +2704,18 @@ def dedup_tier_attribution_sql(
     min_jaccard: float = 0.5,
     min_containment: float = 0.9,
     containment_max_df: int = 5,
+    m_grid: tuple[int, ...] = BLOOM_M_GRID,
+    n_seeds: int = BLOOM_N_SEEDS,
+    target_fp: float = BLOOM_TARGET_FP,
     table: str = "documents",
 ) -> str:
+    """Oracle twin of the four-tier cascade. Tier 0 reproduces the d22
+    pattern: SQL cannot parameterize the hash expressions by a
+    data-dependent filter size, so the positive-shingle set exists per
+    grid m and the doc flags are filtered to the curve-chosen one —
+    the unchosen legs live only in the oracle plan (the Spark side
+    chooses m with a |grid|-row control-plane collect and builds ONE
+    probe)."""
     pairs = minhash_lsh_pairs_sql(
         id_col, text_col, k, min_jaccard=min_jaccard, table=table
     )
@@ -2651,17 +2723,76 @@ def dedup_tier_attribution_sql(
     cont = containment_pairs_sql(
         id_col, text_col, k, min_containment, table=table, max_df=containment_max_df
     )
+    sh = word_shingles_sql(text_col, k)
+    split = corpus_split_sql(text_col)
+    legs = []
+    for m in m_grid:
+        bit_union = " UNION ALL ".join(
+            f"SELECT {_bloom_bit_sql(s, m)} AS bit FROM test_sh"
+            for s in range(n_seeds)
+        )
+        probe_bits = ", ".join(
+            f"{_bloom_bit_sql(s, m)} AS b{s}" for s in range(n_seeds)
+        )
+        member_joins = "\n".join(
+            f"LEFT JOIN bits_{m} mk{s} ON p.b{s} = mk{s}.bit"
+            for s in range(n_seeds)
+        )
+        pos = " AND ".join(f"mk{s}.bit IS NOT NULL" for s in range(n_seeds))
+        legs.append(
+            f"""bits_{m} AS MATERIALIZED (SELECT DISTINCT bit FROM ({bit_union})),
+bflags_{m} AS MATERIALIZED (
+  SELECT p.shingle, ({pos}) AS is_pos,
+         (t.shingle IS NOT NULL) AS is_exact
+  FROM (SELECT shingle, {probe_bits} FROM train_sh) p
+{member_joins}
+  LEFT JOIN test_sh t ON p.shingle = t.shingle),
+curveleg_{m} AS (
+  SELECT CAST({m} AS BIGINT) AS m_bits,
+         CAST(SUM(CASE WHEN is_pos AND NOT is_exact THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS fp_rate
+  FROM bflags_{m}),
+posleg_{m} AS (
+  SELECT CAST({m} AS BIGINT) AS m_bits, shingle FROM bflags_{m} WHERE is_pos)"""
+        )
+    legs_sql = ",\n".join(legs)
+    curve_union = " UNION ALL ".join(f"SELECT * FROM curveleg_{m}" for m in m_grid)
+    pos_union = " UNION ALL ".join(f"SELECT * FROM posleg_{m}" for m in m_grid)
     return f"""
 WITH d AS (
-  SELECT {id_col} AS doc, {text_col} AS txt FROM {table}
+  SELECT {id_col} AS doc, {text_col} AS txt, {split} AS split, {text_col}
+  FROM {table}
   WHERE {text_col} IS NOT NULL),
+shx AS MATERIALIZED (
+  SELECT DISTINCT doc, {h60_sql('u.s')} AS shingle
+  FROM (SELECT doc, unnest({sh}) AS s FROM d) u),
+lab AS (SELECT shx.doc, shx.shingle, d.split FROM shx JOIN d USING (doc)),
+test_sh AS MATERIALIZED (SELECT DISTINCT shingle FROM lab WHERE split = 'test'),
+train_sh AS MATERIALIZED (
+  SELECT DISTINCT shingle FROM lab WHERE split = 'train'),
+{legs_sql},
+curve AS ({curve_union}),
+chosen AS (
+  SELECT COALESCE(MIN(CASE WHEN fp_rate <= {target_fp} THEN m_bits END),
+                  CAST({max(m_grid)} AS BIGINT)) AS m
+  FROM curve),
+pos_sh AS (
+  SELECT shingle FROM ({pos_union})
+  WHERE m_bits = (SELECT m FROM chosen)),
+bloom_f AS MATERIALIZED (
+  SELECT DISTINCT doc FROM lab
+  WHERE split = 'train'
+    AND shingle IN (SELECT shingle FROM pos_sh)),
 th AS (SELECT doc, {h60_sql('txt')} AS h FROM d),
 canon AS (SELECT h, MIN(doc) AS c FROM th GROUP BY 1),
-exact_f AS (SELECT doc FROM th JOIN canon USING (h) WHERE doc > c),
+exact_f AS (
+  SELECT doc FROM th JOIN canon USING (h)
+  WHERE doc > c AND doc NOT IN (SELECT doc FROM bloom_f)),
 comp AS (SELECT doc_id, component FROM ({comp})),
 near_f AS (
   SELECT doc_id AS doc FROM comp
   WHERE doc_id > component
+    AND doc_id NOT IN (SELECT doc FROM bloom_f)
     AND doc_id NOT IN (SELECT doc FROM exact_f)),
 cpairs AS (SELECT * FROM ({cont})),
 contained AS (
@@ -2669,18 +2800,23 @@ contained AS (
   FROM cpairs),
 cont_f AS (
   SELECT doc FROM contained
-  WHERE doc NOT IN (SELECT doc FROM exact_f)
+  WHERE doc NOT IN (SELECT doc FROM bloom_f)
+    AND doc NOT IN (SELECT doc FROM exact_f)
     AND doc NOT IN (SELECT doc FROM near_f)),
 ns AS (
-  SELECT (SELECT COUNT(*) FROM exact_f) AS n1,
+  SELECT (SELECT COUNT(*) FROM bloom_f) AS n0,
+         (SELECT COUNT(*) FROM exact_f) AS n1,
          (SELECT COUNT(*) FROM near_f) AS n2,
          (SELECT COUNT(*) FROM cont_f) AS n3)
-SELECT '1_exact' AS tier, CAST(n1 AS BIGINT) AS n_flagged_new,
-       CAST(n1 AS BIGINT) AS n_flagged_cum FROM ns
+SELECT '0_bloom_decontam' AS tier, CAST(n0 AS BIGINT) AS n_flagged_new,
+       CAST(n0 AS BIGINT) AS n_flagged_cum FROM ns
 UNION ALL
-SELECT '2_neardup', CAST(n2 AS BIGINT), CAST(n1 + n2 AS BIGINT) FROM ns
+SELECT '1_exact', CAST(n1 AS BIGINT), CAST(n0 + n1 AS BIGINT) FROM ns
 UNION ALL
-SELECT '3_containment', CAST(n3 AS BIGINT), CAST(n1 + n2 + n3 AS BIGINT) FROM ns
+SELECT '2_neardup', CAST(n2 AS BIGINT), CAST(n0 + n1 + n2 AS BIGINT) FROM ns
+UNION ALL
+SELECT '3_containment', CAST(n3 AS BIGINT),
+       CAST(n0 + n1 + n2 + n3 AS BIGINT) FROM ns
 """
 
 

@@ -38,14 +38,20 @@ def test_d24_tier_attribution_laws(spark):
     SOMETHING on the canonical corpus (near-dups are planted in the
     synthetic data). The exact tier's non-vacuous case — a verbatim
     copy — lives in the documents NULL sweep's planted corpus, where
-    d24's hash parity covers it."""
+    d24's hash parity covers it. Tier 0 (the d22 Bloom gate at doc
+    grain, VERDICT r10 #5) leads the cascade."""
     from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
 
     rows = sorted(
         QUERIES["d24_dedup_tier_attribution"](spark, "/root/testdata/sf0.001").collect(),
         key=lambda r: r["tier"],
     )
-    assert [r["tier"] for r in rows] == ["1_exact", "2_neardup", "3_containment"]
+    assert [r["tier"] for r in rows] == [
+        "0_bloom_decontam",
+        "1_exact",
+        "2_neardup",
+        "3_containment",
+    ]
     cum = 0
     for r in rows:
         assert r["n_flagged_new"] >= 0
