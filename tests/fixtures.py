@@ -122,3 +122,39 @@ def tiny_png(width: int = 4, height: int = 4, shade: int = 17) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def tiny_pgm(pixels: bytes, width: int, height: int) -> bytes:
+    """Binary PGM (P5, maxval 255) of the given top-down grayscale
+    pixels — the stdlib-decodable fixture the pure decode path
+    (operators/multimodal._pure_gray_decoder) parses without Pillow."""
+    assert len(pixels) == width * height
+    return b"P5\n# fixture\n%d %d\n255\n" % (width, height) + pixels
+
+
+def tiny_ppm(rgb: bytes, width: int, height: int) -> bytes:
+    """Binary PPM (P6, maxval 255) of the given top-down RGB triplets."""
+    assert len(rgb) == 3 * width * height
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def tiny_bmp_gray8(pixels: bytes, width: int, height: int) -> bytes:
+    """Uncompressed 8-bit BMP with an identity grayscale palette,
+    bottom-up rows padded to 4 bytes — the SAME pixels as ``tiny_pgm``
+    through a second genuine container, so re-encode invariance of the
+    perceptual hash is testable without any codec library."""
+    import struct
+
+    assert len(pixels) == width * height
+    stride = (width + 3) & ~3
+    palette = b"".join(bytes((v, v, v, 0)) for v in range(256))
+    rows = b"".join(
+        pixels[y * width : (y + 1) * width].ljust(stride, b"\x00")
+        for y in reversed(range(height))
+    )
+    off = 14 + 40 + len(palette)
+    header = struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(rows), 2835, 2835, 256, 0
+    )
+    return header + info + palette + rows

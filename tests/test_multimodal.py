@@ -47,24 +47,19 @@ def test_decode_stub_seam_raises(spark, sf_dir):
         feats.collect()
 
 
-def test_real_decode_branch_with_pillow(spark):
-    """VERDICT r6 #8: when Pillow IS available, decode_stub=False must
-    produce real pixel features (not byte math) with the same schema.
-    Skips in environments without PIL — the seam test above covers the
-    honest-failure path there."""
-    Image = pytest.importorskip("PIL.Image")
-    import io as _io
+def test_real_decode_branch_pure_python(spark):
+    """VERDICT r6 #8 / r10 #6: decode_stub=False must produce real
+    PIXEL features (not byte math) with the same schema — exercised in
+    every environment via the stdlib-decodable PGM fixture (no Pillow
+    required), so the real branch never skips in CI."""
+    from tests.fixtures import tiny_pgm
 
-    # two tiny synthetic PNGs with known pixel stats
-    def png_bytes(val: int) -> bytes:
-        img = Image.new("L", (4, 4), color=val)
-        buf = _io.BytesIO()
-        img.save(buf, format="PNG")
-        return buf.getvalue()
+    def pgm_bytes(val: int) -> bytes:
+        return tiny_pgm(bytes([val]) * 16, 4, 4)
 
-    rows = [(1, png_bytes(0)), (2, png_bytes(200))]
+    rows = [(1, pgm_bytes(0)), (2, pgm_bytes(200))]
     assets = spark.createDataFrame(
-        [(i, p, {"format": "png", "source": "unit", "n_bytes": len(p)}) for i, p in rows],
+        [(i, p, {"format": "pgm", "source": "unit", "n_bytes": len(p)}) for i, p in rows],
         "asset_id long, payload binary, "
         "meta struct<format:string,source:string,n_bytes:bigint>",
     )
@@ -73,6 +68,13 @@ def test_real_decode_branch_with_pillow(spark):
     assert out[2]["byte_mean"] == 200.0 and out[2]["byte_entropy_proxy"] == 1
     # n_bytes stays the ENCODED size — decode changes features, not provenance
     assert out[1]["n_bytes"] == len(rows[0][1])
+    # the stub branch on the SAME payloads sees encoded bytes, not pixels
+    stub = {
+        r["asset_id"]: r for r in extract_features(assets, decode_stub=True).collect()
+    }
+    assert stub[1]["byte_entropy_proxy"] > 1  # header bytes vary
+
+
 
 
 def test_scalar_pandas_udf_normalization(spark):
@@ -245,27 +247,22 @@ def test_phash_decode_seam_raises(spark):
         phash_signatures(assets, decode_stub=False).collect()
 
 
-def test_phash_real_decode_branch_with_pillow(spark):
-    """When Pillow IS available, decode_stub=False must hash decoded
-    PIXELS: two different encodings of the same image (the re-upload
-    case pHash exists for) get IDENTICAL signatures, while the stub
-    byte path sees different payloads. Skips without PIL — the seam
-    test above covers the honest-failure path there."""
-    Image = pytest.importorskip("PIL.Image")
-    import io as _io
+def test_phash_real_decode_reencode_invariance(spark):
+    """decode_stub=False must hash decoded PIXELS: two different
+    encodings of the same image (the re-upload case pHash exists for)
+    get IDENTICAL signatures, while the stub byte path sees different
+    payloads. Runs in every environment (VERDICT r10 #6): the two
+    genuine containers are a binary PGM and an uncompressed 8-bit BMP
+    — both stdlib-decodable through the pure-Python branch, no codec
+    library needed."""
+    from tests.fixtures import tiny_bmp_gray8, tiny_pgm
 
     from end_to_end_sales_etl_de_project_spark.operators.multimodal import (
         phash_signatures,
     )
 
-    img = Image.frombytes(
-        "L", (16, 16), bytes((i * 7 + 3) % 251 for i in range(256))
-    )
-    encodings = []
-    for fmt in ("PNG", "BMP"):
-        buf = _io.BytesIO()
-        img.save(buf, format=fmt)
-        encodings.append(buf.getvalue())
+    pixels = bytes((i * 7 + 3) % 251 for i in range(256))
+    encodings = [tiny_pgm(pixels, 16, 16), tiny_bmp_gray8(pixels, 16, 16)]
     assert encodings[0] != encodings[1]  # different bytes on disk
     assets = spark.createDataFrame(
         [
@@ -280,6 +277,11 @@ def test_phash_real_decode_branch_with_pillow(spark):
         for r in phash_signatures(assets, decode_stub=False).collect()
     }
     assert sigs[1] == sigs[2]  # same pixels -> same perceptual signature
+    stub = {
+        r["asset_id"]: r["sig"]
+        for r in phash_signatures(assets, decode_stub=True).collect()
+    }
+    assert stub[1] != stub[2]  # byte path sees the containers differ
 
 
 def test_real_png_payload_through_decode_seam(spark):
