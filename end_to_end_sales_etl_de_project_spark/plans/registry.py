@@ -74,90 +74,88 @@ DRIVER_WINDOW_SIZE = 50
 # window; all rotated-out queries stay under local parity at sf0.001
 # every run (tests/test_oracle_parity.py).
 DRIVER_WINDOW: list[str] = [
-    # ---- Round-10 rotation (VERDICT r9 #2). Every r9-window query is
-    # green in CORRECTNESS_r09 (50/50 hash), so slots go to (a) queries
-    # whose code or oracle changed this round, (b) the standing r04-era
-    # refresh queue in full, (c) oldest r05-era refresh.
-    # -- changed this round: the Bloom rework (curve-driven d22 default
-    # + m_bits column + extended grid + staged split-shingle artifact)
-    # touches d22/d23; the a20 docstring/plan edit; the ANN NULL-element
-    # validity fix changes _valid_vecs and the four IVF/PQ SQL twins —
-    # a04/a05/a20/a21 directly, a12/a13 through the recall audits
-    # (two-level callees driver_evidence.py's one-level scan cannot
-    # see, slotted defensively); the pointer-doubling rewrite of
-    # neardup_components touches d06/a10 (flagged) and, through the
-    # component/curation artifacts, d14/t25/c01/c02/c06 (defensive)
-    "d22_bloom_decontaminate",
-    "d23_bloom_sizing_curve",
-    "a20_pq_distortion",
+    # ---- Round-11 rotation (VERDICT r10 #1). Every r10-window query
+    # is green in CORRECTNESS_r10 (50/50 hash), so slots go to (a)
+    # queries whose code changed this round, (b) defensive slots for
+    # two-level callees the one-level staleness scan cannot see, (c)
+    # the r05-era refresh queue.
+    # -- changed this round (scripts/driver_evidence.py flags, after
+    # the r11 memo-plumbing attestations): the session-artifact
+    # fingerprinting hoisted the IVF/PQ model caches into fingerprinted
+    # helpers (a04/a05/a12/a13/a20/a21); the r10-ADVICE guards changed
+    # minhash_lsh_pairs (d03/d06/d11) and neardup_components (d06/a10);
+    # d24 gained the Bloom tier-0 (operator + oracle, in lockstep);
+    # t23's rank now pre-prunes via TakeOrderedAndProject; m02's
+    # extract_features gained the pure-Python decode path
     "a04_ann_ivf",
     "a05_ann_pq",
+    "a10_semantic_dedup",
     "a12_ivf_recall_audit",
     "a13_pq_recall_audit",
+    "a20_pq_distortion",
     "a21_ivf_recall_curve",
-    "d06_neardup_resolve",
-    "a10_semantic_dedup",
-    "d14_cluster_size_histogram",
-    "t25_effective_tokens",
-    "c01_curate_corpus",
-    "c02_training_manifest",
-    "c06_dedup_impact",
-    # -- the full standing r04-era refresh queue (registry comment r9:
-    # e17-e21 displaced by the late-r9 landings, plus the r04-era tail)
-    "e17_gap_fill_locf",
-    "e18_rolling_zscore",
-    "e19_exact_quantiles",
-    "e20_late_event_audit",
-    "e21_hourly_active_users",
-    "m04_decode_batches",
-    "q02_sales_team_incentive",
-    "q12_pricing_summary",
-    "q14_sales_team_mart",
-    "q63_fk_orphans",
-    "q64_numeric_histogram",
-    "q65_sole_late_supplier",
-    "q66_except_all",
-    "q67_salted_join",
-    "q68_full_outer_reconcile",
-    "q70_fuzzy_name_match",
-    "q71_zorder_key",
-    "t01_text_stats",
-    "t16_weighted_source_mix",
-    "t17_training_shards",
-    "t18_chunk_dedup",
-    "t19_bigram_lm",
-    # -- oldest r05-era refresh fills the remaining slots (displaced
-    # first if late-round additions need slots)
-    "a11_ann_filtered",
-    "c05_curriculum_phases",
-    "c07_source_skew_profile",
-    "c09_quality_budget_fill",
-    "d12_fuzzy_decontaminate",
-    # (d13 yielded its refresh slot to the late-r10 addition q105 —
-    # it keeps r05 evidence and rejoins the r11 queue)
-    "q105_small_qty_revenue",
-    "e27_event_transitions",
-    # (e22-e26, e28 yielded their refresh slots to the r10 addition d24
-    # and to d03/d11/d18/d19/d21, whose code paths changed with the
-    # late-r10 signature-artifact wiring — new/stale queries MUST hold
-    # a slot per the union + staleness invariants; all six keep r05-r08
-    # evidence and rejoin the r11 queue)
-    "d24_dedup_tier_attribution",
     "d03_minhash_lsh",
+    "d06_neardup_resolve",
     "d11_chunk_neardup",
-    "d19_lsh_tuning_curve",
+    "d24_dedup_tier_attribution",
+    "m02_multimodal_features",
+    "t23_vocab_coverage",
+    # -- defensive: two-level callees of this round's changes (the
+    # scanner is one-level): m07 → phash_neardup_pairs →
+    # phash_signatures (pure-decode path); d22/d23 →
+    # _split_shingle_artifact → split_shingle_tables (k-guard);
+    # d18/d19/d21 → staged-signature consumers of minhash machinery
+    "m07_phash_neardup",
+    "d22_bloom_decontaminate",
+    "d23_bloom_sizing_curve",
     "d18_incremental_neardup",
+    "d19_lsh_tuning_curve",
     "d21_cross_source_neardup",
+    # -- the r05-era refresh queue in full (oldest evidence first; the
+    # q85/q86/q87/t20 etc. rows named in the r10 queue comment turned
+    # out to hold r07+ evidence already — the queue below is generated
+    # from the COVERAGE evidence table, not hand-recalled)
+    "d13_semantic_decontaminate",
+    "e22_ewma",
+    "e23_quantiles_histogram",
+    "e24_attribution_last_touch",
+    "e25_hourly_leaderboard",
+    "e26_daily_streaks",
+    "e28_concurrency_peak",
+    "e29_hourly_mad_outliers",
+    "e30_rfm_segments",
+    "e31_variant_shred",
+    "m05_resize_assets",
+    "m06_asset_dedup",
+    "q72_scd2_segments",
+    "q73_market_basket_lift",
+    "q74_unpivot",
+    "q75_small_qty_revenue",
+    "q77_disjunctive_join",
+    "q78_revenue_share",
+    "q79_churned_rich_customers",
+    "q80_top_revenue_supplier",
+    "q81_cumulative_distinct",
+    "q83_repeat_rate",
+    "q84_order_count_histogram",
+    "q88_priority_delay_check",
+    "q89_promo_revenue_share",
+    "q90_supplier_diversity",
+    "t21_doc_lm_score",
+    "t22_tokenizer_fertility",
+    "t24_quality_buckets",
+    # -- r06-era head fills the last slots
+    "d16_containment_pairs",
+    "q01_customer_monthly_spend",
 ]
-# ---- Standing r11 refresh queue (generated from the COVERAGE evidence
-# table: oldest-evidence rows NOT holding an r10 slot). The r10
-# rotation consumed the r04-era queue and the r05-era head; next up,
-# the r05-era tail first:
-#   e29, e30, e31, m05, m06, q72-q90, t20, t21, t22, t23, t24
-# then the r06-era rows (t02, t03, t05, t10-t12, t14, t15, d16, q33-ish
-# roundtrips...), plus whatever scripts/driver_evidence.py flags stale
-# from the r11 diffs. tests/test_registry_window.py enforces the union
-# invariant either way.
+# ---- Standing r12 refresh queue (generated from the COVERAGE evidence
+# table: oldest-evidence rows NOT holding an r11 slot). The r11
+# rotation consumed the r05-era queue; next up the r06-era rows:
+#   q01g, q02w, q03-q11, q13, q15-q23, q25-q30, t02, t03, t05,
+#   t10-t12, t14, t15, plus the roundtrips (q33, q34, q45, q46, ...)
+# and whatever scripts/driver_evidence.py flags stale from the r12
+# diffs. tests/test_registry_window.py enforces the union invariant
+# either way.
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a
 # rows-only check for these. This is a closed, documented allowlist
