@@ -243,6 +243,8 @@ HEADLINE = [
     # round-10 additions
     "d24_dedup_tier_attribution",
     "q105_small_qty_revenue",
+    # round-11 additions
+    "q106_volume_shipping",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

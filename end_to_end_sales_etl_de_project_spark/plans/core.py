@@ -4357,3 +4357,84 @@ def q105_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM v_li_q105 l2 WHERE l2.l_partkey = l.l_partkey)
         """
     )
+
+
+_Q106_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(disc_price) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS disc_price
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY 1, 2, 3
+"""
+
+
+@_register("q106_volume_shipping", _Q106_ORACLE)
+def q106_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between a nation pair): the one
+    classic plan that joins the SAME dimension twice under different
+    roles — nation as the supplier's country and again as the
+    customer's — with a disjunctive cross-role predicate on the pair.
+
+    Scale shape: the two nation copies broadcast (25 rows each;
+    disambiguated by aliasing BEFORE the join so the disjunction
+    references distinct attributes, dodging the reference's
+    qualified-drop trap); supplier and customer ride stats-gated
+    broadcasts at bench scale; the only unavoidable wide shuffle is
+    lineitem ⋈ orders on the order key — and the two-year shipdate
+    range reaches the lineitem scan FIRST (PushedFilters, pinned), so
+    at 100 TB the shuffle carries only the filtered window, with
+    row-group pruning via shipdate min/max stats doing the rest.
+    Revenue is an exact decimal sum cast to double once; the year key
+    is integer EXTRACT in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * (one - money("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )

@@ -1175,3 +1175,19 @@ def test_q105_correlated_aggregate_is_decorrelated(spark):
     assert "Subquery" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan  # per-part threshold agg
     assert "BroadcastHashJoin Inner" in plan, plan
+
+
+def test_volume_shipping_pushdown_and_dual_role_dim(spark):
+    """q106 (TPC-H Q7): the two-year shipdate range must reach the
+    lineitem scan (at 100 TB the orderkey shuffle carries only the
+    filtered window), the dual-role nation copies must broadcast, and
+    the disjunctive pair predicate must never degrade the join graph
+    to a cartesian product."""
+    plan = plan_of(spark, "q106_volume_shipping")
+    scan = next(
+        l for l in plan.splitlines() if "PushedFilters" in l and "l_shipdate" in l
+    )
+    assert "GreaterThanOrEqual(l_shipdate" in scan and "LessThan(l_shipdate" in scan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2, plan  # map-side partial agg
