@@ -36,6 +36,15 @@ GATES = [
     ("d14_cluster_size_histogram", 3.0),  # component-artifact consumer (r5-9 fix)
     ("t24_quality_buckets", 3.0),  # LM-score-artifact consumer
     ("d16_containment_pairs", 4.0),  # capped-index consumer (r6)
+    # r11 refresh (VERDICT r10 #7): the current bench-tail shapes, so a
+    # construction regression in these paths trips locally before the
+    # driver bench records it. Steady-state sf0.01 measurements in
+    # PERF.md Round 11; bounds keep the standing 4-10x headroom.
+    ("q81_cumulative_distinct", 4.0),  # first-seen decomposition (0.86 s)
+    ("d11_chunk_neardup", 6.0),  # chunk-grain LSH + signature artifact (1.50 s)
+    ("m07_phash_neardup", 4.0),  # Arrow-batched SimHash + 4-band join (0.70 s)
+    ("c08_decontamination_agreement", 6.0),  # split-shingle5 artifacts (1.37 s)
+    ("t15_boilerplate_ngrams", 2.5),  # shared shingle-index consumer (0.35 s)
 ]
 
 
