@@ -245,6 +245,7 @@ HEADLINE = [
     "q105_small_qty_revenue",
     # round-11 additions
     "q106_volume_shipping",
+    "a22_ivf_cell_balance",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -880,6 +880,103 @@ WHERE rank <= {k}
 """
 
 
+def ivf_cell_balance(
+    emb: DataFrame,
+    dim: int = DIM,
+    n_centroids: int = 16,
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """IVF cell-occupancy audit: one row per centroid cell with its
+    corpus population, share, and skew-vs-uniform ratio — the
+    index-health table an ANN deployment reads before serving. Cell
+    balance IS probe cost at scale: a query's latency is the size of
+    the cells it probes, so a hot cell (skew ≫ 1) makes tail latency
+    explode and an empty cell wastes a centroid; re-train (or split
+    the hot cell) when this table degrades, BEFORE p99 does.
+
+    Plan: quantized-grid cell assignment (the a04 seam — one
+    Arrow-batched int64 matmul per batch), then one map-side-combinable
+    count per cid and a 1-row broadcast total join-back. Integer
+    counts, one IEEE division per output row ⇒ hash-exact against
+    :func:`ivf_cell_balance_sql` (same unrolled Lloyd CTEs as a04)."""
+    if centroids is None:
+        centroids = ivf_train(emb, n_centroids, dim)
+    cells = _with_cells_np(
+        _valid_vecs(emb, dim=dim).select(
+            "vec_id", _vq_col("embedding", dim).alias("__vq")
+        ),
+        centroids,
+    ).select("vec_id", "cid")
+    counts = cells.groupBy("cid").agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    total = counts.agg(
+        F.sum("n_vecs").alias("total"), F.count(F.lit(1)).alias("n_cells")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("cid").cast("bigint").alias("cid"),
+            "n_vecs",
+            (F.col("n_vecs").cast("double") / F.col("total")).alias("share"),
+            (
+                F.col("n_vecs").cast("double")
+                * F.col("n_cells")
+                / F.col("total")
+            ).alias("skew_vs_uniform"),
+        )
+    )
+
+
+def ivf_cell_balance_sql(
+    dim: int = DIM,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    scale: int = QUANT_SCALE,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`ivf_cell_balance` — the a04 Lloyd unroll,
+    then per-cell counts over the assignment."""
+    kmeans, cfin = _kmeans_sql_ctes(
+        "c", "vq", "aq", "seed_vals", iterations, part_cols=[]
+    )
+    return f"""
+WITH dimpos AS (SELECT unnest(range(1, {dim + 1})) AS pos),
+valid AS (
+  SELECT vec_id, embedding FROM {table}
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) >= {dim}
+    AND len(list_filter(embedding[1:{dim}], x -> x IS NULL)) = 0),
+vq AS (
+  SELECT v.vec_id, d.pos AS lp,
+         CAST(ROUND(CAST(v.embedding[d.pos] AS DOUBLE) * {scale}) AS BIGINT) AS val
+  FROM valid v, dimpos d),
+aq AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN SUM(val*val) = 0 THEN 1 ELSE SUM(val*val) END AS a
+  FROM vq GROUP BY vec_id),
+seeds AS (
+  SELECT vec_id, DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM valid ORDER BY vec_id LIMIT {n_centroids})),
+seed_vals AS MATERIALIZED (
+  SELECT s.cid, q.lp AS pos, q.val AS c FROM seeds s JOIN vq q USING (vec_id)),
+{kmeans},
+cells AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+    FROM {cfin}_sim) WHERE rn = 1),
+counts AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM counts)
+SELECT CAST(c.cid AS BIGINT) AS cid, c.n_vecs,
+       CAST(c.n_vecs AS DOUBLE) / t.total AS share,
+       CAST(c.n_vecs AS DOUBLE) * t.n_cells / t.total AS skew_vs_uniform
+FROM counts c CROSS JOIN tot t
+"""
+
+
 def lsh_topk_multiprobe(
     emb: DataFrame,
     queries: DataFrame,

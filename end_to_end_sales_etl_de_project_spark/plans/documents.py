@@ -3028,6 +3028,20 @@ def a21_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("a22_ivf_cell_balance", similarity.ivf_cell_balance_sql())
+def a22_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit: per-cell corpus population, share, and
+    skew-vs-uniform — the table an ANN deployment reads before serving,
+    because cell balance IS probe cost (a hot cell makes the latency of
+    every query that probes it; empty cells waste centroids). Reads the
+    session centroid model (one-time offline build, the a04 pattern);
+    steady-state is one Arrow-batched assignment pass + one map-side
+    count + a 1-row broadcast join-back. Integer counts and one IEEE
+    division per row ⇒ hash-exact vs the unrolled DuckDB Lloyd twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_cell_balance(emb, centroids=_ivf_model(spark, sf_dir))
+
+
 @_register("d21_cross_source_neardup", dedup.cross_source_neardup_matrix_sql())
 def d21_cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-pair NEAR-dup matrix: d20's mirror detector for re-crawls

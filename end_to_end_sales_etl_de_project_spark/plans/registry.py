@@ -144,11 +144,10 @@ DRIVER_WINDOW: list[str] = [
     "t21_doc_lm_score",
     "t22_tokenizer_fertility",
     "t24_quality_buckets",
-    # -- r06-era head fills the last slot
-    "d16_containment_pairs",
-    # (q01 yielded its slot to the r11 addition q106 — it keeps r06
-    # evidence and rejoins the r12 queue)
+    # (d16/q01 yielded the last r06-era slots to the r11 additions
+    # q106/a22 — both keep r06 evidence and rejoin the r12 queue)
     "q106_volume_shipping",
+    "a22_ivf_cell_balance",
 ]
 # ---- Standing r12 refresh queue (generated from the COVERAGE evidence
 # table: oldest-evidence rows NOT holding an r11 slot). The r11
