@@ -198,9 +198,13 @@ def jaccard_pairs(
         )
         # re-materialize post-cap: the reduced table is what the
         # self-join and sizes read (3 consumers again)
+        pre_cap = shingles
         shingles = shingles.join(kept, "shingle")
         if candidates is None:
             shingles = shingles.localCheckpoint(eager=True)
+            # the capped checkpoint is materialized; the pre-cap blocks
+            # have no remaining consumer (ADVICE r10 hygiene)
+            _free_local_checkpoint(pre_cap)
     else:
         shingles = shingles.select("doc", h60(F.col("shingle")).alias("shingle"))
         if candidates is None:
@@ -1203,7 +1207,10 @@ def containment_pairs(
                 .filter(F.col("df") <= max_df)
                 .select("shingle")
             )
+            pre_cap = hashed
             hashed = hashed.join(kept, "shingle").localCheckpoint(eager=True)
+            # capped checkpoint materialized ⇒ pre-cap blocks are dead
+            _free_local_checkpoint(pre_cap)
     sizes = hashed.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = hashed.alias("a")
     b = hashed.alias("b")
