@@ -426,7 +426,13 @@ def resize_assets(
     non-empty payload); a real pipeline swaps the slice for
     PIL.thumbnail / ffmpeg -s at the marked seam. Output carries the
     new size and checksum so downstream loss is detectable; payload
-    bytes never leave the executor; the UDF is a closure."""
+    bytes never leave the executor; the UDF is a closure.
+
+    NULL policy (the m02 contract): a NULL payload has no content to
+    resize — NULL orig_bytes and resized payload, zero-valued size and
+    checksum, matching the oracle's LEFT JOIN + COALESCE (caught by
+    the planted NULL sweep when m05 entered the r11 window — the stub
+    previously crashed on bytes(None) from the workers)."""
 
     def resize_batches(batches):
         import pandas as pd
@@ -444,15 +450,23 @@ def resize_assets(
             for aid, payload, meta in zip(
                 pdf["asset_id"], pdf["payload"], pdf["meta"]
             ):
-                b = bytes(payload)
-                small = b[::factor] if b else b
                 cols["asset_id"].append(aid)
                 cols["format"].append(meta["format"])
+                if payload is None:
+                    cols["orig_bytes"].append(None)
+                    cols["resized"].append(None)
+                    cols["resized_bytes"].append(0)
+                    cols["resized_checksum"].append(0)
+                    continue
+                b = bytes(payload)
+                small = b[::factor] if b else b
                 cols["orig_bytes"].append(len(b))
                 cols["resized"].append(small)
                 cols["resized_bytes"].append(len(small))
                 cols["resized_checksum"].append(sum(small) % (1 << 31))
-            yield pd.DataFrame(cols)
+            out = pd.DataFrame(cols)
+            out["orig_bytes"] = out["orig_bytes"].astype("Int64")
+            yield out
 
     return assets.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
 

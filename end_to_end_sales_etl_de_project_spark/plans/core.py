@@ -2361,7 +2361,8 @@ WITH ordered AS (
   SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey,
          LAG(o_orderpriority) OVER w AS prev
   FROM orders
-  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey)
 ),
 chg AS (
   SELECT * FROM ordered WHERE prev IS NULL OR prev <> o_orderpriority
@@ -2373,7 +2374,8 @@ SELECT o_custkey AS customer_id,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
        LEAD(o_orderdate) OVER w IS NULL AS is_current
 FROM chg
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS FIRST, o_orderkey)
 """
 
 
@@ -2391,9 +2393,17 @@ def q72_scd2_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     share one hash partitioning on the customer key and the same sort
     order, so the whole build costs a single shuffle; the change filter
     between them only shrinks rows. All columns are dates/ints/strings
-    ⇒ hash-exact."""
+    ⇒ hash-exact.
+
+    NULL policy: a NULL order date sorts BEFORE every dated order
+    (explicit NULLS FIRST on BOTH sides — Spark ascending defaults to
+    nulls-first, DuckDB to nulls-last; the planted NULL sweep caught
+    the divergent change sequences when q72 entered the r11 window),
+    so undated observations seed the history rather than closing it."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_first(), "o_orderkey"
+    )
     chg = (
         orders.select("o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey")
         .withColumn("prev", F.lag("o_orderpriority").over(w))
@@ -2894,7 +2904,7 @@ monthly AS (
 )
 SELECT customer_id, sales_month, new_parts,
        CAST(SUM(new_parts) OVER (
-         PARTITION BY customer_id ORDER BY sales_month
+         PARTITION BY customer_id ORDER BY sales_month NULLS FIRST
          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_parts
 FROM monthly
 """
@@ -2910,6 +2920,13 @@ def q81_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     month → running sum) is two map-side-combinable aggregations plus
     one bounded window — each customer's partition holds at most their
     month count, never the fact rows. Exact integers throughout.
+
+    NULL policy: a (customer, part) pair seen only on NULL-date orders
+    has an unknown first month — it still counts, ordered BEFORE every
+    dated month (explicit NULLS FIRST on BOTH sides: Spark ascending
+    windows default to nulls-first, DuckDB to nulls-last — the planted
+    NULL sweep caught the silent divergence when q81 entered the r11
+    window).
     """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -2926,7 +2943,7 @@ def q81_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("new_parts"))
     w = (
         Window.partitionBy("customer_id")
-        .orderBy("sales_month")
+        .orderBy(F.col("sales_month").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return monthly.withColumn(

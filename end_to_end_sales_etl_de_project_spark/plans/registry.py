@@ -129,7 +129,6 @@ DRIVER_WINDOW: list[str] = [
     "m06_asset_dedup",
     "q72_scd2_segments",
     "q73_market_basket_lift",
-    "q74_unpivot",
     "q75_small_qty_revenue",
     "q77_disjunctive_join",
     "q78_revenue_share",
@@ -137,15 +136,19 @@ DRIVER_WINDOW: list[str] = [
     "q80_top_revenue_supplier",
     "q81_cumulative_distinct",
     "q83_repeat_rate",
-    "q84_order_count_histogram",
     "q88_priority_delay_check",
     "q89_promo_revenue_share",
-    "q90_supplier_diversity",
     "t21_doc_lm_score",
     "t22_tokenizer_fertility",
     "t24_quality_buckets",
-    # (d16/q01 yielded the last r06-era slots to the r11 additions
-    # q106/a22 — both keep r06 evidence and rejoin the r12 queue)
+    # -- late-round stale flags: the pre-cap checkpoint-release edit
+    # changed the all-pairs jaccard/containment operators, so their
+    # direct consumers take the last refresh slots (q74/q84/q90/q01
+    # keep r05/r06 evidence and rejoin the r12 queue)
+    "d02_ngram_jaccard",
+    "d08_jaccard_stopshingle",
+    "d16_containment_pairs",
+    # -- r11 additions (new queries must hold a slot)
     "q106_volume_shipping",
     "a22_ivf_cell_balance",
 ]
