@@ -705,23 +705,32 @@ _Q25_ORACLE = """
 SELECT o_orderkey, o_custkey, o_totalprice,
        LAG(o_totalprice) OVER w AS prev_price,
        LEAD(o_totalprice) OVER w AS next_price,
-       DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk,
+       DENSE_RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC NULLS LAST) AS drnk,
        NTILE(4) OVER w AS quartile,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate NULLS FIRST, o_orderkey
                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
 """
 
 
 @_register("q25_window_analytics", _Q25_ORACLE)
 def q25_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/dense_rank/ntile + explicit-frame running sum — the
-    analytic-window family the reference lacks (SURVEY §2.5)."""
+    analytic-window family the reference lacks (SURVEY §2.5). NULL
+    order dates sort NULLS FIRST, NULL prices rank last — explicit on
+    BOTH sides (Spark and DuckDB default null orders differ for
+    ascending sorts; caught by the r11 full-registry NULL sweep)."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wrank = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_first(), "o_orderkey"
+    )
+    wrank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc_nulls_last()
+    )
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
     return orders.select(
         "o_orderkey",
@@ -1231,20 +1240,24 @@ SELECT o_orderkey, o_custkey,
        percent_rank() OVER w AS pct_rank,
        cume_dist() OVER w AS cume,
        first_value(o_orderkey) OVER w AS first_order,
-       last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate NULLS FIRST, o_orderkey
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING) AS last_order
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
 """
 
 
 @_register("q39_window_distribution", _Q39_ORACLE)
 def q39_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: percent_rank, cume_dist,
-    first/last value with an explicit full-partition frame."""
+    first/last value with an explicit full-partition frame. NULL order
+    dates sort NULLS FIRST, explicit on both sides (r11 NULL sweep)."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_first(), "o_orderkey"
+    )
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return orders.select(
         "o_orderkey",
@@ -1852,11 +1865,17 @@ def q61_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: ``mergeSchema`` reconciles footers at planning time
     (driver-side, one pass over file metadata) — the data files are
     never rewritten and column pruning/pushdown still applies per file.
+
+    NULL policy: undated orders belong to generation 1 (no priority
+    column — the oracle's CASE yields NULL priority for them either
+    way). Without the explicit isNull branch BOTH generation filters
+    rejected NULL dates and the rows vanished from the union entirely
+    (caught by the r11 full-registry NULL sweep).
     """
     base = _staging_dir(spark, "evolve", sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     od = F.substring(F.col("o_orderdate").cast("string"), 1, 10)
-    gen1 = orders.filter(od < "1997-01-01").select(
+    gen1 = orders.filter((od < "1997-01-01") | od.isNull()).select(
         "o_orderkey", money("o_totalprice").alias("total_price")
     )
     gen2 = orders.filter(od >= "1997-01-01").select(
@@ -2964,11 +2983,13 @@ WITH m AS (
   GROUP BY 1, 2
 )
 SELECT segment, sales_month, revenue,
-       LAG(revenue) OVER (PARTITION BY segment ORDER BY sales_month)
+       LAG(revenue) OVER (PARTITION BY segment
+                          ORDER BY sales_month NULLS FIRST)
          AS prev_revenue,
        (revenue - LAG(revenue) OVER (PARTITION BY segment
-                                     ORDER BY sales_month))
-         / LAG(revenue) OVER (PARTITION BY segment ORDER BY sales_month)
+                                     ORDER BY sales_month NULLS FIRST))
+         / LAG(revenue) OVER (PARTITION BY segment
+                              ORDER BY sales_month NULLS FIRST)
          AS mom_growth
 FROM m
 """
@@ -2982,6 +3003,10 @@ def q82_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lag shuffle is trivial regardless of fact size; growth =
     (cur − prev)/prev is two IEEE ops on identical exact-decimal-sum
     doubles, NULL for each segment's first month in both engines.
+
+    NULL policy: the unknown-month bucket (NULL orderdate) sorts
+    BEFORE every dated month, explicit on both sides (r11 NULL sweep —
+    Spark ascending defaults nulls-first, DuckDB nulls-last).
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -2993,7 +3018,9 @@ def q82_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(money_sum("o_totalprice").alias("revenue"))
     )
-    w = Window.partitionBy("segment").orderBy("sales_month")
+    w = Window.partitionBy("segment").orderBy(
+        F.col("sales_month").asc_nulls_first()
+    )
     prev = F.lag("revenue").over(w)
     return m.select(
         "segment",
@@ -3574,9 +3601,12 @@ def q92_approx_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     swapped percentage array — flips a hash-checked row.
 
     Same plan discipline as q32: the sketches and the exact distinct
-    run as SEPARATE aggregations joined on the 3-row group key (mixing
+    run as SEPARATE aggregations joined on the tiny group key (mixing
     countDistinct with sketch aggregates forces Expand and drops the
-    sketches to the sort-aggregate fallback, measured 39x slower)."""
+    sketches to the sort-aggregate fallback, measured 39x slower). The
+    join-back is NULL-SAFE: GROUP BY keeps a NULL returnflag group in
+    both engines, and a plain equi-join would silently drop it (caught
+    by the r11 full-registry NULL sweep)."""
     li = load_table(spark, sf_dir, "lineitem")
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
@@ -3594,12 +3624,20 @@ def q92_approx_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("approx_orders") - F.col("exact_orders")).cast("double")
         / F.col("exact_orders")
     )
-    return exact.join(sketches, "l_returnflag").select(
-        "l_returnflag",
-        F.col("exact_orders").cast("bigint").alias("exact_orders"),
-        (rel_err <= F.lit(_Q92_HLL_BOUND)).alias("hll_within_bound"),
-        ((q1 <= q2) & (q2 <= q3)).alias("quartiles_ordered"),
-        ((F.col("mn") <= q1) & (q3 <= F.col("mx"))).alias("quartiles_in_range"),
+    ex, sk = exact.alias("ex"), sketches.alias("sk")
+    return (
+        ex.join(
+            sk,
+            F.col("ex.l_returnflag").eqNullSafe(F.col("sk.l_returnflag")),
+        )
+        .drop(F.col("sk.l_returnflag"))
+        .select(
+            "l_returnflag",
+            F.col("exact_orders").cast("bigint").alias("exact_orders"),
+            (rel_err <= F.lit(_Q92_HLL_BOUND)).alias("hll_within_bound"),
+            ((q1 <= q2) & (q2 <= q3)).alias("quartiles_ordered"),
+            ((F.col("mn") <= q1) & (q3 <= F.col("mx"))).alias("quartiles_in_range"),
+        )
     )
 
 
@@ -3649,12 +3687,17 @@ def q93_permissive_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         money("o_totalprice").alias("total_price"),
     )
+    # NOT concat_ws: it SKIPS null arguments, so a NULL status/price
+    # would shift later fields left and silently corrupt the row — a
+    # NULL field must serialize as a proper EMPTY CSV field, which
+    # PERMISSIVE parses back to NULL (caught by the r11 NULL sweep)
     valid = orders.select(
-        F.concat_ws(
-            ",",
-            F.col("o_orderkey").cast("string"),
-            F.col("o_orderstatus"),
-            F.col("total_price").cast("string"),
+        F.concat(
+            F.coalesce(F.col("o_orderkey").cast("string"), F.lit("")),
+            F.lit(","),
+            F.coalesce(F.col("o_orderstatus"), F.lit("")),
+            F.lit(","),
+            F.coalesce(F.col("total_price").cast("string"), F.lit("")),
         ).alias("value")
     )
     # one-token, non-numeric: fails both the token-count and the

@@ -2216,7 +2216,11 @@ def d15_prefix_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    dt = docs.select("text").distinct()
+    # NULL text is outside prefix-dedup scope (no content to extend;
+    # the oracle's length/left predicates NULL-propagate it away) —
+    # and it must not reach the block-key guard, which would raise on
+    # a NULL length (caught by the r11 full-registry NULL sweep)
+    dt = docs.filter(F.col("text").isNotNull()).select("text").distinct()
     block_key = F.when(
         F.length("text") >= 16, F.substring("text", 1, 16)
     ).otherwise(

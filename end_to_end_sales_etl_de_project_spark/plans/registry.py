@@ -133,21 +133,25 @@ DRIVER_WINDOW: list[str] = [
     "q77_disjunctive_join",
     "q78_revenue_share",
     "q79_churned_rich_customers",
-    "q80_top_revenue_supplier",
     "q81_cumulative_distinct",
-    "q83_repeat_rate",
-    "q88_priority_delay_check",
-    "q89_promo_revenue_share",
-    "t21_doc_lm_score",
-    "t22_tokenizer_fertility",
-    "t24_quality_buckets",
     # -- late-round stale flags: the pre-cap checkpoint-release edit
-    # changed the all-pairs jaccard/containment operators, so their
-    # direct consumers take the last refresh slots (q74/q84/q90/q01
-    # keep r05/r06 evidence and rejoin the r12 queue)
+    # changed the all-pairs jaccard/containment operators (d02/d08/d16),
+    # and the r11 FULL-REGISTRY NULL sweep (scripts/null_sweep_all.py)
+    # surfaced seven NULL-semantics divergences whose fixes changed
+    # code or oracles (q25/q39/q61/q82/q92/q93/d15 + the in-window
+    # q72/q81/m05) — stale queries take refresh slots (the displaced
+    # q74/q80/q83/q84/q88/q89/q90/q01/t21/t22/t24 keep r05/r06
+    # evidence and rejoin the r12 queue)
     "d02_ngram_jaccard",
     "d08_jaccard_stopshingle",
     "d16_containment_pairs",
+    "q25_window_analytics",
+    "q39_window_distribution",
+    "q61_union_by_name",
+    "q82_mom_growth",
+    "q92_approx_error_bounds",
+    "q93_permissive_rescue",
+    "d15_prefix_duplicates",
     # -- r11 additions (new queries must hold a slot)
     "q106_volume_shipping",
     "a22_ivf_cell_balance",

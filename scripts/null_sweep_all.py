@@ -1,0 +1,216 @@
+"""Full-registry planted-NULL sweep (r11 proactive pass).
+
+The in-suite NULL sweeps are scoped to the driver window, so a NULL-
+semantics divergence in an out-of-window query hides until a rotation
+carries it in (r11 caught q72/q81/m05 exactly that way). This script
+rebuilds the four suites' fixtures verbatim (sales mutation masks,
+planted documents corpus, planted events rows, planted embeddings
+rows) and sweeps EVERY registered oracle whose SQL references the
+mutated family — the whole class at once instead of 50 per round.
+
+Usage:  python scripts/null_sweep_all.py [sales|docs|events|emb ...]
+Prints one PASS/FAIL line per (fixture, query); exits non-zero on any
+FAIL. Slow (~10-20 min for all four at sf0.001); run on an idle
+machine.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import sys
+import tempfile
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as E  # noqa: E402
+from end_to_end_sales_etl_de_project_spark.session import get_spark_session  # noqa: E402
+from end_to_end_sales_etl_de_project_spark.testing import (  # noqa: E402
+    compare_spark_to_oracle,
+    duckdb_connection,
+    run_oracle,
+)
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+SALES_TABLES = ["lineitem", "orders", "customer", "supplier", "part", "nation", "region"]
+_SALES_MUTATIONS = {
+    "lineitem": (
+        "l_orderkey",
+        [
+            ("l_quantity", 97),
+            ("l_extendedprice", 89),
+            ("l_discount", 83),
+            ("l_returnflag", 79),
+            ("l_linestatus", 73),
+            ("l_shipdate", 71),
+            ("l_tax", 67),
+        ],
+    ),
+    "orders": (
+        "o_orderkey",
+        [
+            ("o_totalprice", 97),
+            ("o_orderdate", 89),
+            ("o_orderpriority", 83),
+            ("o_orderstatus", 79),
+        ],
+    ),
+    "supplier": ("s_suppkey", [("s_name", 7), ("s_nationkey", 11), ("s_acctbal", 5)]),
+    "nation": ("n_nationkey", [("n_name", 5)]),
+    "region": ("r_regionkey", [("r_name", 3)]),
+}
+
+
+def _clone_except(sf_dir: str, out: str, skip: set[str]) -> None:
+    os.makedirs(out, exist_ok=True)
+    for name in os.listdir(sf_dir):
+        if name.removesuffix(".parquet") not in skip:
+            shutil.copy(os.path.join(sf_dir, name), os.path.join(out, name))
+
+
+def build_sales(out: str) -> None:
+    _clone_except(SF, out, set(_SALES_MUTATIONS))
+    con = duckdb.connect()
+    for table, (key, masks) in _SALES_MUTATIONS.items():
+        replaces = ", ".join(
+            f"CASE WHEN {key} % {mod} = 0 THEN NULL ELSE {col} END AS {col}"
+            for col, mod in masks
+        )
+        con.execute(
+            f"COPY (SELECT * REPLACE ({replaces}) "
+            f"FROM read_parquet('{SF}/{table}.parquet')) "
+            f"TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+
+
+_PAR = " pellentesque habitant morbi tristique senectus et netus et malesuada fames"
+
+
+def build_docs(out: str, spark) -> None:
+    _clone_except(SF, out, {"documents"})
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy badgers watch from the old stone bridge" + _PAR * 3
+    )
+    rows = [
+        (0, base, "en", "web", len(base)),
+        (1, base + " appended tail words here", "en", "web", len(base) + 25),
+        (2, base, "en", "books", len(base)),
+        (3, "completely different arctic penguins assemble quietly near "
+            "the frozen shoreline under pale green auroras tonight" + _PAR * 2,
+         "fr", "web", 113),
+        (4, None, "en", "web", 0),
+        (5, base[:40] + " un texte distinct pour la suite du corpus" + _PAR,
+         None, "web", 82),
+        (6, "another moderately long document about rivers mountains "
+            "oceans forests and the deserts beyond them" + _PAR * 2,
+         "en", None, 98),
+        (7, None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    staged = os.path.join(out, "_docs_staged")
+    df.coalesce(1).write.mode("overwrite").parquet(staged)
+    part = [f for f in os.listdir(staged) if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(staged, part), os.path.join(out, "documents.parquet"))
+    shutil.rmtree(staged)
+
+
+def build_events(out: str) -> None:
+    _clone_except(SF, out, {"events"})
+    duckdb.connect().execute(
+        f"""
+COPY (
+  SELECT * FROM read_parquet('{SF}/events.parquet')
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9000001, NULL,                              CAST(7 AS BIGINT),
+     'click', CAST(1.5 AS DOUBLE), '{{"plan": "a", "n": 1}}'),
+    (9000002, TIMESTAMP '2024-01-02 03:04:05',   NULL,
+     'view',  CAST(2.0 AS DOUBLE), NULL),
+    (9000003, TIMESTAMP '2024-01-02 03:04:06',   CAST(7 AS BIGINT),
+     NULL,    NULL,                '{{"plan": "b", "n": 2}}'),
+    (9000004, NULL, NULL, NULL, NULL, NULL)
+  ) t(event_id, ts, user_id, event_type, value, props)
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+"""
+    )
+
+
+def build_emb(out: str) -> None:
+    _clone_except(SF, out, {"embeddings"})
+    full = "[" + ", ".join(f"{(i % 7 - 3) / 8:.3f}" for i in range(64)) + "]"
+    holed = (
+        "["
+        + ", ".join("NULL" if i == 17 else f"{(i % 5 - 2) / 8:.3f}" for i in range(64))
+        + "]"
+    )
+    duckdb.connect().execute(
+        f"""
+COPY (
+  SELECT * FROM read_parquet('{SF}/embeddings.parquet')
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9000001, NULL,                                  CAST(3 AS INTEGER)),
+    (9000002, CAST([] AS FLOAT[]),                   CAST(1 AS INTEGER)),
+    (9000003, CAST([0.25, -0.5, 0.125] AS FLOAT[]),  CAST(2 AS INTEGER)),
+    (9000004, CAST({full} AS FLOAT[]),               NULL),
+    (NULL,    CAST({full} AS FLOAT[]),               CAST(4 AS INTEGER)),
+    (9000006, NULL, NULL),
+    (9000007, CAST({holed} AS FLOAT[]),              CAST(5 AS INTEGER))
+  ) t(vec_id, embedding, label)
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+"""
+    )
+
+
+FIXTURES = {
+    "sales": (build_sales, SALES_TABLES),
+    "docs": (None, ["documents"]),  # builder needs spark; special-cased below
+    "events": (build_events, ["events"]),
+    "emb": (build_emb, ["embeddings"]),
+}
+
+
+def main() -> int:
+    which = sys.argv[1:] or list(FIXTURES)
+    spark = get_spark_session(master="local[16]", shuffle_partitions=16)
+    oracles = E.oracle_sql()
+    queries = E.queries()
+    failures: list[tuple[str, str, str]] = []
+    for fam in which:
+        builder, tables = FIXTURES[fam]
+        pat = re.compile(r"\b(" + "|".join(tables) + r")\b")
+        scope = sorted(n for n, sql in oracles.items() if pat.search(sql))
+        out = tempfile.mkdtemp(prefix=f"nullsweep-{fam}-")
+        if fam == "docs":
+            build_docs(out, spark)
+        else:
+            builder(out)
+        con = duckdb_connection(out)
+        print(f"== {fam}: {len(scope)} queries ==", flush=True)
+        for name in scope:
+            try:
+                r = compare_spark_to_oracle(
+                    name, queries[name](spark, out), run_oracle(con, oracles[name])
+                )
+                ok, detail = r.match, "" if r.match else str(r.mismatches[:2])[:300]
+            except Exception as e:  # noqa: BLE001
+                ok, detail = False, f"{type(e).__name__}: {e}"[:300]
+            print(("PASS" if ok else f"FAIL {detail}"), fam, name, flush=True)
+            if not ok:
+                failures.append((fam, name, detail))
+    print(f"\nTOTAL FAILURES: {len(failures)}")
+    for fam, name, detail in failures:
+        print(" ", fam, name, detail[:160])
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -123,13 +123,32 @@ def test_sweep_is_nonvacuous():
     assert WINDOW_DOC_QUERIES, "no in-window documents-readers — sweep vacuous"
 
 
-def test_d15_fail_loud_guard_fires_on_null_text(spark, null_sf_dir):
+def test_d15_guard_fires_on_short_text_not_null(spark, tmp_path, null_sf_dir):
     """d15's documented precondition (every text >= 16 chars for the
-    16-byte prefix blocks) must fail LOUDLY on a NULL-text corpus,
-    never silently miss pairs — so it is excluded from the parity
-    sweep and pinned here instead."""
+    16-byte prefix blocks) must still fail LOUDLY on a SHORT non-NULL
+    text — but NULL text is outside prefix-dedup scope (r11: the raise
+    on NULL was a sweep crash, not a semantics; the oracle's length
+    predicates NULL-propagate those rows away), so the NULL corpus now
+    hash-checks in the parity sweep below instead of raising."""
+    import shutil
+
+    d = tmp_path / "short"
+    d.mkdir()
+    for name in os.listdir(null_sf_dir):
+        if name != "documents.parquet":
+            shutil.copy(os.path.join(null_sf_dir, name), d / name)
+    df = spark.createDataFrame(
+        [(1, "tiny text", "en", "web", 9),
+         (2, "long enough document text for the block key", "en", "web", 44)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    staged = str(d / "_st")
+    df.coalesce(1).write.parquet(staged)
+    part = [f for f in os.listdir(staged) if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(staged, part), d / "documents.parquet")
+    shutil.rmtree(staged)
     with pytest.raises(Exception, match="prefix blocking requires"):
-        E.queries()["d15_prefix_duplicates"](spark, null_sf_dir).collect()
+        E.queries()["d15_prefix_duplicates"](spark, str(d)).collect()
 
 
 def test_m03_null_payload_emits_no_frames(spark, null_sf_dir):
