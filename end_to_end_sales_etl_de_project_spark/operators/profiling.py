@@ -194,8 +194,13 @@ def expectations_report(
         aggs: list = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
         stack_args: list[str] = []
         for name, pred in row_checks:
+            # coalesce: SUM over ZERO rows is NULL where the oracle's
+            # COUNT(*) FILTER is 0 — an empty batch has zero
+            # violations and PASSES its checks (r11 empty-corpus sweep)
             aggs.append(
-                F.sum(F.when(F.expr(pred), 1).otherwise(0))
+                F.coalesce(
+                    F.sum(F.when(F.expr(pred), 1).otherwise(0)), F.lit(0)
+                )
                 .cast("bigint")
                 .alias(f"{name}__viol")
             )

@@ -1431,14 +1431,19 @@ def gopher_rule_attribution(
     |rules| rows — the rollup never re-reads the corpus per rule."""
     rules = gopher_rules(docs, id_col=id_col, text_col=text_col)
     aggs = []
+    # coalesce: SUM over ZERO rows is NULL; an empty corpus evaluates
+    # and fails zero docs per rule (r11 empty-corpus sweep), matching
+    # the oracle's COUNT / coalesced CASE-sum
     for name in GOPHER_RULE_NAMES:
         aggs.append(
-            F.sum(F.when(F.col(name).isNotNull(), 1).otherwise(0))
+            F.coalesce(
+                F.sum(F.when(F.col(name).isNotNull(), 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias(f"eval_{name}")
         )
         aggs.append(
-            F.sum(F.when(~F.col(name), 1).otherwise(0))
+            F.coalesce(F.sum(F.when(~F.col(name), 1).otherwise(0)), F.lit(0))
             .cast("bigint")
             .alias(f"fail_{name}")
         )
@@ -1476,7 +1481,8 @@ def gopher_rule_attribution_sql(
         f"""
 SELECT '{name}' AS rule,
        CAST(COUNT({name}) AS BIGINT) AS n_eval,
-       CAST(SUM(CASE WHEN NOT {name} THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+       CAST(COALESCE(SUM(CASE WHEN NOT {name} THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_fail,
        CASE WHEN COUNT({name}) > 0
             THEN CAST(SUM(CASE WHEN NOT {name} THEN 1 ELSE 0 END) AS DOUBLE)
                  / CAST(COUNT({name}) AS DOUBLE)

@@ -1083,13 +1083,24 @@ def q34_partitioned_write_readback(spark: SparkSession, sf_dir: str) -> DataFram
     main_1.py:524-529), read the partitioned dataset back and
     aggregate with a partition-key predicate — the filter prunes
     partitions on the re-read (directory-level pruning, the point of
-    the layout). Scratch dir keyed on sf_dir, overwritten per call."""
+    the layout). Scratch dir keyed on sf_dir, overwritten per call.
+
+    The read-back passes the writer's schema EXPLICITLY: an empty (or
+    fully-pruned) partitioned dataset has no footers to infer from, so
+    schema-less read-back of a 0-row write dies with
+    UNABLE_TO_INFER_SCHEMA — at 100 TB, "this partition happened to be
+    empty today" must not crash the consumer (r11 empty-corpus sweep).
+    """
     out = _staging_dir(spark, "partrt", sf_dir)
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "sales_month", month_key("o_orderdate")
     )
     orders.write.mode("overwrite").partitionBy("sales_month").parquet(out)
-    back = spark.read.parquet(out).filter(F.col("sales_month") >= "1997-01")
+    back = (
+        spark.read.schema(orders.schema)
+        .parquet(out)
+        .filter(F.col("sales_month") >= "1997-01")
+    )
     return back.groupBy("sales_month", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         money_sum("o_totalprice").alias("total_sales"),

@@ -122,9 +122,6 @@ DRIVER_WINDOW: list[str] = [
     "e25_hourly_leaderboard",
     "e26_daily_streaks",
     "e28_concurrency_peak",
-    "e29_hourly_mad_outliers",
-    "e30_rfm_segments",
-    "e31_variant_shred",
     "m05_resize_assets",
     "m06_asset_dedup",
     "q72_scd2_segments",
@@ -146,6 +143,12 @@ DRIVER_WINDOW: list[str] = [
     "d08_jaccard_stopshingle",
     "d16_containment_pairs",
     "q25_window_analytics",
+    # -- r11 empty-corpus sweep fixes (q34 schema-on-empty-readback,
+    # q102/c15 SUM-over-zero coalesce; displaced e29/e30/e31 keep r05
+    # evidence and rejoin the r12 queue)
+    "q34_partitioned_write_readback",
+    "q102_constraint_audit",
+    "c15_rule_attribution",
     "q39_window_distribution",
     "q61_union_by_name",
     "q82_mom_growth",

@@ -1,4 +1,4 @@
-"""Full-registry planted-NULL sweep (r11 proactive pass).
+"""Full-registry planted-NULL + empty-corpus sweep (r11 proactive pass).
 
 The in-suite NULL sweeps are scoped to the driver window, so a NULL-
 semantics divergence in an out-of-window query hides until a rotation
@@ -8,7 +8,7 @@ planted documents corpus, planted events rows, planted embeddings
 rows) and sweeps EVERY registered oracle whose SQL references the
 mutated family — the whole class at once instead of 50 per round.
 
-Usage:  python scripts/null_sweep_all.py [sales|docs|events|emb ...]
+Usage:  python scripts/null_sweep_all.py [sales|docs|events|emb|empty ...]
 Prints one PASS/FAIL line per (fixture, query); exits non-zero on any
 FAIL. Slow (~10-20 min for all four at sf0.001); run on an idle
 machine.
@@ -143,6 +143,30 @@ COPY (
     )
 
 
+def build_empty(out: str) -> None:
+    """Every table present with its canonical schema and ZERO rows —
+    the fully-pruned-slice / first-day-of-feed case."""
+    con = duckdb.connect()
+    for name in ALL_TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SF}/{name}.parquet') LIMIT 0) "
+            f"TO '{out}/{name}.parquet' (FORMAT PARQUET)"
+        )
+
+
+# Expected divergences on the EMPTY fixture, each pinned in
+# tests/test_empty_corpus.py with its rationale: the IVF/PQ paths
+# fail loudly on an empty training corpus (deliberate guard), and
+# upstream Spark emits zero rows for ROLLUP/CUBE/GROUPING SETS over
+# empty input where ANSI/DuckDB emit the grand-total row.
+EMPTY_EXPECTED = {
+    "a04_ann_ivf", "a05_ann_pq", "a12_ivf_recall_audit",
+    "a13_pq_recall_audit", "a20_pq_distortion", "a21_ivf_recall_curve",
+    "a22_ivf_cell_balance",
+    "q18_rollup", "q21_cube", "q38_grouping_sets",
+}
+
+
 def build_emb(out: str) -> None:
     _clone_except(SF, out, {"embeddings"})
     full = "[" + ", ".join(f"{(i % 7 - 3) / 8:.3f}" for i in range(64)) + "]"
@@ -170,11 +194,17 @@ COPY (
     )
 
 
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
 FIXTURES = {
     "sales": (build_sales, SALES_TABLES),
     "docs": (None, ["documents"]),  # builder needs spark; special-cased below
     "events": (build_events, ["events"]),
     "emb": (build_emb, ["embeddings"]),
+    "empty": (build_empty, None),  # scope = every registered oracle
 }
 
 
@@ -186,8 +216,12 @@ def main() -> int:
     failures: list[tuple[str, str, str]] = []
     for fam in which:
         builder, tables = FIXTURES[fam]
-        pat = re.compile(r"\b(" + "|".join(tables) + r")\b")
-        scope = sorted(n for n, sql in oracles.items() if pat.search(sql))
+        if tables is None:
+            scope = sorted(oracles)
+        else:
+            pat = re.compile(r"\b(" + "|".join(tables) + r")\b")
+            scope = sorted(n for n, sql in oracles.items() if pat.search(sql))
+        expected = EMPTY_EXPECTED if fam == "empty" else set()
         out = tempfile.mkdtemp(prefix=f"nullsweep-{fam}-")
         if fam == "docs":
             build_docs(out, spark)
@@ -203,6 +237,9 @@ def main() -> int:
                 ok, detail = r.match, "" if r.match else str(r.mismatches[:2])[:300]
             except Exception as e:  # noqa: BLE001
                 ok, detail = False, f"{type(e).__name__}: {e}"[:300]
+            if not ok and name in expected:
+                print("XFAIL(pinned)", fam, name, flush=True)
+                continue
             print(("PASS" if ok else f"FAIL {detail}"), fam, name, flush=True)
             if not ok:
                 failures.append((fam, name, detail))
