@@ -246,6 +246,7 @@ HEADLINE = [
     # round-11 additions
     "q106_volume_shipping",
     "a22_ivf_cell_balance",
+    "a23_ivf_probe_cost",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

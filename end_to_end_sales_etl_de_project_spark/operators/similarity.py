@@ -977,6 +977,142 @@ FROM counts c CROSS JOIN tot t
 """
 
 
+def ivf_probe_cost(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    dim: int = DIM,
+    probe_counts: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """Predicted IVF probe COST per probe width — the companion table
+    to :func:`ivf_cell_balance` and :func:`ivf_recall_curve` that
+    closes the serving decision: a21 gives recall-per-n_probe, THIS
+    gives cost-per-n_probe (the fraction of the corpus a query's
+    probed cells actually hold), so the dial is set from a
+    recall-vs-cost table instead of the uniform n_probe/n_centroids
+    guess — which skewed cells (a22) can miss by an order of
+    magnitude. Output: one row per probe width with (n_probe,
+    n_queries, n_candidates, n_corpus, scan_frac).
+
+    Plan: cell sizes and query probe ranks ride the same Arrow-batched
+    assignment seam as a04/a22 (queries broadcast-sized, corpus never
+    shuffled); each width is a filter over the max-width probe table —
+    one assignment pass serves every leg. Exact integer counts, one
+    IEEE division per row ⇒ hash-exact vs the unrolled DuckDB twin."""
+    base = _valid_vecs(emb, dim=dim).select(
+        "vec_id", _vq_col("embedding", dim).alias("__vq")
+    )
+    cells = _with_cells_np(base, centroids).select("vec_id", "cid")
+    counts = cells.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cell")
+    )
+    tot = cells.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
+    qv = _valid_vecs(queries, dim=dim).select(
+        F.col("vec_id").alias("query_id"), _vq_col("embedding", dim).alias("__vq")
+    )
+    max_p = max(probe_counts)
+    pr = _with_cells_np(qv, centroids, n_probe=max_p, out_col="probe_cids").select(
+        "query_id", F.posexplode("probe_cids").alias("pos", "cid")
+    )
+    sized = pr.join(counts, "cid", "left").select(
+        "query_id", "pos", F.coalesce("n_cell", F.lit(0)).alias("n_cell")
+    )
+    legs = []
+    for p in probe_counts:
+        legs.append(
+            sized.filter(F.col("pos") < p)
+            .agg(
+                F.lit(p).cast("bigint").alias("n_probe"),
+                F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+                F.coalesce(F.sum("n_cell"), F.lit(0))
+                .cast("bigint")
+                .alias("n_candidates"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "n_probe",
+                "n_queries",
+                "n_candidates",
+                "n_corpus",
+                (
+                    F.col("n_candidates").cast("double")
+                    / (F.col("n_queries") * F.col("n_corpus")).cast("double")
+                ).alias("scan_frac"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), legs)
+
+
+def ivf_probe_cost_sql(
+    query_pred: str,
+    dim: int = DIM,
+    n_centroids: int = 16,
+    iterations: int = 2,
+    scale: int = QUANT_SCALE,
+    probe_counts: tuple[int, ...] = (1, 2, 4),
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of :func:`ivf_probe_cost` — the a04 Lloyd unroll,
+    cell counts, ranked probes, and one aggregated leg per width."""
+    kmeans, cfin = _kmeans_sql_ctes(
+        "c", "vq", "aq", "seed_vals", iterations, part_cols=[]
+    )
+    max_p = max(probe_counts)
+    legs = "\nUNION ALL\n".join(
+        f"""SELECT CAST({p} AS BIGINT) AS n_probe,
+       CAST(COUNT(DISTINCT s.query_id) AS BIGINT) AS n_queries,
+       CAST(COALESCE(SUM(s.n_cell), 0) AS BIGINT) AS n_candidates,
+       t.n_corpus,
+       CAST(COALESCE(SUM(s.n_cell), 0) AS DOUBLE)
+         / CAST(COUNT(DISTINCT s.query_id) * t.n_corpus AS DOUBLE) AS scan_frac
+FROM sized s CROSS JOIN tot t WHERE s.rn <= {p} GROUP BY t.n_corpus"""
+        for p in probe_counts
+    )
+    return f"""
+WITH dimpos AS (SELECT unnest(range(1, {dim + 1})) AS pos),
+valid AS (
+  SELECT vec_id, embedding FROM {table}
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) >= {dim}
+    AND len(list_filter(embedding[1:{dim}], x -> x IS NULL)) = 0),
+vq AS (
+  SELECT v.vec_id, d.pos AS lp,
+         CAST(ROUND(CAST(v.embedding[d.pos] AS DOUBLE) * {scale}) AS BIGINT) AS val
+  FROM valid v, dimpos d),
+aq AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN SUM(val*val) = 0 THEN 1 ELSE SUM(val*val) END AS a
+  FROM vq GROUP BY vec_id),
+seeds AS (
+  SELECT vec_id, DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM valid ORDER BY vec_id LIMIT {n_centroids})),
+seed_vals AS MATERIALIZED (
+  SELECT s.cid, q.lp AS pos, q.val AS c FROM seeds s JOIN vq q USING (vec_id)),
+{kmeans},
+cells AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+    FROM {cfin}_sim) WHERE rn = 1),
+counts AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_cell FROM cells GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM cells),
+probes AS (
+  SELECT vec_id AS query_id, cid, rn FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+    FROM {cfin}_sim
+    WHERE vec_id IN (SELECT q.vec_id FROM valid q WHERE ({query_pred}))
+  ) WHERE rn <= {max_p}),
+sized AS (
+  SELECT p.query_id, p.rn, COALESCE(c.n_cell, 0) AS n_cell
+  FROM probes p LEFT JOIN counts c USING (cid))
+{legs}
+"""
+
+
 def lsh_topk_multiprobe(
     emb: DataFrame,
     queries: DataFrame,

@@ -3046,6 +3046,21 @@ def a22_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_cell_balance(emb, centroids=_ivf_model(spark, sf_dir))
 
 
+@_register("a23_ivf_probe_cost", similarity.ivf_probe_cost_sql(_QUERY_PRED))
+def a23_ivf_probe_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cost side of the serving dial: per probe width, the exact
+    fraction of the corpus the a01 query set's probed cells hold —
+    read NEXT TO a21's recall curve (recall-per-width) and a22's cell
+    balance (why the cost deviates from n_probe/n_centroids on skewed
+    cells). Reads the session centroid model; one Arrow-batched
+    assignment pass serves every width leg. Hash-exact vs the unrolled
+    DuckDB Lloyd twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_probe_cost(
+        emb, emb.filter(F.col("vec_id") < 8), centroids=_ivf_model(spark, sf_dir)
+    )
+
+
 @_register("d21_cross_source_neardup", dedup.cross_source_neardup_matrix_sql())
 def d21_cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-pair NEAR-dup matrix: d20's mirror detector for re-crawls

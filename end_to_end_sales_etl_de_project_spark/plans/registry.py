@@ -121,7 +121,6 @@ DRIVER_WINDOW: list[str] = [
     "e24_attribution_last_touch",
     "e25_hourly_leaderboard",
     "e26_daily_streaks",
-    "e28_concurrency_peak",
     "m05_resize_assets",
     "m06_asset_dedup",
     "q72_scd2_segments",
@@ -158,6 +157,7 @@ DRIVER_WINDOW: list[str] = [
     # -- r11 additions (new queries must hold a slot)
     "q106_volume_shipping",
     "a22_ivf_cell_balance",
+    "a23_ivf_probe_cost",
 ]
 # ---- Standing r12 refresh queue (generated from the COVERAGE evidence
 # table: oldest-evidence rows NOT holding an r11 slot). The r11

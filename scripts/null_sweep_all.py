@@ -162,7 +162,7 @@ def build_empty(out: str) -> None:
 EMPTY_EXPECTED = {
     "a04_ann_ivf", "a05_ann_pq", "a12_ivf_recall_audit",
     "a13_pq_recall_audit", "a20_pq_distortion", "a21_ivf_recall_curve",
-    "a22_ivf_cell_balance",
+    "a22_ivf_cell_balance", "a23_ivf_probe_cost",
     "q18_rollup", "q21_cube", "q38_grouping_sets",
 }
 
