@@ -4457,22 +4457,24 @@ GROUP BY 1, 2, 3
 
 @_register("q106_volume_shipping", _Q106_ORACLE)
 def q106_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape (volume shipping between a nation pair): the one
-    classic plan that joins the SAME dimension twice under different
-    roles — nation as the supplier's country and again as the
-    customer's — with a disjunctive cross-role predicate on the pair.
+    """TPC-H Q7 (volume shipping): the SCALE-CORRECT restatement of
+    q85's reference-faithful form. q85 keeps the reference's idioms —
+    substring-of-string-date year keys and a FORCED supplier broadcast
+    — while here every scaling side (supplier, customer, orders) rides
+    stats-gated joins only (supplier grows with the corpus; a forced
+    broadcast of it is the 100 TB OOM q85 deliberately preserves as
+    the reference shape), the year key is native integer EXTRACT in
+    both engines, and the pair's line count rides along. Same
+    dual-role nation join: two 25-row broadcast copies aliased BEFORE
+    the join so the disjunctive cross-role predicate references
+    distinct attributes (the reference's qualified-drop trap dodged).
 
-    Scale shape: the two nation copies broadcast (25 rows each;
-    disambiguated by aliasing BEFORE the join so the disjunction
-    references distinct attributes, dodging the reference's
-    qualified-drop trap); supplier and customer ride stats-gated
-    broadcasts at bench scale; the only unavoidable wide shuffle is
-    lineitem ⋈ orders on the order key — and the two-year shipdate
-    range reaches the lineitem scan FIRST (PushedFilters, pinned), so
-    at 100 TB the shuffle carries only the filtered window, with
-    row-group pruning via shipdate min/max stats doing the rest.
-    Revenue is an exact decimal sum cast to double once; the year key
-    is integer EXTRACT in both engines."""
+    Scale shape: the only unavoidable wide shuffle is lineitem ⋈
+    orders on the order key — and the two-year shipdate range reaches
+    the lineitem scan FIRST (PushedFilters, pinned), so the shuffle
+    carries only the filtered window, with row-group pruning via
+    shipdate min/max stats doing the rest. Revenue is an exact decimal
+    sum cast to double once."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
