@@ -142,7 +142,11 @@ def _pure_gray_decoder():
             if len(line) < (w if bpp == 8 else 3 * w):
                 return None
             if bpp == 8:
-                rows.append(bytes(lut[v] for v in line[:w]))
+                px = line[:w]
+                if max(px) >= len(lut):
+                    return None  # pixel beyond the declared palette:
+                    # malformed file — honest fallback, not IndexError
+                rows.append(bytes(lut[v] for v in px))
             else:
                 rows.append(
                     bytes(

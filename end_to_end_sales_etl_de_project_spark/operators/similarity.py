@@ -810,6 +810,37 @@ def _kmeans_sql_ctes(
     return ",\n".join(ctes), cur
 
 
+def _ivf_lloyd_preamble_sql(
+    dim: int, scale: int, n_centroids: int, table: str
+) -> str:
+    """The shared opening CTE chain of every IVF oracle twin (validity
+    gate -> quantized grid -> norms -> deterministic seeds): factored
+    so a change to the validity predicate or the quantization
+    expression lands in ONE place for all four IVF twins — the r9
+    NULL-element clause had to be hand-replicated per twin before this
+    (r11 review finding). MUST stay in lockstep with _valid_vecs and
+    _vq_col; the PQ twins keep their subspace-shaped variant inline."""
+    return f"""dimpos AS (SELECT unnest(range(1, {dim + 1})) AS pos),
+valid AS (
+  SELECT vec_id, embedding FROM {table}
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) >= {dim}
+    AND len(list_filter(embedding[1:{dim}], x -> x IS NULL)) = 0),
+vq AS (
+  SELECT v.vec_id, d.pos AS lp,
+         CAST(ROUND(CAST(v.embedding[d.pos] AS DOUBLE) * {scale}) AS BIGINT) AS val
+  FROM valid v, dimpos d),
+aq AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN SUM(val*val) = 0 THEN 1 ELSE SUM(val*val) END AS a
+  FROM vq GROUP BY vec_id),
+seeds AS (
+  SELECT vec_id, DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM valid ORDER BY vec_id LIMIT {n_centroids})),
+seed_vals AS MATERIALIZED (
+  SELECT s.cid, q.lp AS pos, q.val AS c FROM seeds s JOIN vq q USING (vec_id))"""
+
+
 def ivf_topk_sql(
     query_pred: str,
     k: int = 5,
@@ -831,25 +862,7 @@ def ivf_topk_sql(
         "c", "vq", "aq", "seed_vals", iterations, part_cols=[]
     )
     return f"""
-WITH dimpos AS (SELECT unnest(range(1, {dim + 1})) AS pos),
-valid AS (
-  SELECT vec_id, embedding FROM {table}
-  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-    AND len(embedding) >= {dim}
-    AND len(list_filter(embedding[1:{dim}], x -> x IS NULL)) = 0),
-vq AS (
-  SELECT v.vec_id, d.pos AS lp,
-         CAST(ROUND(CAST(v.embedding[d.pos] AS DOUBLE) * {scale}) AS BIGINT) AS val
-  FROM valid v, dimpos d),
-aq AS MATERIALIZED (
-  SELECT vec_id,
-         CASE WHEN SUM(val*val) = 0 THEN 1 ELSE SUM(val*val) END AS a
-  FROM vq GROUP BY vec_id),
-seeds AS (
-  SELECT vec_id, DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cid
-  FROM (SELECT vec_id FROM valid ORDER BY vec_id LIMIT {n_centroids})),
-seed_vals AS MATERIALIZED (
-  SELECT s.cid, q.lp AS pos, q.val AS c FROM seeds s JOIN vq q USING (vec_id)),
+WITH {_ivf_lloyd_preamble_sql(dim, scale, n_centroids, table)},
 {kmeans},
 cells AS (
   SELECT vec_id AS neighbor_id, cid FROM (
@@ -939,25 +952,7 @@ def ivf_cell_balance_sql(
         "c", "vq", "aq", "seed_vals", iterations, part_cols=[]
     )
     return f"""
-WITH dimpos AS (SELECT unnest(range(1, {dim + 1})) AS pos),
-valid AS (
-  SELECT vec_id, embedding FROM {table}
-  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-    AND len(embedding) >= {dim}
-    AND len(list_filter(embedding[1:{dim}], x -> x IS NULL)) = 0),
-vq AS (
-  SELECT v.vec_id, d.pos AS lp,
-         CAST(ROUND(CAST(v.embedding[d.pos] AS DOUBLE) * {scale}) AS BIGINT) AS val
-  FROM valid v, dimpos d),
-aq AS MATERIALIZED (
-  SELECT vec_id,
-         CASE WHEN SUM(val*val) = 0 THEN 1 ELSE SUM(val*val) END AS a
-  FROM vq GROUP BY vec_id),
-seeds AS (
-  SELECT vec_id, DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cid
-  FROM (SELECT vec_id FROM valid ORDER BY vec_id LIMIT {n_centroids})),
-seed_vals AS MATERIALIZED (
-  SELECT s.cid, q.lp AS pos, q.val AS c FROM seeds s JOIN vq q USING (vec_id)),
+WITH {_ivf_lloyd_preamble_sql(dim, scale, n_centroids, table)},
 {kmeans},
 cells AS (
   SELECT vec_id, cid FROM (
@@ -1019,8 +1014,14 @@ def ivf_probe_cost(
     )
     legs = []
     for p in probe_counts:
+        # groupBy the (constant) corpus total rather than a global agg:
+        # with an EMPTY query set each leg must emit ZERO rows exactly
+        # like the twin's GROUP BY over zero input — a global agg would
+        # manufacture an n_queries=0 row the oracle doesn't have
         legs.append(
             sized.filter(F.col("pos") < p)
+            .crossJoin(F.broadcast(tot))
+            .groupBy("n_corpus")
             .agg(
                 F.lit(p).cast("bigint").alias("n_probe"),
                 F.countDistinct("query_id").cast("bigint").alias("n_queries"),
@@ -1028,7 +1029,6 @@ def ivf_probe_cost(
                 .cast("bigint")
                 .alias("n_candidates"),
             )
-            .crossJoin(F.broadcast(tot))
             .select(
                 "n_probe",
                 "n_queries",
@@ -1071,25 +1071,7 @@ FROM sized s CROSS JOIN tot t WHERE s.rn <= {p} GROUP BY t.n_corpus"""
         for p in probe_counts
     )
     return f"""
-WITH dimpos AS (SELECT unnest(range(1, {dim + 1})) AS pos),
-valid AS (
-  SELECT vec_id, embedding FROM {table}
-  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-    AND len(embedding) >= {dim}
-    AND len(list_filter(embedding[1:{dim}], x -> x IS NULL)) = 0),
-vq AS (
-  SELECT v.vec_id, d.pos AS lp,
-         CAST(ROUND(CAST(v.embedding[d.pos] AS DOUBLE) * {scale}) AS BIGINT) AS val
-  FROM valid v, dimpos d),
-aq AS MATERIALIZED (
-  SELECT vec_id,
-         CASE WHEN SUM(val*val) = 0 THEN 1 ELSE SUM(val*val) END AS a
-  FROM vq GROUP BY vec_id),
-seeds AS (
-  SELECT vec_id, DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cid
-  FROM (SELECT vec_id FROM valid ORDER BY vec_id LIMIT {n_centroids})),
-seed_vals AS MATERIALIZED (
-  SELECT s.cid, q.lp AS pos, q.val AS c FROM seeds s JOIN vq q USING (vec_id)),
+WITH {_ivf_lloyd_preamble_sql(dim, scale, n_centroids, table)},
 {kmeans},
 cells AS MATERIALIZED (
   SELECT vec_id, cid FROM (
@@ -1698,25 +1680,7 @@ FROM tot, (
         )
     union = "\nUNION ALL\n".join(legs)
     return f"""
-WITH dimpos AS (SELECT unnest(range(1, {dim + 1})) AS pos),
-valid AS (
-  SELECT vec_id, embedding FROM {table}
-  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-    AND len(embedding) >= {dim}
-    AND len(list_filter(embedding[1:{dim}], x -> x IS NULL)) = 0),
-vq AS (
-  SELECT v.vec_id, d.pos AS lp,
-         CAST(ROUND(CAST(v.embedding[d.pos] AS DOUBLE) * {scale}) AS BIGINT) AS val
-  FROM valid v, dimpos d),
-aq AS MATERIALIZED (
-  SELECT vec_id,
-         CASE WHEN SUM(val*val) = 0 THEN 1 ELSE SUM(val*val) END AS a
-  FROM vq GROUP BY vec_id),
-seeds AS (
-  SELECT vec_id, DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS cid
-  FROM (SELECT vec_id FROM valid ORDER BY vec_id LIMIT {n_centroids})),
-seed_vals AS MATERIALIZED (
-  SELECT s.cid, q.lp AS pos, q.val AS c FROM seeds s JOIN vq q USING (vec_id)),
+WITH {_ivf_lloyd_preamble_sql(dim, scale, n_centroids, table)},
 {kmeans},
 cells AS MATERIALIZED (
   SELECT vec_id AS neighbor_id, cid FROM (

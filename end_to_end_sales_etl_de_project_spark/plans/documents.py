@@ -60,7 +60,7 @@ def _shingle_index(
 
     from end_to_end_sales_etl_de_project_spark.functions.hashing import h60
 
-    key = session_memo_key(_SHINGLE_INDEX, spark, sf_dir, k, max_df)
+    key = session_memo_key(_SHINGLE_INDEX, spark, f"{sf_dir}/documents.parquet", k, max_df)
     if key not in _SHINGLE_INDEX:
         if max_df is not None:
             # derive the capped universe from the uncapped artifact: one
@@ -130,7 +130,7 @@ _SPLIT_SHINGLES: dict[tuple, tuple[DataFrame, DataFrame, DataFrame]] = {}
 def _split_shingle_artifact(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    key = session_memo_key(_SPLIT_SHINGLES, spark, sf_dir)
+    key = session_memo_key(_SPLIT_SHINGLES, spark, f"{sf_dir}/documents.parquet")
     if key not in _SPLIT_SHINGLES:
         docs = load_table(spark, sf_dir, "documents")
         test_sh, train_sh, train_src = dedup.split_shingle_tables(
@@ -156,7 +156,7 @@ _MINHASH_SIGS: dict[tuple, DataFrame] = {}
 def _minhash_sig_artifact(
     spark: SparkSession, sf_dir: str, n_hashes: int = 16
 ) -> DataFrame:
-    key = session_memo_key(_MINHASH_SIGS, spark, sf_dir, n_hashes)
+    key = session_memo_key(_MINHASH_SIGS, spark, f"{sf_dir}/documents.parquet", n_hashes)
     if key not in _MINHASH_SIGS:
         sigs = dedup.minhash_signatures(
             _shingle_index(spark, sf_dir, 3), n_hashes, pre_hashed=True
@@ -172,7 +172,7 @@ _BLOOM_M: dict[tuple, int] = {}
 
 
 def _bloom_m_artifact(spark: SparkSession, sf_dir: str) -> int:
-    key = session_memo_key(_BLOOM_M, spark, sf_dir)
+    key = session_memo_key(_BLOOM_M, spark, f"{sf_dir}/documents.parquet")
     if key not in _BLOOM_M:
         test_sh, train_sh, _ = _split_shingle_artifact(spark, sf_dir)
         docs = load_table(spark, sf_dir, "documents")
@@ -182,7 +182,7 @@ def _bloom_m_artifact(spark: SparkSession, sf_dir: str) -> int:
 
 
 def _component_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = session_memo_key(_COMPONENTS, spark, sf_dir)
+    key = session_memo_key(_COMPONENTS, spark, f"{sf_dir}/documents.parquet")
     if key not in _COMPONENTS:
         docs = load_table(spark, sf_dir, "documents")
         pairs = dedup.minhash_lsh_pairs(
@@ -202,7 +202,7 @@ def _curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (session, corpus) — the artifact every downstream consumer
     (manifest build, impact reports) reads instead of re-running the
     quality→dedup→near-dup chain."""
-    key = session_memo_key(_CURATION_DECISIONS, spark, sf_dir)
+    key = session_memo_key(_CURATION_DECISIONS, spark, f"{sf_dir}/documents.parquet")
     if key not in _CURATION_DECISIONS:
         docs = load_table(spark, sf_dir, "documents")
         decisions = curation.curate_corpus(
@@ -215,7 +215,7 @@ def _curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = session_memo_key(_KEPT_CORPUS, spark, sf_dir)
+    key = session_memo_key(_KEPT_CORPUS, spark, f"{sf_dir}/documents.parquet")
     if key not in _KEPT_CORPUS:
         docs = load_table(spark, sf_dir, "documents")
         decisions = _curation_decisions(spark, sf_dir)
@@ -245,7 +245,7 @@ _SPLIT_SHINGLES5: dict[tuple, DataFrame] = {}
 
 
 def _split_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = session_memo_key(_SPLIT_TOKS, spark, sf_dir)
+    key = session_memo_key(_SPLIT_TOKS, spark, f"{sf_dir}/documents.parquet")
     if key not in _SPLIT_TOKS:
         docs = load_table(spark, sf_dir, "documents")
         base = docs.select(
@@ -258,7 +258,7 @@ def _split_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _split_shingles5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = session_memo_key(_SPLIT_SHINGLES5, spark, sf_dir)
+    key = session_memo_key(_SPLIT_SHINGLES5, spark, f"{sf_dir}/documents.parquet")
     if key not in _SPLIT_SHINGLES5:
         base = _split_toks(spark, sf_dir)
         sh = base.select(
@@ -663,7 +663,7 @@ _ANN_BASELINES: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def _ann_baselines(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    key = session_memo_key(_ANN_BASELINES, spark, sf_dir)
+    key = session_memo_key(_ANN_BASELINES, spark, f"{sf_dir}/embeddings.parquet")
     if key not in _ANN_BASELINES:
         emb = load_table(spark, sf_dir, "embeddings")
         q = emb.filter(F.col("vec_id") < 8)
@@ -682,7 +682,7 @@ _SIMHASH_FP: dict[tuple, DataFrame] = {}
 
 
 def _simhash_fp_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = session_memo_key(_SIMHASH_FP, spark, sf_dir)
+    key = session_memo_key(_SIMHASH_FP, spark, f"{sf_dir}/documents.parquet")
     if key not in _SIMHASH_FP:
         docs = load_table(spark, sf_dir, "documents")
         _SIMHASH_FP[key] = dedup.simhash(docs, "doc_id", "text").localCheckpoint(
@@ -700,7 +700,7 @@ _KNN_GRAPH: dict[tuple, DataFrame] = {}
 
 
 def _knn_graph_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = session_memo_key(_KNN_GRAPH, spark, sf_dir)
+    key = session_memo_key(_KNN_GRAPH, spark, f"{sf_dir}/embeddings.parquet")
     if key not in _KNN_GRAPH:
         # spread: per-vector PQ/LSH fan-out over a 1-split scan would
         # serialize on one core (tables.spread; no-op at real scale)
@@ -721,6 +721,10 @@ _IVF_MODELS: dict[tuple, list[list[float]]] = {}
 def _ivf_model(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     emb = load_table(spark, sf_dir, "embeddings")
     mkey = (sf_dir, corpus_fingerprint(f"{sf_dir}/embeddings.parquet"))
+    # same eviction rule as session_memo_key: a stale-fingerprint model
+    # for this path can never be served again
+    for k in [k for k in _IVF_MODELS if k[0] == sf_dir and k != mkey]:
+        del _IVF_MODELS[k]
     if mkey not in _IVF_MODELS:
         _IVF_MODELS[mkey] = similarity.ivf_train(emb, 16)
     return _IVF_MODELS[mkey]
@@ -751,6 +755,8 @@ _PQ_MODELS: dict[tuple, list[list[list[float]]]] = {}
 def _pq_model(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     emb = load_table(spark, sf_dir, "embeddings")
     mkey = (sf_dir, corpus_fingerprint(f"{sf_dir}/embeddings.parquet"))
+    for k in [k for k in _PQ_MODELS if k[0] == sf_dir and k != mkey]:
+        del _PQ_MODELS[k]
     if mkey not in _PQ_MODELS:
         _PQ_MODELS[mkey] = similarity.pq_train(emb)
     return _PQ_MODELS[mkey]
@@ -2326,7 +2332,7 @@ _LM_SCORES: dict[tuple, DataFrame] = {}
 
 
 def _lm_score_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = session_memo_key(_LM_SCORES, spark, sf_dir)
+    key = session_memo_key(_LM_SCORES, spark, f"{sf_dir}/documents.parquet")
     if key not in _LM_SCORES:
         sc = t21_doc_lm_score(spark, sf_dir).select("doc_id", "avg_p")
         _LM_SCORES[key] = sc.localCheckpoint(eager=True)
