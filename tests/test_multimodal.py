@@ -328,3 +328,41 @@ def test_real_png_payload_through_decode_seam(spark):
     except ImportError:
         with pytest.raises(Exception, match="NotImplementedError|stub only"):
             extract_features(assets, decode_stub=False).collect()
+
+
+def test_pure_decoder_roundtrip_property():
+    """Property: for ANY pixel grid, the pure decoder recovers exactly
+    the pixels that went into a P5 PGM and an 8-bit BMP container —
+    including stride padding, bottom-up row order, and the
+    identity-palette mapping (the r10 #6 decoder is a parser, so feed
+    it adversarial shapes, not just the fixtures)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from end_to_end_sales_etl_de_project_spark.operators.multimodal import (
+        _pure_gray_decoder,
+    )
+    from tests.fixtures import tiny_bmp_gray8, tiny_pgm, tiny_ppm
+
+    decode = _pure_gray_decoder()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=9),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h, max_size=w * h
+                )
+            )
+        )
+        assert decode(tiny_pgm(px, w, h)) == px
+        assert decode(tiny_bmp_gray8(px, w, h)) == px
+        rgb = b"".join(bytes((v, v, v)) for v in px)
+        assert decode(tiny_ppm(rgb, w, h)) == px  # gray(v,v,v) == v
+
+    check()
