@@ -324,6 +324,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    # Machine-state evidence (VERDICT r11 #7): every figure this
+    # process prints carries its own idle-or-not context, so a
+    # round-over-round comparison can adjudicate "regression vs hot
+    # machine" from the JSON itself. loadavg is sampled before the JVM
+    # starts and again after the last query; the canary (below) is a
+    # fixed cheap scan+window query whose warm (first-ever, codegen +
+    # parquet footers) and steady-state times move with page-cache and
+    # CPU contention — r11's post-suite runs measured the whole tail
+    # uniformly ~15-20% hot while idle runs did not.
+    load_start = round(os.getloadavg()[0], 2)
     # No \r stage-progress lines on stderr: the driver captures a bounded
     # tail of the process output, and round-4's progress noise pushed the
     # FRONT of the one JSON line out of the capture (BENCH_r04 parsed=null).
@@ -337,6 +347,21 @@ def main() -> None:
 
     def run(name: str) -> None:
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    # Canary: q10 (scan + per-group window rank, ~0.2 s steady-state on
+    # a quiet box) timed BEFORE the headline loop. Its warm run prices
+    # codegen + footer reads (cold page cache inflates it); the steady
+    # min prices CPU contention. Not counted in the total.
+    canary = "q10_rank_top1"
+    t0 = time.perf_counter()
+    run(canary)
+    canary_warm = round(time.perf_counter() - t0, 3)
+    canary_steady = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run(canary)
+        canary_steady = min(canary_steady, time.perf_counter() - t0)
+    canary_steady = round(canary_steady, 3)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -359,7 +384,13 @@ def main() -> None:
     # Line 1: the full per-query map, for humans and archaeology.
     # Line 2 (LAST): a tiny self-contained summary (<200 bytes) that can
     # never be truncated — this is the line the driver must parse.
-    detail = {"queries": timings}
+    machine = {
+        "loadavg_start": load_start,
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "canary_warm_sec": canary_warm,
+        "canary_steady_sec": canary_steady,
+    }
+    detail = {"queries": timings, "machine": machine}
     if errors:
         detail["errors"] = errors
     if skipped:
@@ -375,6 +406,11 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors) + len(skipped),
+        # machine-state evidence (VERDICT r11 #7): loadavg at start/end
+        # + the fixed canary's steady-state, compact enough for the
+        # never-truncated summary line
+        "load": [machine["loadavg_start"], machine["loadavg_end"]],
+        "canary": canary_steady,
         # bounded top-10 slowest keeps the contract's "queries" key while
         # staying well under any plausible tail-capture size
         "queries": top,

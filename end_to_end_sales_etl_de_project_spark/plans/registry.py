@@ -74,99 +74,82 @@ DRIVER_WINDOW_SIZE = 50
 # window; all rotated-out queries stay under local parity at sf0.001
 # every run (tests/test_oracle_parity.py).
 DRIVER_WINDOW: list[str] = [
-    # ---- Round-11 rotation (VERDICT r10 #1). Every r10-window query
-    # is green in CORRECTNESS_r10 (50/50 hash), so slots go to (a)
-    # queries whose code changed this round, (b) defensive slots for
-    # two-level callees the one-level staleness scan cannot see, (c)
-    # the r05-era refresh queue.
-    # -- changed this round (scripts/driver_evidence.py flags, after
-    # the r11 memo-plumbing attestations): the session-artifact
-    # fingerprinting hoisted the IVF/PQ model caches into fingerprinted
-    # helpers (a04/a05/a12/a13/a20/a21); the r10-ADVICE guards changed
-    # minhash_lsh_pairs (d03/d06/d11) and neardup_components (d06/a10);
-    # d24 gained the Bloom tier-0 (operator + oracle, in lockstep);
-    # t23's rank now pre-prunes via TakeOrderedAndProject; m02's
-    # extract_features gained the pure-Python decode path
-    "a04_ann_ivf",
-    "a05_ann_pq",
-    "a10_semantic_dedup",
-    "a12_ivf_recall_audit",
-    "a13_pq_recall_audit",
-    "a20_pq_distortion",
-    "a21_ivf_recall_curve",
-    "d03_minhash_lsh",
-    "d06_neardup_resolve",
-    "d11_chunk_neardup",
-    "d24_dedup_tier_attribution",
-    "m02_multimodal_features",
-    "t23_vocab_coverage",
-    # -- defensive: two-level callees of this round's changes (the
-    # scanner is one-level): m07 → phash_neardup_pairs →
-    # phash_signatures (pure-decode path); d22/d23 →
-    # _split_shingle_artifact → split_shingle_tables (k-guard);
-    # d18/d19/d21 → staged-signature consumers of minhash machinery
-    "m07_phash_neardup",
-    "d22_bloom_decontaminate",
-    "d23_bloom_sizing_curve",
-    "d18_incremental_neardup",
-    "d19_lsh_tuning_curve",
-    "d21_cross_source_neardup",
-    # -- the r05-era refresh queue in full (oldest evidence first; the
-    # q85/q86/q87/t20 etc. rows named in the r10 queue comment turned
-    # out to hold r07+ evidence already — the queue below is generated
-    # from the COVERAGE evidence table, not hand-recalled)
-    "d13_semantic_decontaminate",
-    "e22_ewma",
-    "e23_quantiles_histogram",
-    "e24_attribution_last_touch",
-    "e25_hourly_leaderboard",
-    "e26_daily_streaks",
-    "m05_resize_assets",
-    "m06_asset_dedup",
-    "q72_scd2_segments",
-    "q73_market_basket_lift",
-    "q75_small_qty_revenue",
-    "q77_disjunctive_join",
-    "q78_revenue_share",
-    "q79_churned_rich_customers",
-    "q81_cumulative_distinct",
-    # -- late-round stale flags: the pre-cap checkpoint-release edit
-    # changed the all-pairs jaccard/containment operators (d02/d08/d16),
-    # and the r11 FULL-REGISTRY NULL sweep (scripts/null_sweep_all.py)
-    # surfaced seven NULL-semantics divergences whose fixes changed
-    # code or oracles (q25/q39/q61/q82/q92/q93/d15 + the in-window
-    # q72/q81/m05) — stale queries take refresh slots (the displaced
-    # q74/q80/q83/q84/q88/q89/q90/q01/t21/t22/t24 keep r05/r06
-    # evidence and rejoin the r12 queue)
-    "d02_ngram_jaccard",
-    "d08_jaccard_stopshingle",
-    "d16_containment_pairs",
-    "q25_window_analytics",
-    # -- r11 empty-corpus sweep fixes (q34 schema-on-empty-readback,
-    # q102/c15 SUM-over-zero coalesce; displaced e29/e30/e31 keep r05
-    # evidence and rejoin the r12 queue)
-    "q34_partitioned_write_readback",
-    "q102_constraint_audit",
-    "c15_rule_attribution",
-    "q39_window_distribution",
-    "q61_union_by_name",
-    "q82_mom_growth",
-    "q92_approx_error_bounds",
-    "q93_permissive_rescue",
-    "d15_prefix_duplicates",
-    # -- r11 additions (new queries must hold a slot)
-    "q106_volume_shipping",
-    "a22_ivf_cell_balance",
-    "a23_ivf_probe_cost",
+    # ---- Round-12 rotation (VERDICT r11 #1). Every r11-window query
+    # is green in CORRECTNESS_r11 (50/50 hash), so slots go to the
+    # standing refresh queue: the FULL r05-era remainder (14 rows) plus
+    # 36 of the 40 r06-era core-block rows — both generated from the
+    # COVERAGE evidence table (scripts/driver_evidence.py), oldest
+    # evidence first. Four r06 rows are deferred to the r13 queue, each
+    # chosen because an in-window same-shape twin exercises the same
+    # code path: q02w (groupBy twin q01/q01g), q42_union_distinct
+    # (q07_union_all), q45_orc_roundtrip (q33 roundtrip + r07-evidence
+    # q56 ORC twin), q46_json_roundtrip (r07-evidence q57 JSONL twin).
+    # All four keep r06 driver evidence and run under local parity at
+    # sf0.001 every suite run. Any query whose code changes during r12
+    # displaces a window-tail row (the displaced row rejoins the r13
+    # queue with its r06 evidence intact).
+    # -- r05-era remainder (oldest evidence in the repo)
+    "e28_concurrency_peak",
+    "e29_hourly_mad_outliers",
+    "e30_rfm_segments",
+    "e31_variant_shred",
+    "q74_unpivot",
+    "q80_top_revenue_supplier",
+    "q83_repeat_rate",
+    "q84_order_count_histogram",
+    "q88_priority_delay_check",
+    "q89_promo_revenue_share",
+    "q90_supplier_diversity",
+    "t21_doc_lm_score",
+    "t22_tokenizer_fertility",
+    "t24_quality_buckets",
+    # -- r06-era core block (reference-parity relational surface)
+    "q01_customer_monthly_spend",
+    "q03_projection_filter",
+    "q04_filter_isin",
+    "q05_join_inner_broadcast",
+    "q06_join_chain",
+    "q07_union_all",
+    "q08_distinct",
+    "q09_window_sum",
+    "q10_rank_top1",
+    "q11_scalar_funcs",
+    "q13_customer_mart",
+    "q15_join_semi",
+    "q16_join_anti",
+    "q17_join_left_agg",
+    "q18_rollup",
+    "q20_pivot",
+    "q21_cube",
+    "q22_except",
+    "q23_intersect",
+    "q26_date_functions",
+    "q27_string_functions",
+    "q28_null_handling",
+    "q29_having",
+    "q30_sql_subqueries",
+    "q33_csv_roundtrip",
+    "q36_local_supplier_volume",
+    "q37_product_revenue",
+    "q38_grouping_sets",
+    "q41_exact_moment_stats",
+    "q43_not_in_subquery",
+    "q44_dedup_keep_latest",
+    "q47_like_patterns",
+    "q48_range_frame",
+    "q49_array_agg",
+    "q91_jdbc_roundtrip",
+    "t05_normalize_text",
 ]
-# ---- Standing r12 refresh queue (generated from the COVERAGE evidence
-# table: oldest-evidence rows NOT holding an r11 slot). The r11
-# rotation consumed the r05-era queue; next up the r06-era rows:
-#   q01g, q02w, q03-q11, q13, q15-q23, q25-q30, t02, t03, t05,
-#   t10-t12, t14, t15, plus the roundtrips (q33, q34, q45, q46, ...)
-# and whatever scripts/driver_evidence.py flags stale from the r12
-# diffs. tests/test_registry_window.py enforces the union invariant
-# either way.
+# ---- Standing r13 refresh queue (generated from the COVERAGE evidence
+# table: oldest-evidence rows NOT holding an r12 slot). The r12
+# rotation consumed the r05-era queue and most of the r06 block; next
+# up: the four deferred r06 rows (q02w, q42, q45, q46), then the
+# r07-era rows (a06, a09, a14, a15, c03, c08, c10, d07, d09, q01g,
+# q32, q35, q56, q57, q60, q69, ...), plus whatever
+# scripts/driver_evidence.py flags stale from the r13 diffs.
+# tests/test_registry_window.py enforces the union invariant either
+# way.
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a
 # rows-only check for these. This is a closed, documented allowlist

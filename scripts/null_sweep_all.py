@@ -8,7 +8,14 @@ planted documents corpus, planted events rows, planted embeddings
 rows) and sweeps EVERY registered oracle whose SQL references the
 mutated family — the whole class at once instead of 50 per round.
 
-Usage:  python scripts/null_sweep_all.py [sales|docs|events|emb|empty ...]
+Round 12 adds the degenerate-duplication axes (VERDICT r11 #5): an
+all-identical-documents corpus (one 40-clique — the hot-bucket guard's
+worst case, every text score tied) and a two-document near-dup corpus
+(the smallest non-empty pairwise input), both swept over every oracle
+that reads the documents table.
+
+Usage:  python scripts/null_sweep_all.py \
+            [sales|docs|events|emb|empty|identical|twodoc ...]
 Prints one PASS/FAIL line per (fixture, query); exits non-zero on any
 FAIL. Slow (~10-20 min for all four at sf0.001); run on an idle
 machine.
@@ -167,6 +174,58 @@ EMPTY_EXPECTED = {
 }
 
 
+_IDENT_TEXT = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "sleepy badgers watch from the old stone bridge and the river "
+    "keeps moving under the pale morning light" + _PAR * 3
+)
+
+
+def build_identical(out: str) -> None:
+    """Degenerate-duplication axis 1 (VERDICT r11 #5): EVERY document
+    the same text — one 40-clique for the dedup/LSH/containment/
+    component family, the hot-bucket guard's worst case (every banded
+    LSH bucket holds the whole corpus) and the component loop's densest
+    graph. lang/source still vary so groupBys keep keys; every
+    text-derived score ties, stressing rank/row_number tiebreakers."""
+    _clone_except(SF, out, {"documents"})
+    langs = ["en", "fr", "de", "es"]
+    sources = ["web", "books", "wiki", "code", "news"]
+    rows = ", ".join(
+        f"({i}, $txt$, '{langs[i % 4]}', '{sources[i % 5]}', length($txt$))"
+        for i in range(40)
+    )
+    duckdb.connect().execute(
+        f"""
+COPY (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         lang, source, CAST(n_chars AS BIGINT) AS n_chars
+  FROM (VALUES {rows}) t(doc_id, text, lang, source, n_chars)
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""".replace("$txt$", "'" + _IDENT_TEXT + "'")
+    )
+
+
+def build_twodoc(out: str) -> None:
+    """Degenerate-duplication axis 2: a two-document corpus — one
+    near-dup pair. The smallest non-empty input where every pairwise
+    operator must still produce its one candidate pair (or correctly
+    none), and where sampled/statistical operators see n=2."""
+    _clone_except(SF, out, {"documents"})
+    duckdb.connect().execute(
+        f"""
+COPY (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+         lang, source, CAST(length(text) AS BIGINT) AS n_chars
+  FROM (VALUES
+    (0, '{_IDENT_TEXT}', 'en', 'web'),
+    (1, '{_IDENT_TEXT} with a slightly different ending here', 'en', 'books')
+  ) t(doc_id, text, lang, source)
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+"""
+    )
+
+
 def build_emb(out: str) -> None:
     _clone_except(SF, out, {"embeddings"})
     full = "[" + ", ".join(f"{(i % 7 - 3) / 8:.3f}" for i in range(64)) + "]"
@@ -205,6 +264,10 @@ FIXTURES = {
     "events": (build_events, ["events"]),
     "emb": (build_emb, ["embeddings"]),
     "empty": (build_empty, None),  # scope = every registered oracle
+    # degenerate-duplication axes (VERDICT r11 #5): same scope as the
+    # docs family — every oracle reading the documents table
+    "identical": (build_identical, ["documents"]),
+    "twodoc": (build_twodoc, ["documents"]),
 }
 
 

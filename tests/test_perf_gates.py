@@ -45,6 +45,10 @@ GATES = [
     ("m07_phash_neardup", 4.0),  # Arrow-batched SimHash + 4-band join (0.70 s)
     ("c08_decontamination_agreement", 6.0),  # split-shingle5 artifacts (1.37 s)
     ("t15_boilerplate_ngrams", 2.5),  # shared shingle-index consumer (0.35 s)
+    # r12 (VERDICT r11 #4): a13 rides the session _ann_baselines +
+    # _pq_model artifacts; a re-derivation of exact ground truth per
+    # call would roughly double it
+    ("a13_pq_recall_audit", 4.0),
 ]
 
 
@@ -59,6 +63,26 @@ def _steady_state(spark, name: str) -> float:
         run()
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+@pytest.mark.bench
+def test_a13_rides_shared_baselines(spark):
+    """VERDICT r11 #4: a13 (PQ recall audit) must ride the session's
+    staged exact/LSH ground-truth baselines (_ann_baselines) and the
+    cached PQ codebooks, not re-derive them per call. Steady-state a13
+    does strictly more work than a12 (PQ-encodes the corpus vs IVF
+    cell assignment) but must stay within a small constant of it; a
+    re-derived brute-force baseline or retrained codebook costs ~2x.
+    The bound is relative (same session, same machine conditions), so
+    scheduler noise cancels; the +1.0 s absolute slack keeps a 0.2 s
+    a12 measurement from turning the gate into a coin flip."""
+    t_a12 = _steady_state(spark, "a12_ivf_recall_audit")
+    t_a13 = _steady_state(spark, "a13_pq_recall_audit")
+    assert t_a13 <= 2.0 * t_a12 + 1.0, (
+        f"a13 took {t_a13:.2f}s vs a12 {t_a12:.2f}s at sf0.01 — check "
+        "that _ann_baselines/_pq_model are staged once per (session, "
+        "corpus fingerprint) and a13 reads them"
+    )
 
 
 @pytest.mark.bench
