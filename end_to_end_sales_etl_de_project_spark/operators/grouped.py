@@ -39,7 +39,28 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
     gap to/from a NULL ts is undefined, and leaving them in made
     n_events engine-dependent (r8 planted-NULL events sweep; same
     convention as operators/windows.py).
+
+    The explicit ``repartition(n, user_id)`` before the groupBy is
+    load-bearing (r12 scale smoke): AQE's partition coalescing sizes
+    shuffle partitions by BYTES, but a grouped-map Python stage costs
+    per GROUP (one Arrow exchange + one Python call each) — at sf0.1
+    the ~2 MB shuffle coalesced to ONE partition and serialized all
+    1,500 group calls through a single worker (measured 4.9 s; the
+    10x corpus, kept at 10 partitions by its size, ran 1.3 s — more
+    data, 3.7x faster). A user-specified repartition is exempt from
+    AQE coalescing and satisfies the groupBy's required distribution
+    (no second exchange), so the Python stage always runs at the
+    session's configured shuffle width — measured 0.9 s at sf0.1.
+    Same plan at 100 TB: shuffle.partitions is the cluster-tuned
+    width there, and bytes-based coalescing never starves the
+    per-group stage.
     """
+    spark = events.sparkSession
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:  # "auto" under some AQE configs
+        width = spark.sparkContext.defaultParallelism
+    width = max(width, spark.sparkContext.defaultParallelism)
 
     def per_user(pdf):
         import pandas as pd
@@ -58,6 +79,7 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
     return (
         events.select("user_id", "ts")
         .filter(F.col("ts").isNotNull())
+        .repartition(width, "user_id")
         .groupBy("user_id")
         .applyInPandas(per_user, schema=INTERARRIVAL_SCHEMA)
     )

@@ -248,8 +248,12 @@ def e08_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # JVM-native twin of e08, same oracle — the e01/e01g-style pairing that
 # quantifies the grouped-map Python tax: lag window for the gaps, then
-# exact percentile()/max in one aggregation. Measured ~7x faster at
-# sf0.1 (4.7 s -> 0.7 s); e08 stays as the documented Arrow escape
+# exact percentile()/max in one aggregation. r12 re-measure: the tax is
+# 1.4x (0.85 s vs 0.61 s at sf0.1), NOT the 7x recorded through r11 —
+# most of that gap was AQE coalescing the small shuffle to ONE
+# partition and serializing e08's 1,500 per-group Python calls through
+# a single worker (see interarrival_stats' repartition note). e08
+# stays as the documented Arrow escape
 # hatch for per-group logic that genuinely needs Python. Both engines
 # interpolate the even-count median as lower + (upper-lower)*0.5 over
 # exact integer-second gaps, so the hash matches bit-for-bit.

@@ -135,11 +135,15 @@ DRIVER_WINDOW: list[str] = [
     "q41_exact_moment_stats",
     "q43_not_in_subquery",
     "q44_dedup_keep_latest",
-    "q47_like_patterns",
     "q48_range_frame",
     "q49_array_agg",
     "q91_jdbc_roundtrip",
     "t05_normalize_text",
+    # -- r12 code-changed (displaced q47_like_patterns, which keeps r06
+    # evidence and an in-window scalar-function twin q27): e08's
+    # grouped-map stage gained the AQE-exempt repartition (see
+    # operators/grouped.py)
+    "e08_interarrival_stats",
 ]
 # ---- Standing r13 refresh queue (generated from the COVERAGE evidence
 # table: oldest-evidence rows NOT holding an r12 slot). The r12

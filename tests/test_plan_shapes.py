@@ -1191,3 +1191,25 @@ def test_volume_shipping_pushdown_and_dual_role_dim(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2, plan  # map-side partial agg
+
+
+def test_e08_grouped_map_python_stage_never_serializes(spark):
+    """The grouped-map Python stage must run at the session's shuffle
+    width, not at whatever AQE's BYTE-sized coalescing picks: at sf0.1
+    the ~2 MB shuffle coalesced to ONE partition and ran all 1,500
+    per-group Python calls through a single worker (4.9 s; fixed 0.85 s
+    — r12 scale smoke). The explicit repartition is REPARTITION_BY_NUM
+    (exempt from coalescing) and must satisfy the groupBy's required
+    distribution — exactly ONE exchange, no second shuffle."""
+    from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+
+    out = QUERIES["e08_interarrival_stats"](spark, SF)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert out.rdd.getNumPartitions() >= width
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # after execution the string holds Final + Initial sections of the
+    # same adaptive plan — assert on the final one
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
