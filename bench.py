@@ -247,6 +247,10 @@ HEADLINE = [
     "q106_volume_shipping",
     "a22_ivf_cell_balance",
     "a23_ivf_probe_cost",
+    # round-12 additions
+    "q107_supplier_part_breadth",
+    "q108_cohort_ltv",
+    "d26_neardup_survivors",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -4511,3 +4511,145 @@ def q106_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-12 additions: TPC-H Q16 restated over the fact table, and a
+# cohort-LTV mart (first-order-month cohorts, cumulative revenue).
+# --------------------------------------------------------------------------
+
+_Q107_ORACLE = """
+WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+excl AS (SELECT s_suppkey FROM supplier
+         WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT r.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM rel r
+JOIN part p ON p.p_partkey = r.l_partkey
+WHERE p.p_brand <> 'Brand#9'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 4, 7, 10)
+  AND r.l_suppkey NOT IN (SELECT s_suppkey FROM excl)
+GROUP BY 1, 2, 3
+"""
+
+
+@_register("q107_supplier_part_breadth", _Q107_ORACLE)
+def q107_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) restated over the fact
+    table: how many distinct suppliers can ship each surviving
+    (brand, type, size) bucket, excluding negative-balance suppliers
+    (the complaints proxy — this schema has no partsupp or s_comment).
+
+    Scale shape: the corpus-sized input is collapsed FIRST — a
+    distinct over (l_partkey, l_suppkey) is map-side combinable and
+    shrinks 100 TB of line items to the part-supplier relationship
+    (bounded by |part|x|supplier|, in practice ~6 suppliers/part)
+    before anything joins. The supplier exclusion is a broadcast
+    anti-join (the blacklist is tiny by construction) and the
+    filtered part dim broadcasts; the only wide shuffle after the
+    distinct is the final count-distinct aggregation over the
+    pre-shrunk relationship."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 7, 10)
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+_Q108_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey,
+         MIN(EXTRACT(year FROM o_orderdate) * 12
+             + EXTRACT(month FROM o_orderdate) - 1) AS c_idx
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+),
+m AS (
+  SELECT f.c_idx,
+         (EXTRACT(year FROM o.o_orderdate) * 12
+          + EXTRACT(month FROM o.o_orderdate) - 1) - f.c_idx AS age_months,
+         o.o_custkey,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+  WHERE o.o_orderdate IS NOT NULL
+),
+base AS (
+  SELECT c_idx, CAST(age_months AS BIGINT) AS age_months,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active_custs,
+         SUM(p) AS rev
+  FROM m GROUP BY 1, 2
+)
+SELECT lpad(CAST(c_idx // 12 AS VARCHAR), 4, '0') || '-'
+         || lpad(CAST(c_idx % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+       age_months, n_orders, n_active_custs,
+       CAST(rev AS DOUBLE) AS month_revenue,
+       CAST(SUM(rev) OVER (PARTITION BY c_idx ORDER BY age_months) AS DOUBLE)
+         AS cum_revenue
+FROM base
+"""
+
+
+@_register("q108_cohort_ltv", _Q108_ORACLE)
+def q108_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-cohort lifetime value: cohort = month of a customer's
+    FIRST order; per (cohort, months-since-first) — order count,
+    active customers, month revenue, and cumulative revenue.
+
+    Scale shape: the cohort index comes from a whole-partition window
+    min over o_custkey — ONE shuffle on the customer key and no
+    self-join (the groupBy-then-join-back formulation the oracle uses
+    would shuffle orders twice). The (cohort, age) aggregate is
+    map-side combinable down to a tiny spine, and the cumulative sum
+    windows over that spine partitioned by cohort — never over the
+    fact table. Revenue stays DECIMAL through both the aggregate and
+    the running sum (exact, order-independent); cast to double once
+    at the edge."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    idx = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    w_cust = Window.partitionBy("o_custkey")
+    base = (
+        orders.select(
+            "o_custkey",
+            idx.alias("m_idx"),
+            money("o_totalprice").alias("p"),
+        )
+        .withColumn("c_idx", F.min("m_idx").over(w_cust))
+        .groupBy("c_idx", (F.col("m_idx") - F.col("c_idx")).cast("bigint").alias("age_months"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.count_distinct("o_custkey").cast("bigint").alias("n_active_custs"),
+            F.sum("p").alias("rev"),
+        )
+    )
+    w_cum = Window.partitionBy("c_idx").orderBy("age_months")
+    return base.select(
+        F.concat(
+            F.lpad(F.floor(F.col("c_idx") / 12).cast("string"), 4, "0"),
+            F.lit("-"),
+            F.lpad((F.col("c_idx") % 12 + 1).cast("string"), 2, "0"),
+        ).alias("cohort_month"),
+        "age_months",
+        "n_orders",
+        "n_active_custs",
+        F.col("rev").cast("double").alias("month_revenue"),
+        F.sum("rev").over(w_cum).cast("double").alias("cum_revenue"),
+    )

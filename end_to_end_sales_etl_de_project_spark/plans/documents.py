@@ -3139,3 +3139,86 @@ def d24_dedup_tier_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         components=_component_artifact(spark, sf_dir),
         split_shingles=_split_shingle_artifact(spark, sf_dir),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup survivor selection (r12): the step after resolution —
+# which doc each cluster KEEPS, by quality policy rather than label.
+# ---------------------------------------------------------------------------
+
+
+def _d26_oracle() -> str:
+    comp = dedup.neardup_components_sql(
+        dedup.minhash_lsh_pairs_sql("doc_id", "text"), "doc_id"
+    )
+    return f"""
+WITH comp AS ({comp}),
+j AS (
+  SELECT c.component, c.doc_id,
+         COALESCE(d.n_chars, -1) AS q,
+         COALESCE(d.n_chars, 0) AS chars0
+  FROM comp c JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY component ORDER BY q DESC, doc_id ASC
+  ) AS rn FROM j
+)
+SELECT component,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(chars0) - MAX(CASE WHEN rn = 1 THEN chars0 END) AS BIGINT)
+         AS chars_dropped
+FROM r GROUP BY component
+"""
+
+
+@_register("d26_neardup_survivors", _d26_oracle())
+def d26_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection per near-dup cluster — the curation step
+    after resolution (d06): each component keeps its BEST document by
+    quality policy (longest text wins, NULL-length last, doc_id breaks
+    ties), not its min-label representative. is_canonical answers
+    'which node labels the cluster'; this answers 'which copy do we
+    train on', and the two differ whenever a later copy is longer.
+    chars_dropped prices what dedup discards per cluster.
+
+    Scale shape: NO window over the corpus — survivor-by-policy is a
+    single map-side-combinable aggregation: max of the packed
+    (quality, -doc_id) struct per component (lexicographic struct
+    comparison implements ORDER BY q DESC, doc_id ASC exactly), with
+    member count and char totals riding the same shuffle. Reads the
+    session component artifact; one equi-join with the doc lengths,
+    one agg — at 100 TB the shuffle carries (component, q, id,
+    chars), never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = _component_artifact(spark, sf_dir)
+    j = comp.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        "component",
+        "doc_id",
+        F.coalesce(F.col("n_chars"), F.lit(-1)).alias("q"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("chars0"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("q"),
+            (-F.col("doc_id")).alias("negid"),
+            F.col("chars0").alias("bchars"),
+        )
+    ).alias("best")
+    return (
+        j.groupBy("component")
+        .agg(
+            best,
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("chars0").alias("tot_chars"),
+        )
+        .select(
+            "component",
+            (-F.col("best.negid")).alias("survivor_id"),
+            "n_members",
+            (F.col("tot_chars") - F.col("best.bchars"))
+            .cast("bigint")
+            .alias("chars_dropped"),
+        )
+    )

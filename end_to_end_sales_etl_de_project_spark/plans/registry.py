@@ -133,9 +133,6 @@ DRIVER_WINDOW: list[str] = [
     "q37_product_revenue",
     "q38_grouping_sets",
     "q41_exact_moment_stats",
-    "q43_not_in_subquery",
-    "q44_dedup_keep_latest",
-    "q48_range_frame",
     "q49_array_agg",
     "q91_jdbc_roundtrip",
     "t05_normalize_text",
@@ -144,6 +141,15 @@ DRIVER_WINDOW: list[str] = [
     # grouped-map stage gained the AQE-exempt repartition (see
     # operators/grouped.py)
     "e08_interarrival_stats",
+    # -- r12 additions (new queries must hold a slot). Displaced r06
+    # rows, each with an in-window same-shape twin: q43 (NOT-IN
+    # subquery → q107's broadcast anti), q48 (running-sum frame →
+    # q108's cumulative window), q44 (keep-latest dedup → d26's
+    # survivor selection). All three keep r06 evidence and local
+    # parity; they rejoin the r13 queue.
+    "q107_supplier_part_breadth",
+    "q108_cohort_ltv",
+    "d26_neardup_survivors",
 ]
 # ---- Standing r13 refresh queue (generated from the COVERAGE evidence
 # table: oldest-evidence rows NOT holding an r12 slot). The r12

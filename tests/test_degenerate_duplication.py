@@ -66,6 +66,7 @@ PARITY_QUERIES = [
     "d16_containment_pairs",
     "d17_substring_dedup",
     "d24_dedup_tier_attribution",
+    "d26_neardup_survivors",
     "t18_chunk_dedup",
     "c01_curate_corpus",
     "c02_training_manifest",
