@@ -131,7 +131,6 @@ DRIVER_WINDOW: list[str] = [
     "q33_csv_roundtrip",
     "q36_local_supplier_volume",
     "q37_product_revenue",
-    "q38_grouping_sets",
     "q41_exact_moment_stats",
     "q49_array_agg",
     "q91_jdbc_roundtrip",
@@ -150,6 +149,12 @@ DRIVER_WINDOW: list[str] = [
     "q107_supplier_part_breadth",
     "q108_cohort_ltv",
     "d26_neardup_survivors",
+    # -- window-scoped sweeps must stay non-vacuous: the r06/r05 queue
+    # holds no embeddings reader, so the oldest emb-family row (a06,
+    # r07 evidence, first in the r13 queue regardless) takes a slot;
+    # displaced q38_grouping_sets keeps r06 evidence and its in-window
+    # grouping twins q18/q21.
+    "a06_ann_recall_report",
 ]
 # ---- Standing r13 refresh queue (generated from the COVERAGE evidence
 # table: oldest-evidence rows NOT holding an r12 slot). The r12
