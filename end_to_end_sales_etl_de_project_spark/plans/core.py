@@ -1289,13 +1289,18 @@ def q39_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DECIMAL(38,4)->DOUBLE conversion can double-round (int128 then scale)
 # where the JVM rounds once — a 1-ulp divergence that survives into
 # corr; corr is therefore rounded to 12 decimals on both sides.
+# The squared terms multiply DECIMAL(19,2) operands, not (18,2): at
+# precision <= 18 DuckDB multiplies on int64 and ERRORS when the
+# product overflows (the r12 extreme-values sweep hit it at
+# price = 99999999999.99), while precision 19 forces the int128 path —
+# exact up to DECIMAL(38,4), same values, Spark widens identically.
 _Q41_MOMENTS = """
   CAST(COUNT(*) AS BIGINT) AS n,
   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
-  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+  SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(19,2))) AS sxx,
   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
-  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+  SUM(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2))) AS syy,
+  SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2))) AS sxy
 """
 
 _Q41_FINAL = """

@@ -173,6 +173,78 @@ EMPTY_EXPECTED = {
     "q18_rollup", "q21_cube", "q38_grouping_sets",
 }
 
+# Expected divergences on the EXTREME fixture: q26's due_date lands in
+# year 10000 (9999-12-31 + 30 days) and the two engines RENDER
+# five-digit years differently — Spark uses the ISO-8601 expanded-year
+# sign ("+10000-01-30"), DuckDB does not ("10000-01-30"). Values agree;
+# only the text form differs, and only via the ts-as-string fallback
+# (pandas cannot represent the value at all). Upstream rendering
+# behavior on data outside any real domain — pinned, not patched
+# (matching DuckDB would mean changing timestamp→string semantics that
+# month_key and every string-rendered date rely on).
+EXTREME_EXPECTED = {"q26_date_functions"}
+
+
+def build_extreme(out: str) -> None:
+    """Extreme-values axis (r12): APPEND edge rows to the sales facts —
+    money at the comfortable edge of DECIMAL(18,2) arithmetic, negative
+    prices/quantities, discount outside [0,1] (full, negative), tax >
+    1, a duplicated line (PK violation, the ingest reality), FK
+    orphans both ways, and timestamps at rendering boundaries
+    (year 5 — 4-digit zero-padded rendering; pre-epoch 1969;
+    9999-12-31). Originals kept so aggregates stay non-degenerate.
+    Events are NOT touched: extreme dates live in the micros sales
+    columns only (the events nanos column has its own domain and a
+    pandas consumer with the 1677-2262 range)."""
+    _clone_except(SF, out, {"lineitem", "orders"})
+    con = duckdb.connect()
+    con.execute(
+        f"""
+COPY (
+  SELECT * FROM read_parquet('{SF}/lineitem.parquet')
+  UNION ALL
+  SELECT * FROM (VALUES
+    (8000001, CAST(1 AS BIGINT), CAST(1 AS BIGINT), 1, CAST(0.0 AS DOUBLE),
+     CAST(99999999999.99 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+     'N', 'O', TIMESTAMP '9999-12-31 23:59:59'),
+    (8000002, CAST(2 AS BIGINT), CAST(2 AS BIGINT), 1, CAST(-7.5 AS DOUBLE),
+     CAST(-5000.25 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+     'R', 'F', TIMESTAMP '1969-12-31 23:59:59'),
+    (8000003, CAST(3 AS BIGINT), CAST(3 AS BIGINT), 1, CAST(3.0 AS DOUBLE),
+     CAST(0.01 AS DOUBLE), CAST(-0.5 AS DOUBLE), CAST(2.5 AS DOUBLE),
+     'A', 'F', TIMESTAMP '0005-03-07 00:00:00'),
+    (8000003, CAST(3 AS BIGINT), CAST(3 AS BIGINT), 1, CAST(3.0 AS DOUBLE),
+     CAST(0.01 AS DOUBLE), CAST(-0.5 AS DOUBLE), CAST(2.5 AS DOUBLE),
+     'A', 'F', TIMESTAMP '0005-03-07 00:00:00'),
+    (8000005, CAST(4 AS BIGINT), CAST(4 AS BIGINT), 1, CAST(1.0 AS DOUBLE),
+     CAST(10.00 AS DOUBLE), CAST(0.1 AS DOUBLE), CAST(0.05 AS DOUBLE),
+     'N', 'O', TIMESTAMP '1999-06-15 12:00:00')
+  ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+      l_shipdate)
+) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
+"""
+    )
+    con.execute(
+        f"""
+COPY (
+  SELECT * FROM read_parquet('{SF}/orders.parquet')
+  UNION ALL
+  SELECT * FROM (VALUES
+    (8000001, CAST(1 AS BIGINT), 'O', CAST(99999999999.99 AS DOUBLE),
+     TIMESTAMP '9999-12-31 23:59:59', '1-URGENT'),
+    (8000002, CAST(1 AS BIGINT), 'F', CAST(-123.45 AS DOUBLE),
+     TIMESTAMP '1969-12-31 23:59:59', '5-LOW'),
+    (8000003, CAST(1 AS BIGINT), 'P', CAST(0.0 AS DOUBLE),
+     TIMESTAMP '0005-03-07 00:00:00', '3-MEDIUM'),
+    (8000006, CAST(2 AS BIGINT), 'O', CAST(50.00 AS DOUBLE),
+     TIMESTAMP '2000-01-01 00:00:00', '2-HIGH')
+  ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      o_orderpriority)
+) TO '{out}/orders.parquet' (FORMAT PARQUET)
+"""
+    )
+
 
 _IDENT_TEXT = (
     "the quick brown fox jumps over the lazy dog while seventeen "
@@ -268,7 +340,40 @@ FIXTURES = {
     # docs family — every oracle reading the documents table
     "identical": (build_identical, ["documents"]),
     "twodoc": (build_twodoc, ["documents"]),
+    # extreme-values axis (r12): sales facts with edge rows appended
+    "extreme": (build_extreme, ["lineitem", "orders"]),
 }
+
+
+def _ts_as_string_compare(name, spark, con, queries, oracles, out):
+    """Compare with timestamp columns cast to strings on BOTH engines —
+    the fallback for values pandas' ns timestamps cannot represent."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    # DATE goes through TIMESTAMP first on both sides: the base
+    # comparator normalizes date vs timestamp_ntz to the same
+    # datetime64, so the string fallback must render them identically
+    # too ("... 00:00:00", never the bare date).
+    df = queries[name](spark, out)
+    casts = [
+        F.col(f.name).cast("timestamp_ntz").cast("string").alias(f.name)
+        if isinstance(f.dataType, (TimestampType, TimestampNTZType, DateType))
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    df2 = df.select(*casts)
+    desc = con.execute(f"DESCRIBE SELECT * FROM ({oracles[name]}) q").fetchall()
+    cols = ", ".join(
+        f'CAST(CAST("{c}" AS TIMESTAMP) AS VARCHAR) AS "{c}"'
+        if t.startswith("TIMESTAMP") or t == "DATE"
+        else f'"{c}"'
+        for c, t, *_ in desc
+    )
+    r = compare_spark_to_oracle(
+        name, df2, run_oracle(con, f"SELECT {cols} FROM ({oracles[name]}) q")
+    )
+    return r.match, "" if r.match else str(r.mismatches[:2])[:300]
 
 
 def main() -> int:
@@ -284,7 +389,9 @@ def main() -> int:
         else:
             pat = re.compile(r"\b(" + "|".join(tables) + r")\b")
             scope = sorted(n for n, sql in oracles.items() if pat.search(sql))
-        expected = EMPTY_EXPECTED if fam == "empty" else set()
+        expected = {"empty": EMPTY_EXPECTED, "extreme": EXTREME_EXPECTED}.get(
+            fam, set()
+        )
         out = tempfile.mkdtemp(prefix=f"nullsweep-{fam}-")
         if fam == "docs":
             build_docs(out, spark)
@@ -299,7 +406,24 @@ def main() -> int:
                 )
                 ok, detail = r.match, "" if r.match else str(r.mismatches[:2])[:300]
             except Exception as e:  # noqa: BLE001
-                ok, detail = False, f"{type(e).__name__}: {e}"[:300]
+                if "out of bounds timestamp" in str(e):
+                    # pandas/Arrow (the compare layer on BOTH sides)
+                    # cannot hold timestamps outside the ns range
+                    # [1677, 2262]; the ENGINES are fine. Re-compare
+                    # with every timestamp column rendered to string
+                    # on both sides — rendering equality is already a
+                    # cross-engine contract (month_key is substring of
+                    # the cast).
+                    try:
+                        ok, detail = _ts_as_string_compare(
+                            name, spark, con, queries, oracles, out
+                        )
+                        if ok:
+                            detail = "(ts-as-string: out-of-ns-range values)"
+                    except Exception as e2:  # noqa: BLE001
+                        ok, detail = False, f"{type(e2).__name__}: {e2}"[:300]
+                else:
+                    ok, detail = False, f"{type(e).__name__}: {e}"[:300]
             if not ok and name in expected:
                 print("XFAIL(pinned)", fam, name, flush=True)
                 continue
