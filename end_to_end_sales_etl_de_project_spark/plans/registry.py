@@ -131,6 +131,9 @@ DRIVER_WINDOW: list[str] = [
     "q33_csv_roundtrip",
     "q36_local_supplier_volume",
     "q37_product_revenue",
+    # q41 also changed in r12 (the _Q41_MOMENTS DECIMAL(19,2) widening
+    # — a module-level constant the staleness scanner cannot see, so
+    # this slot is its re-verification)
     "q41_exact_moment_stats",
     "q49_array_agg",
     "q91_jdbc_roundtrip",
