@@ -386,8 +386,10 @@ def main() -> None:
     # the process output, and the 127-query map (~4 KB) front-truncated
     # the single JSON line two rounds running (BENCH r04/r05 parsed=null).
     # Line 1: the full per-query map, for humans and archaeology.
-    # Line 2 (LAST): a tiny self-contained summary (<200 bytes) that can
-    # never be truncated — this is the line the driver must parse.
+    # Line 2 (LAST): a small self-contained summary (<1 KB measured:
+    # ~483 bytes with the top-10 map + machine fields) that stays far
+    # under any plausible tail-capture size — this is the line the
+    # driver must parse.
     machine = {
         "loadavg_start": load_start,
         "loadavg_end": round(os.getloadavg()[0], 2),

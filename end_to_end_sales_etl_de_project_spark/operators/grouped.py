@@ -60,7 +60,6 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
         width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     except ValueError:  # "auto" under some AQE configs
         width = spark.sparkContext.defaultParallelism
-    width = max(width, spark.sparkContext.defaultParallelism)
 
     def per_user(pdf):
         import pandas as pd

@@ -4555,9 +4555,14 @@ def q107_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered part dim broadcasts; the only wide shuffle after the
     distinct is the final count-distinct aggregation over the
     pre-shrunk relationship."""
+    # NULL parity with the oracle's `l_suppkey NOT IN (...)`: SQL NOT-IN
+    # drops NULL-key rows (the predicate evaluates to NULL) while
+    # Spark's left_anti KEEPS them, so NULL suppkeys are filtered
+    # before the anti-join (ADVICE r12).
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
+        .filter(F.col("l_suppkey").isNotNull())
         .distinct()
     )
     bad = (

@@ -74,100 +74,85 @@ DRIVER_WINDOW_SIZE = 50
 # window; all rotated-out queries stay under local parity at sf0.001
 # every run (tests/test_oracle_parity.py).
 DRIVER_WINDOW: list[str] = [
-    # ---- Round-12 rotation (VERDICT r11 #1). Every r11-window query
-    # is green in CORRECTNESS_r11 (50/50 hash), so slots go to the
-    # standing refresh queue: the FULL r05-era remainder (14 rows) plus
-    # 36 of the 40 r06-era core-block rows — both generated from the
-    # COVERAGE evidence table (scripts/driver_evidence.py), oldest
-    # evidence first. Four r06 rows are deferred to the r13 queue, each
-    # chosen because an in-window same-shape twin exercises the same
-    # code path: q02w (groupBy twin q01/q01g), q42_union_distinct
-    # (q07_union_all), q45_orc_roundtrip (q33 roundtrip + r07-evidence
-    # q56 ORC twin), q46_json_roundtrip (r07-evidence q57 JSONL twin).
-    # All four keep r06 driver evidence and run under local parity at
-    # sf0.001 every suite run. Any query whose code changes during r12
-    # displaces a window-tail row (the displaced row rejoins the r13
-    # queue with its r06 evidence intact).
-    # -- r05-era remainder (oldest evidence in the repo)
-    "e28_concurrency_peak",
-    "e29_hourly_mad_outliers",
-    "e30_rfm_segments",
-    "e31_variant_shred",
-    "q74_unpivot",
-    "q80_top_revenue_supplier",
-    "q83_repeat_rate",
-    "q84_order_count_histogram",
-    "q88_priority_delay_check",
-    "q89_promo_revenue_share",
-    "q90_supplier_diversity",
-    "t21_doc_lm_score",
-    "t22_tokenizer_fertility",
-    "t24_quality_buckets",
-    # -- r06-era core block (reference-parity relational surface)
-    "q01_customer_monthly_spend",
-    "q03_projection_filter",
-    "q04_filter_isin",
-    "q05_join_inner_broadcast",
-    "q06_join_chain",
-    "q07_union_all",
-    "q08_distinct",
-    "q09_window_sum",
-    "q10_rank_top1",
-    "q11_scalar_funcs",
-    "q13_customer_mart",
-    "q15_join_semi",
-    "q16_join_anti",
-    "q17_join_left_agg",
-    "q18_rollup",
-    "q20_pivot",
-    "q21_cube",
-    "q22_except",
-    "q23_intersect",
-    "q26_date_functions",
-    "q27_string_functions",
-    "q28_null_handling",
-    "q29_having",
-    "q30_sql_subqueries",
-    "q33_csv_roundtrip",
-    "q36_local_supplier_volume",
-    "q37_product_revenue",
-    # q41 also changed in r12 (the _Q41_MOMENTS DECIMAL(19,2) widening
-    # — a module-level constant the staleness scanner cannot see, so
-    # this slot is its re-verification)
-    "q41_exact_moment_stats",
-    "q49_array_agg",
-    "q91_jdbc_roundtrip",
-    "t05_normalize_text",
-    # -- r12 code-changed (displaced q47_like_patterns, which keeps r06
-    # evidence and an in-window scalar-function twin q27): e08's
-    # grouped-map stage gained the AQE-exempt repartition (see
-    # operators/grouped.py)
-    "e08_interarrival_stats",
-    # -- r12 additions (new queries must hold a slot). Displaced r06
-    # rows, each with an in-window same-shape twin: q43 (NOT-IN
-    # subquery → q107's broadcast anti), q48 (running-sum frame →
-    # q108's cumulative window), q44 (keep-latest dedup → d26's
-    # survivor selection). All three keep r06 evidence and local
-    # parity; they rejoin the r13 queue.
+    # ---- Round-13 rotation (VERDICT r12 #1). Every r12-window query
+    # is green in CORRECTNESS_r12 (50/50 hash), so slots go to the
+    # standing refresh queue, oldest evidence first: ALL 9 remaining
+    # r06-era rows, then ALL 28 r07-era rows — after this round's
+    # driver run, no query in the repo holds evidence older than r08.
+    # The tail slots carry r13 code-changed queries and r13 additions;
+    # leftover tail slots go to the oldest r08 rows (events family
+    # first, so the window keeps readers of all four corpora —
+    # sales facts, events, documents, embeddings — and the
+    # window-scoped sweeps stay non-vacuous).
+    # -- r06-era remainder (oldest evidence in the repo)
+    "q02w_sales_team_incentive_windowed",
+    "q38_grouping_sets",
+    "q42_union_distinct",
+    "q43_not_in_subquery",
+    "q44_dedup_keep_latest",
+    "q45_orc_roundtrip",
+    "q46_json_roundtrip",
+    "q47_like_patterns",
+    "q48_range_frame",
+    # -- r07-era rows (complete)
+    "a09_knn_graph",
+    "a14_knn_label_agreement",
+    "a15_recall_curve",
+    "c03_dataset_mix",
+    "c08_decontamination_agreement",
+    "c10_sequence_packing",
+    "d07_decontaminate",
+    "d09_minhash_estimate_audit",
+    "q01g_customer_monthly_spend_grouped",
+    "q32_approx_aggs",
+    "q35_shipping_priority",
+    "q56_orc_roundtrip",
+    "q57_jsonl_roundtrip",
+    "q60_star_join",
+    "q69_csv_quoted_roundtrip",
+    "q76_large_orders",
+    "q85_nation_volume",
+    "q86_market_share",
+    "q87_returned_items",
+    "q94_min_cost_supplier",
+    "q95_sales_opportunity",
+    "q96_dominant_supplier",
+    "q97_waiting_orders",
+    "t14_doc_chunking",
+    "t15_boilerplate_ngrams",
+    "t20_contamination_spans",
+    "t26_shingle_novelty",
+    "t28_repetition_ratio",
+    # -- r13 code-changed queries (must re-earn evidence):
+    # q107 gained the NULL-suppkey parity filter (ADVICE r12);
+    # e08 rides operators/grouped.py, whose stage-width rule changed
+    # (ADVICE r12: configured shuffle width now respected).
     "q107_supplier_part_breadth",
-    "q108_cohort_ltv",
-    "d26_neardup_survivors",
-    # -- window-scoped sweeps must stay non-vacuous: the r06/r05 queue
-    # holds no embeddings reader, so the oldest emb-family row (a06,
-    # r07 evidence, first in the r13 queue regardless) takes a slot;
-    # displaced q38_grouping_sets keeps r06 evidence and its in-window
-    # grouping twins q18/q21.
-    "a06_ann_recall_report",
+    "e08_interarrival_stats",
+    # -- r08-era fillers (oldest r08 evidence; events family first so
+    # all four corpora keep an in-window reader). Each r13 addition
+    # displaces one of these in the commit where it lands; the
+    # displaced row keeps its r08 evidence and local parity.
+    "e01_tumbling_hourly",
+    "e02_sliding_hourly_30m",
+    "e03_session_window",
+    "e14_interarrival_native",
+    "m03_frame_sample",
+    "q55_string_agg",
+    "q59_data_profile",
+    "q98_line_priority",
+    "q99_profit_by_nation",
+    "q100_heavy_small_part_suppliers",
+    "q103_partition_completeness",
 ]
-# ---- Standing r13 refresh queue (generated from the COVERAGE evidence
-# table: oldest-evidence rows NOT holding an r12 slot). The r12
-# rotation consumed the r05-era queue and most of the r06 block; next
-# up: the four deferred r06 rows (q02w, q42, q45, q46), then the
-# r07-era rows (a06, a09, a14, a15, c03, c08, c10, d07, d09, q01g,
-# q32, q35, q56, q57, q60, q69, ...), plus whatever
-# scripts/driver_evidence.py flags stale from the r13 diffs.
-# tests/test_registry_window.py enforces the union invariant either
-# way.
+# ---- Standing r14 refresh queue (generated from the COVERAGE evidence
+# table: oldest-evidence rows NOT holding an r13 slot). The r13
+# rotation consumed the r06 and r07 queues entirely; next up: the
+# r08-era rows (a16, a17, a19, c11-c14, d17, d20, e01-e03, e14, m03,
+# q55, q59, q98-q100, q103, q104, t02, t03, t10-t12, t27, t29-t39),
+# plus whatever scripts/driver_evidence.py flags stale from the r14
+# diffs. tests/test_registry_window.py enforces the union invariant
+# either way.
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a
 # rows-only check for these. This is a closed, documented allowlist
