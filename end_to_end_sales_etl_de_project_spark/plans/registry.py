@@ -126,9 +126,13 @@ DRIVER_WINDOW: list[str] = [
     # -- r13 code-changed queries (must re-earn evidence):
     # q107 gained the NULL-suppkey parity filter (ADVICE r12);
     # e08 rides operators/grouped.py, whose stage-width rule changed
-    # (ADVICE r12: configured shuffle width now respected).
+    # (ADVICE r12: configured shuffle width now respected);
+    # c01 now reads the staged per-(session, fingerprint) decision
+    # artifact instead of re-deriving the curate chain per call
+    # (VERDICT r12 #3).
     "q107_supplier_part_breadth",
     "e08_interarrival_stats",
+    "c01_curate_corpus",
     # -- r08-era fillers (oldest r08 evidence; events family first so
     # all four corpora keep an in-window reader). Each r13 addition
     # displaces one of these in the commit where it lands; the
@@ -143,7 +147,6 @@ DRIVER_WINDOW: list[str] = [
     "q98_line_priority",
     "q99_profit_by_nation",
     "q100_heavy_small_part_suppliers",
-    "q103_partition_completeness",
 ]
 # ---- Standing r14 refresh queue (generated from the COVERAGE evidence
 # table: oldest-evidence rows NOT holding an r13 slot). The r13
