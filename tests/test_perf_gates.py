@@ -49,6 +49,14 @@ GATES = [
     # _pq_model artifacts; a re-derivation of exact ground truth per
     # call would roughly double it
     ("a13_pq_recall_audit", 4.0),
+    # r13 (VERDICT r12 #5): the remaining top-10 tail queries had no
+    # gate, so a real regression could hide inside machine noise until
+    # a judge round. Steady-state sf0.01 (idle, min-of-2): d04 1.18 s,
+    # d24 2.54 s, q70 0.37 s, q34 1.54 s; bounds keep the 3-8x headroom.
+    ("d04_simhash", 4.0),  # simhash fingerprints + 4-band self-join
+    ("d24_dedup_tier_attribution", 8.0),  # priced tier-0 cascade (adjudicated r11)
+    ("q70_fuzzy_name_match", 2.5),  # blocked Levenshtein, designed-out quadratic
+    ("q34_partitioned_write_readback", 6.0),  # real partitioned write+readback I/O
 ]
 
 
