@@ -251,6 +251,16 @@ HEADLINE = [
     "q107_supplier_part_breadth",
     "q108_cohort_ltv",
     "d26_neardup_survivors",
+    # round-13 additions
+    "q109_return_rate_by_brand",
+    "q110_decile_spend_profile",
+    "q111_reorder_gap_profile",
+    "q112_discount_band_profile",
+    "e32_daily_type_profile",
+    "e33_burst_detection",
+    "e34_weekly_seasonality",
+    "t40_stopword_profile",
+    "d27_cluster_purity",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -40,6 +40,14 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
     n_events engine-dependent (r8 planted-NULL events sweep; same
     convention as operators/windows.py).
 
+    The timestamp is converted to epoch MICROSECONDS (bigint) before
+    it enters the Python stage (r13 extreme-events sweep): Arrow's
+    pandas bridge casts timestamp[us] to ns, which overflows for
+    timestamps outside [1677, 2262] (a year-9999 event killed the
+    whole stage). Integer micros have no such bound, the diff is
+    exact 64-bit arithmetic, and gap_s = diff/1e6 is the identical
+    one IEEE division the DuckDB oracle computes from epoch_us.
+
     The explicit ``repartition(n, user_id)`` before the groupBy is
     load-bearing (r12 scale smoke): AQE's partition coalescing sizes
     shuffle partitions by BYTES, but a grouped-map Python stage costs
@@ -62,10 +70,15 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
         width = spark.sparkContext.defaultParallelism
 
     def per_user(pdf):
+        import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values("ts")
-        gaps = pdf["ts"].diff().dt.total_seconds().dropna()
+        # diff in int64 FIRST (exact), convert to double after — pandas'
+        # .diff() converts to float64 before subtracting, which loses
+        # low bits for epoch values beyond 2^53 us (year >2255) and
+        # would diverge from the oracle's exact epoch_us subtraction
+        us = np.sort(pdf["ts_us"].to_numpy(dtype=np.int64))
+        gaps = pd.Series((us[1:] - us[:-1]).astype(np.float64) / 1e6)
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
@@ -76,8 +89,8 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
         )
 
     return (
-        events.select("user_id", "ts")
-        .filter(F.col("ts").isNotNull())
+        events.select("user_id", F.unix_micros(F.col("ts")).alias("ts_us"))
+        .filter(F.col("ts_us").isNotNull())
         .repartition(width, "user_id")
         .groupBy("user_id")
         .applyInPandas(per_user, schema=INTERARRIVAL_SCHEMA)

@@ -198,12 +198,21 @@ def word_shingles(col: Column | str, k: int) -> Column:
 
 def word_shingles_sql(expr: str, k: int) -> str:
     """DuckDB twin of :func:`word_shingles` (1-based list indexing;
-    ``range(1, n)`` with n<=1 is already empty, no guard needed)."""
+    ``range(1, n)`` with n<=1 is already empty, no guard needed).
+
+    The token array is LET-BOUND once via a single-element-list lambda
+    (``list_transform([toks], t -> ...)``): inlining ``tokens_sql``
+    into the per-shingle lambda made DuckDB re-split the WHOLE text
+    for every list element — O(doc²), 40 s for one 60k-char document
+    (found by the r13 extreme-docs axis; the bound form is 0.01 s,
+    verified value-identical including NULL/empty/<k-token edges).
+    ``flatten`` of the one-element outer list is the identity."""
     toks = tokens_sql(expr)
-    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(k))
+    parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
     return (
+        f"flatten(list_transform([{toks}], t -> "
         f"list_distinct(list_transform("
-        f"range(1, greatest(len({toks}) - {k - 1}, 0) + 1), i -> {parts}))"
+        f"range(1, greatest(len(t) - {k - 1}, 0) + 1), i -> {parts}))))"
     )
 
 

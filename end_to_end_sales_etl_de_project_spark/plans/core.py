@@ -4663,3 +4663,228 @@ def q108_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("month_revenue"),
         F.sum("rev").over(w_cum).cast("double").alias("cum_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 additions: return-rate profile, per-nation spend deciles,
+# reorder-gap profile, discount-band histogram.
+# ---------------------------------------------------------------------------
+
+_Q109_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_returned,
+       CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS return_rate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))))
+            FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS returned_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+@_register("q109_return_rate_by_brand", _Q109_ORACLE)
+def q109_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate profile per brand: line counts, returned share, and
+    discounted revenue tied up in returns (the merchandising QA view).
+
+    Scale shape: one map-side-combinable aggregation over the fact
+    after a broadcast dim join; conditional aggregates (count/sum FILTER)
+    fold in the same pass — no second scan, no second shuffle. The
+    rate is one IEEE division of two exact counts; returned revenue
+    stays DECIMAL through the sum. NULL l_returnflag rows count in
+    n_lines but never in n_returned (same `= 'R'` three-valued logic
+    both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    one = F.lit(1).cast("decimal(18,2)")
+    returned = F.col("l_returnflag") == "R"
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.count(F.when(returned, 1)).cast("bigint").alias("n_returned"),
+            (
+                F.count(F.when(returned, 1)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("return_rate"),
+            F.sum(
+                F.when(returned, money("l_extendedprice") * (one - money("l_discount")))
+            )
+            .cast("double")
+            .alias("returned_revenue"),
+        )
+    )
+
+
+_Q110_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, c_nationkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+deciled AS (
+  SELECT c_nationkey, s,
+         NTILE(10) OVER (PARTITION BY c_nationkey
+                         ORDER BY s ASC NULLS FIRST, o_custkey) AS decile
+  FROM spend
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+       CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(s) AS DOUBLE) AS decile_spend,
+       CAST(MIN(s) AS DOUBLE) AS min_spend,
+       CAST(MAX(s) AS DOUBLE) AS max_spend
+FROM deciled
+GROUP BY 1, 2
+"""
+
+
+@_register("q110_decile_spend_profile", _Q110_ORACLE)
+def q110_decile_spend_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer-spend deciles: each nation's purchasing
+    customers NTILE(10)-bucketed by lifetime spend, with per-decile
+    count and spend envelope (the classic marketing segmentation cut).
+
+    Scale shape: the fact collapses to a per-customer spine FIRST
+    (map-side-combinable decimal sum keyed on the high-cardinality
+    custkey), the customer join is stats-gated (NO forced hint —
+    customer scales linearly with the corpus, so the optimizer must
+    pick broadcast at small SF and shuffle at the 100 TB point), and
+    the NTILE window partitions by nation — every partition is
+    |nation's customers|, fully parallel, never a global sort.
+    Determinism: the NTILE order is total ((spend, custkey), NULLS
+    FIRST pinned explicitly — Spark defaults ASC nulls-first, DuckDB
+    nulls-last)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(money("o_totalprice")).alias("s"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("s").asc_nulls_first(), F.col("o_custkey").asc()
+    )
+    return (
+        spend.select("c_nationkey", "s", F.ntile(10).over(w).alias("decile"))
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("nation_key"),
+            F.col("decile").cast("int").alias("decile"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("s").cast("double").alias("decile_spend"),
+            F.min("s").cast("double").alias("min_spend"),
+            F.max("s").cast("double").alias("max_spend"),
+        )
+    )
+
+
+_Q111_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+  WHERE o_orderdate IS NOT NULL
+)
+SELECT o_custkey AS customer_id,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_days) AS DOUBLE) / CAST(COUNT(gap_days) AS DOUBLE)
+         AS avg_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+FROM gaps
+GROUP BY 1
+HAVING COUNT(gap_days) > 0
+"""
+
+
+@_register("q111_reorder_gap_profile", _Q111_ORACLE)
+def q111_reorder_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder cadence per repeat customer: day gaps between consecutive
+    orders (lag window), average and max per customer — the churn-model
+    feature every retention team derives first.
+
+    Scale shape: one shuffle keyed on the high-cardinality custkey;
+    the lag window sorts within customer only (bounded by orders-per-
+    customer). Determinism: lag order is total ((date, orderkey)), so
+    same-day orders give a 0-day gap regardless of tie order; day
+    diffs are exact integers (timestamp→date truncation both engines),
+    avg is one IEEE division of exact sums. Single-order customers are
+    excluded on both sides (no gaps to profile)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    )
+    return (
+        gaps.groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.count("gap_days").cast("bigint").alias("n_gaps"),
+            (
+                F.sum("gap_days").cast("double") / F.count("gap_days").cast("double")
+            ).alias("avg_gap_days"),
+            F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        )
+        .filter(F.col("n_gaps") > 0)
+    )
+
+
+_Q112_ORACLE = """
+SELECT CAST(FLOOR(l_discount * 100) AS BIGINT) AS discount_band,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@_register("q112_discount_band_profile", _Q112_ORACLE)
+def q112_discount_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band histogram: lines bucketed by integer percent band
+    (floor(discount*100)), with revenue and mean quantity per band —
+    the pricing team's discount-effectiveness curve.
+
+    Scale shape: single map-side-combinable aggregation, bounded key
+    domain (~101 bands + NULL). Determinism: the band is floor of the
+    same IEEE double product on both engines; revenue stays DECIMAL
+    through the sum; avg_qty divides an exact decimal sum by an exact
+    count once. NULL discounts form their own band (floor(NULL) =
+    NULL groups together both engines); NULL quantities are excluded
+    from both the sum and the count (COUNT(col) semantics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_discount") * 100).cast("bigint").alias("discount_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                money("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            (
+                F.sum(money("l_quantity")).cast("double")
+                / F.count("l_quantity").cast("double")
+            ).alias("avg_qty"),
+        )
+    )

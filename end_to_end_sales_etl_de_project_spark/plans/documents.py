@@ -3228,3 +3228,120 @@ def d26_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 additions: stopword profile, near-dup cluster purity.
+# ---------------------------------------------------------------------------
+
+_T40_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "from",
+)
+
+
+def _t40_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in _T40_STOPWORDS)
+    toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+    return f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({toks})) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(list_filter({toks}, t -> t IN ({stop_list}))))
+            AS BIGINT) AS stop_tokens,
+       CAST(SUM(len(list_filter({toks}, t -> t IN ({stop_list})))) AS DOUBLE)
+         / CAST(SUM(len({toks})) AS DOUBLE) AS stop_ratio
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY 1
+"""
+
+
+@_register("t40_stopword_profile", _t40_oracle())
+def t40_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density profile per source: total tokens, stopword
+    tokens (fixed 19-word English function-word list) and their ratio
+    — the cheap fluency signal quality filters read next to the
+    Gopher rules (t37): human prose sits near ~0.3-0.5, keyword spam
+    and boilerplate fall far below.
+
+    Scale shape: both token counts are per-row array expressions
+    (size-of-filter over the same whitespace tokenization every text
+    operator shares) — no explode, no extra shuffle; one bounded
+    groupBy on source. The ratio divides two exact integer sums once.
+    NULL texts are dropped explicitly on both engines (Spark's
+    size(NULL) = -1 would silently poison the sums); an all-empty
+    source yields NULL ratio (0/0) on both engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = text.tokens("text")
+    stop = F.filter(toks, lambda t: t.isin(*_T40_STOPWORDS))
+    return (
+        docs.select("source", F.size(toks).alias("nt"), F.size(stop).alias("ns"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+            F.sum("ns").cast("bigint").alias("stop_tokens"),
+            (F.sum("ns").cast("double") / F.sum("nt").cast("double")).alias(
+                "stop_ratio"
+            ),
+        )
+    )
+
+
+def _d27_oracle() -> str:
+    comp = dedup.neardup_components_sql(
+        dedup.minhash_lsh_pairs_sql("doc_id", "text"), "doc_id"
+    )
+    return f"""
+WITH comp AS ({comp}),
+per_source AS (
+  SELECT c.component, d.source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+  GROUP BY 1, 2
+)
+SELECT component,
+       CAST(SUM(n) AS BIGINT) AS cluster_size,
+       CAST(COUNT(source) AS BIGINT) AS n_sources,
+       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS majority_share
+FROM per_source
+GROUP BY 1
+HAVING SUM(n) >= 2
+"""
+
+
+@_register("d27_cluster_purity", _d27_oracle())
+def d27_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source purity of each near-dup cluster: size, distinct sources,
+    and the majority source's share — the audit that tells syndication
+    (one article mirrored across sources, low purity) from in-source
+    boilerplate (one template stamped through a single crawl, purity
+    1.0), which drive OPPOSITE keep policies in d26's survivor step.
+
+    Scale shape: reads the session component artifact (never
+    re-resolves), collapses to a (component, source) spine map-side,
+    then one aggregation per component — all keys bounded by cluster
+    count, no window over the corpus. majority_share is one IEEE
+    division of exact counts; NULL sources count in cluster_size but
+    never in n_sources (COUNT(col) semantics, both engines);
+    singleton clusters are excluded exactly (HAVING on the exact
+    size)."""
+    comp = _component_artifact(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_source = (
+        comp.select("doc_id", "component")
+        .join(docs, "doc_id")
+        .groupBy("component", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        per_source.groupBy("component")
+        .agg(
+            F.sum("n").cast("bigint").alias("cluster_size"),
+            F.count("source").cast("bigint").alias("n_sources"),
+            (F.max("n").cast("double") / F.sum("n").cast("double")).alias(
+                "majority_share"
+            ),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from end_to_end_sales_etl_de_project_spark.functions.scalar import money, money_sum
@@ -733,7 +733,7 @@ _E18_ORACLE = """
 SELECT event_id, user_id, ts, value,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
          / COUNT(*) OVER w AS mean_1h,
-       CASE WHEN (CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+       CASE WHEN (CAST(SUM(CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(19,2))) OVER w AS DOUBLE)
                     / COUNT(*) OVER w
                   - (CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
                        / COUNT(*) OVER w)
@@ -741,7 +741,7 @@ SELECT event_id, user_id, ts, value,
                          / COUNT(*) OVER w)) > 0
             THEN (value - CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
                             / COUNT(*) OVER w)
-                 / SQRT(CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / SQRT(CAST(SUM(CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(19,2))) OVER w AS DOUBLE)
                           / COUNT(*) OVER w
                         - (CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
                              / COUNT(*) OVER w)
@@ -768,7 +768,12 @@ def e18_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression (E[x²] − mean·mean), sqrt is correctly rounded per
     IEEE-754, and the oracle spells out the identical operation tree —
     hash-exact. Degenerate windows (zero variance, e.g. a single
-    event) yield NULL via the var>0 guard in both engines.
+    event) yield NULL via the var>0 guard in both engines. The
+    oracle's squared terms are DECIMAL(19,2) (q41's r12 bug class,
+    re-found by the r13 extreme-events axis): DuckDB multiplies
+    DECIMAL(18) operands in int64 and overflows at the money edge
+    where Spark's BigDecimal widens — one digit of operand headroom
+    moves DuckDB onto the HUGEINT path, values unchanged.
     """
     from pyspark.sql.window import Window
 
@@ -1541,4 +1546,170 @@ def e31_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("k_value").alias("n_distinct_k"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 additions: daily type profile, per-type burst detection,
+# weekday-hour seasonality.
+# ---------------------------------------------------------------------------
+
+_E32_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+       CAST(COUNT(DISTINCT event_type) AS INT) AS n_types,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE ts IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1
+"""
+
+
+@_register("e32_daily_type_profile", _E32_ORACLE)
+def e32_daily_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day activity profile: the SORTED distinct event-type set
+    (serialized — collect_set order is shuffle-dependent, sorting +
+    joining makes it engine- and partitioning-independent), type and
+    user distinct counts, and volume.
+
+    Scale shape: one aggregation keyed on day (bounded by the time
+    range); the two count-distincts expand to the standard two-level
+    partial aggregate. NULL ts / NULL event_type rows are dropped
+    explicitly on both engines (a NULL inside a serialized set would
+    render engine-dependently)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
+        F.count_distinct("event_type").cast("int").alias("n_types"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+_E33_ORACLE = """
+WITH buckets AS (
+  SELECT event_type,
+         -- FLOOR division, not //: DuckDB's // truncates toward zero,
+         -- so the pre-epoch minute (-1s) would land in bucket 0 where
+         -- Spark's floor(sec/60) gives -1 (r13 extreme-events axis)
+         CAST(FLOOR(FLOOR(epoch(ts)) / 60) AS BIGINT) AS minute_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, minute_idx, n_events,
+         CAST(SUM(n_events) OVER w AS DOUBLE)
+           / CAST(COUNT(*) OVER w AS DOUBLE) AS trailing_avg,
+         COUNT(*) OVER w AS n_trailing
+  FROM buckets
+  WINDOW w AS (PARTITION BY event_type ORDER BY minute_idx
+               RANGE BETWEEN 60 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, minute_idx, n_events, trailing_avg,
+       CASE WHEN n_trailing >= 5
+                 AND CAST(n_events AS DOUBLE) >= 2.0 * trailing_avg
+            THEN TRUE ELSE FALSE END AS is_burst
+FROM scored
+"""
+
+
+@_register("e33_burst_detection", _E33_ORACLE)
+def e33_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type burst detector: a minute is a burst when its event
+    count reaches 2x the type's trailing-hour per-active-minute
+    average (computed over the PRECEDING frame only, so the spike
+    can't dilute its own baseline; >=5 active trailing minutes keeps
+    cold starts quiet) — the rate-anomaly primitive behind abuse and
+    outage monitors.
+
+    Scale shape: the fact collapses to a (type, minute) spine first
+    (map-side combinable), then one range-frame window partitioned by
+    event_type — parallel across types, each partition bounded by the
+    time range, never the event count. Determinism: counts are exact
+    ints, the trailing average is one IEEE division, the burst
+    comparison is the same double compare on both engines; an empty
+    trailing frame gives NULL avg and FALSE via the explicit guard."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    buckets = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / F.lit(60)).cast("bigint").alias("minute_idx"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute_idx")
+        .rangeBetween(-60, -1)
+    )
+    scored = buckets.select(
+        "event_type",
+        "minute_idx",
+        "n_events",
+        (
+            F.sum("n_events").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("trailing_avg"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+    )
+    return scored.select(
+        "event_type",
+        "minute_idx",
+        "n_events",
+        "trailing_avg",
+        F.when(
+            (F.col("n_trailing") >= 5)
+            & (F.col("n_events").cast("double") >= 2.0 * F.col("trailing_avg")),
+            F.lit(True),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_burst"),
+    )
+
+
+_E34_ORACLE = """
+WITH cells AS (
+  SELECT CAST(isodow(ts) - 1 AS INT) AS weekday,
+         CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT weekday, hour, n_events,
+       CAST(n_events AS DOUBLE) / CAST(SUM(n_events) OVER () AS DOUBLE)
+         AS share
+FROM cells
+"""
+
+
+@_register("e34_weekly_seasonality", _E34_ORACLE)
+def e34_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-hour seasonality matrix: event share per (weekday,
+    hour) cell — the traffic-shape baseline capacity planning reads
+    first. weekday is ISO (0=Monday..6=Sunday): Spark's weekday()
+    matches DuckDB's isodow()-1 exactly.
+
+    Scale shape: the fact collapses to at most 168 cells map-side; the
+    share window runs over those 168 rows (bounded domain — the
+    adjudicated WindowExec-unpartitioned class), one IEEE division per
+    cell of two exact counts."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    cells = ev.groupBy(
+        F.weekday("ts").cast("int").alias("weekday"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    w = Window.partitionBy()
+    return cells.select(
+        "weekday",
+        "hour",
+        "n_events",
+        (
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(w).cast("double")
+        ).alias("share"),
     )

@@ -126,27 +126,30 @@ DRIVER_WINDOW: list[str] = [
     # -- r13 code-changed queries (must re-earn evidence):
     # q107 gained the NULL-suppkey parity filter (ADVICE r12);
     # e08 rides operators/grouped.py, whose stage-width rule changed
-    # (ADVICE r12: configured shuffle width now respected);
+    # (ADVICE r12) AND whose Python stage now receives epoch micros
+    # instead of timestamps (r13 extreme-events axis: the Arrow
+    # us→ns pandas cast overflowed on year-9999 events);
     # c01 now reads the staged per-(session, fingerprint) decision
     # artifact instead of re-deriving the curate chain per call
-    # (VERDICT r12 #3).
+    # (VERDICT r12 #3);
+    # e18's oracle squared terms widened to DECIMAL(19,2) (the q41
+    # r12 bug class, re-found by the extreme-events axis).
     "q107_supplier_part_breadth",
     "e08_interarrival_stats",
     "c01_curate_corpus",
-    # -- r08-era fillers (oldest r08 evidence; events family first so
-    # all four corpora keep an in-window reader). Each r13 addition
-    # displaces one of these in the commit where it lands; the
-    # displaced row keeps its r08 evidence and local parity.
-    "e01_tumbling_hourly",
-    "e02_sliding_hourly_30m",
-    "e03_session_window",
-    "e14_interarrival_native",
-    "m03_frame_sample",
-    "q55_string_agg",
-    "q59_data_profile",
-    "q98_line_priority",
-    "q99_profit_by_nation",
-    "q100_heavy_small_part_suppliers",
+    "e18_rolling_zscore",
+    # -- r13 additions (new queries must hold a slot; they displaced
+    # the provisional r08 fillers, which keep their r08 evidence and
+    # local parity and head the r14 queue).
+    "q109_return_rate_by_brand",
+    "q110_decile_spend_profile",
+    "q111_reorder_gap_profile",
+    "q112_discount_band_profile",
+    "e32_daily_type_profile",
+    "e33_burst_detection",
+    "e34_weekly_seasonality",
+    "t40_stopword_profile",
+    "d27_cluster_purity",
 ]
 # ---- Standing r14 refresh queue (generated from the COVERAGE evidence
 # table: oldest-evidence rows NOT holding an r13 slot). The r13

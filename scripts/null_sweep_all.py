@@ -14,8 +14,15 @@ worst case, every text score tied) and a two-document near-dup corpus
 (the smallest non-empty pairwise input), both swept over every oracle
 that reads the documents table.
 
+Round 13 adds the extreme-values axes for the remaining three scopes
+(VERDICT r12 #4): edge documents (max-length / single-char /
+all-whitespace / empty / one-token-repeated), edge event timestamps
+(year 9999, pre-epoch, epoch, duplicate-ts ties) and values (±1e300),
+and edge embeddings (zero-norm, max-magnitude, one-hot-huge).
+
 Usage:  python scripts/null_sweep_all.py \
-            [sales|docs|events|emb|empty|identical|twodoc ...]
+            [sales|docs|events|emb|empty|identical|twodoc|extreme|
+             extreme_docs|extreme_events|extreme_emb ...]
 Prints one PASS/FAIL line per (fixture, query); exits non-zero on any
 FAIL. Slow (~10-20 min for all four at sf0.001); run on an idle
 machine.
@@ -246,6 +253,128 @@ COPY (
     )
 
 
+# Expected divergences on the three r13 extreme axes, pinned in
+# tests/test_extreme_values.py with rationale.
+EXTREME_DOCS_EXPECTED: set[str] = set()
+# e03/e07: the session END timestamp for a year-9999 event lands in
+# year 10000 (9999-12-31 23:59:59 + the 30-min gap window) and the two
+# engines RENDER five-digit years differently (Spark ISO-8601 expanded
+# "+10000-...", DuckDB "10000-..."). Values agree; only the
+# ts-as-string fallback's text differs — the exact q26 class pinned on
+# the r12 sales axis (EXTREME_EXPECTED above).
+EXTREME_EVENTS_EXPECTED: set[str] = {"e03_session_window", "e07_sessionize_lag"}
+EXTREME_EMB_EXPECTED: set[str] = set()
+
+
+def build_extreme_docs(out: str, spark) -> None:
+    """Extreme-values axis for the documents scope (VERDICT r12 #4):
+    APPEND edge documents to the real corpus — max-length (~60k chars,
+    the shingle/entropy families' widest per-doc fan-out), single-char,
+    all-whitespace, empty-string (distinct from NULL), punctuation-only,
+    one token repeated thousands of times (repetition family's edge),
+    and a single 5k-char token with no whitespace at all (tokenizer /
+    shingle boundary). ASCII only — the t05-class oracle promotions are
+    documented as valid on ASCII corpora, and this axis stresses VALUE
+    edges, not charset semantics. Originals kept so corpus-level
+    statistics stay non-degenerate."""
+    _clone_except(SF, out, {"documents"})
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    long_text = (
+        "the quick brown fox jumps over the lazy dog near the river " * 1000
+    ).rstrip()
+    rows = [
+        (8000001, "x", "en", "web", 1),
+        (8000002, "   \t\t  \n\n   ", "en", "books", 12),
+        (8000003, "", "fr", "web", 0),
+        (8000004, "!!! ??? ... ;;; --- ,,, :::", "en", "news", 27),
+        (8000005, long_text, "en", "web", len(long_text)),
+        (8000006, ("spam " * 3000).rstrip(), "de", "wiki", 5 * 3000 - 1),
+        (8000007, "a" * 5000, "en", "code", 5000),
+    ]
+    extra = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    staged = os.path.join(out, "_docs_staged")
+    base.unionByName(extra).coalesce(1).write.mode("overwrite").parquet(staged)
+    part = [f for f in os.listdir(staged) if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(staged, part), os.path.join(out, "documents.parquet"))
+    shutil.rmtree(staged)
+
+
+def build_extreme_events(out: str) -> None:
+    """Extreme-values axis for the events scope: year-9999 and
+    pre-epoch timestamps against the window family (the r12 sales axis
+    deliberately skipped events because of the pandas ns-range consumer
+    — this axis confronts exactly that), the epoch itself, duplicate
+    timestamps for one user (zero inter-arrival gap, window ORDER BY
+    ties), and value at the DECIMAL(18,2) money-discipline edge
+    (±99999999999.99, the same bound the r12 sales axis used — values
+    beyond the decimal cast's range are out of the engine's documented
+    domain: Spark's non-ANSI decimal overflow yields NULL where DuckDB
+    errors, by design) plus a 1e-300 subnormal-adjacent tiny (rounds
+    to 0.00 through the decimal cast on both engines)."""
+    _clone_except(SF, out, {"events"})
+    duckdb.connect().execute(
+        f"""
+COPY (
+  SELECT * FROM read_parquet('{SF}/events.parquet')
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9500001, TIMESTAMP '9999-12-31 23:59:59', CAST(999001 AS BIGINT),
+     'click', CAST(99999999999.99 AS DOUBLE),  '{{"plan": "z", "n": 1}}'),
+    (9500002, TIMESTAMP '1969-12-31 23:59:59', CAST(999001 AS BIGINT),
+     'view',  CAST(-99999999999.99 AS DOUBLE), '{{"plan": "z", "n": 2}}'),
+    (9500003, TIMESTAMP '1970-01-01 00:00:00', CAST(999002 AS BIGINT),
+     'click', CAST(1e-300 AS DOUBLE), '{{"plan": "y", "n": 3}}'),
+    (9500004, TIMESTAMP '2024-01-05 10:00:00', CAST(999003 AS BIGINT),
+     'click', CAST(0.0 AS DOUBLE),    '{{"plan": "x", "n": 4}}'),
+    (9500005, TIMESTAMP '2024-01-05 10:00:00', CAST(999003 AS BIGINT),
+     'view',  CAST(-0.0 AS DOUBLE),   '{{"plan": "x", "n": 5}}'),
+    (9500006, TIMESTAMP '2024-01-05 10:00:01', CAST(999003 AS BIGINT),
+     'purchase', CAST(42.0 AS DOUBLE), '{{"plan": "x", "n": 6}}')
+  ) t(event_id, ts, user_id, event_type, value, props)
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+"""
+    )
+
+
+def build_extreme_emb(out: str) -> None:
+    """Extreme-values axis for the embeddings scope: the zero-norm
+    vector (cosine's 0/0 — NaN-vs-NULL semantics must agree), a
+    max-magnitude vector (components ±100, ~250x the corpus norm but
+    inside the quantized-integer grid's int64 envelope — beyond it the
+    grid overflows by design and the first sweep proved both engines
+    fail there, differently), an all-equal vector, and a one-hot
+    vector with a single huge component (1e4). Appended with fresh
+    ids; labels in the existing domain so classifier-family groupBys
+    keep their keys."""
+    _clone_except(SF, out, {"embeddings"})
+    dim = 64
+    zero = "[" + ", ".join("0.0" for _ in range(dim)) + "]"
+    maxmag = "[" + ", ".join(f"{100.0 if i % 2 == 0 else -100.0}" for i in range(dim)) + "]"
+    equal = "[" + ", ".join("0.5" for _ in range(dim)) + "]"
+    # one-hot magnitude sits INSIDE the quantized-integer grid's int64
+    # envelope: at the 2^20 grid a component c contributes (c·2^20)² to
+    # the int64 distance sums, so |c| must stay ≤ ~360 for a 64-dim
+    # worst case (the first sweep proved 1e4 overflows — DuckDB errors,
+    # Spark's non-ANSI int64 wraps silently; both out-of-contract)
+    onehot = "[" + ", ".join("250.0" if i == 0 else "0.0" for i in range(dim)) + "]"
+    duckdb.connect().execute(
+        f"""
+COPY (
+  SELECT * FROM read_parquet('{SF}/embeddings.parquet')
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9500001, CAST({zero} AS FLOAT[]),   CAST(0 AS INTEGER)),
+    (9500002, CAST({maxmag} AS FLOAT[]), CAST(1 AS INTEGER)),
+    (9500003, CAST({equal} AS FLOAT[]),  CAST(2 AS INTEGER)),
+    (9500004, CAST({onehot} AS FLOAT[]), CAST(3 AS INTEGER))
+  ) t(vec_id, embedding, label)
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+"""
+    )
+
+
 _IDENT_TEXT = (
     "the quick brown fox jumps over the lazy dog while seventeen "
     "sleepy badgers watch from the old stone bridge and the river "
@@ -342,6 +471,10 @@ FIXTURES = {
     "twodoc": (build_twodoc, ["documents"]),
     # extreme-values axis (r12): sales facts with edge rows appended
     "extreme": (build_extreme, ["lineitem", "orders"]),
+    # extreme-values axes (r13, VERDICT r12 #4): the other three scopes
+    "extreme_docs": (None, ["documents"]),  # builder needs spark; special-cased
+    "extreme_events": (build_extreme_events, ["events"]),
+    "extreme_emb": (build_extreme_emb, ["embeddings"]),
 }
 
 
@@ -389,12 +522,18 @@ def main() -> int:
         else:
             pat = re.compile(r"\b(" + "|".join(tables) + r")\b")
             scope = sorted(n for n, sql in oracles.items() if pat.search(sql))
-        expected = {"empty": EMPTY_EXPECTED, "extreme": EXTREME_EXPECTED}.get(
-            fam, set()
-        )
+        expected = {
+            "empty": EMPTY_EXPECTED,
+            "extreme": EXTREME_EXPECTED,
+            "extreme_docs": EXTREME_DOCS_EXPECTED,
+            "extreme_events": EXTREME_EVENTS_EXPECTED,
+            "extreme_emb": EXTREME_EMB_EXPECTED,
+        }.get(fam, set())
         out = tempfile.mkdtemp(prefix=f"nullsweep-{fam}-")
         if fam == "docs":
             build_docs(out, spark)
+        elif fam == "extreme_docs":
+            build_extreme_docs(out, spark)
         else:
             builder(out)
         con = duckdb_connection(out)
