@@ -1448,7 +1448,7 @@ def substring_dup_groups_sql(
     anchor: int = 8,
     modulus: int = 4,
     table: str = "documents",
-    max_len: int = 16384,
+    max_len: int = 65536,
 ) -> str:
     """DuckDB twin. generate_series can't take lateral column bounds
     (same constraint as m05's oracle), so positions come from a fixed

@@ -661,7 +661,7 @@ def phash_neardup_pairs(
 def phash_neardup_sql(hamming_max: int = 3, table: str = "documents") -> str:
     """DuckDB twin: recomputes the byte-4-gram SimHash from the text
     (ASCII corpus: one char == one byte) and compares ALL pairs — the
-    oracle proves the banded join loses nothing. Same 16384 position
+    oracle proves the banded join loses nothing. Same 65536 position
     ceiling discipline as m02/m03: a longer doc errors loudly."""
     votes = ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
@@ -675,11 +675,11 @@ def phash_neardup_sql(hamming_max: int = 3, table: str = "documents") -> str:
 WITH b AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
            FROM {table} WHERE text IS NOT NULL AND length(text) >= 4),
 guard AS (
-  SELECT CASE WHEN (SELECT COALESCE(MAX(n), 0) FROM b) > 16384
-    THEN error('m07 oracle position ceiling (16384) exceeded')
+  SELECT CASE WHEN (SELECT COALESCE(MAX(n), 0) FROM b) > 65536
+    THEN error('m07 oracle position ceiling (65536) exceeded')
     ELSE 1 END AS ok
 ),
-pos AS (SELECT CAST(i AS BIGINT) AS i FROM generate_series(1, 16384, 1) t(i)),
+pos AS (SELECT CAST(i AS BIGINT) AS i FROM generate_series(1, 65536, 1) t(i)),
 grams AS (
   SELECT b.doc_id,
          CAST(('0x' || substr(md5(substr(b.text, CAST(pos.i AS INT), 4)), 1, 15))

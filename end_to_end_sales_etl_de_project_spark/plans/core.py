@@ -4769,17 +4769,25 @@ def q110_decile_spend_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("s").asc_nulls_first(), F.col("o_custkey").asc()
     )
+    # group on the RAW window-partition column (casting the key would
+    # wrap the expression and force a fourth exchange; grouping on
+    # c_nationkey itself reuses the window's hash partitioning)
     return (
         spend.select("c_nationkey", "s", F.ntile(10).over(w).alias("decile"))
-        .groupBy(
-            F.col("c_nationkey").cast("bigint").alias("nation_key"),
-            F.col("decile").cast("int").alias("decile"),
-        )
+        .groupBy("c_nationkey", "decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
             F.sum("s").cast("double").alias("decile_spend"),
             F.min("s").cast("double").alias("min_spend"),
             F.max("s").cast("double").alias("max_spend"),
+        )
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nation_key"),
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            "decile_spend",
+            "min_spend",
+            "max_spend",
         )
     )
 

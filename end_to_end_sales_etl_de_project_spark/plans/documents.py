@@ -540,11 +540,11 @@ def m01_multimodal_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # features are deterministic byte math and the corpus is pure ASCII
 # (byte i == ascii(char i)), so every output column is exactly
 # recomputable in SQL — byte_mean is one IEEE division of exact integer
-# operands on both engines. Same 16384 ceiling discipline as m05: a
+# operands on both engines. Same 65536 ceiling discipline as m05: a
 # longer doc surfaces as a hash mismatch, never silently.
 _M02_ORACLE = """
 WITH b AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
-pos AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 16384, 1) t(i)),
+pos AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 65536, 1) t(i)),
 ch AS (
   SELECT b.doc_id,
          CAST(SUM(ascii(substr(b.text, pos.i, 1))) AS BIGINT) AS s,
@@ -581,12 +581,12 @@ _M03_ORACLE = """
 WITH b AS (SELECT doc_id AS asset_id, text, CAST(length(text) AS BIGINT) AS n
            FROM documents),
 guard AS (
-  SELECT CASE WHEN (SELECT COALESCE(MAX(n), 0) FROM b) > 16384
-    THEN error('m03 oracle position ceiling (16384) exceeded by a doc of '
+  SELECT CASE WHEN (SELECT COALESCE(MAX(n), 0) FROM b) > 65536
+    THEN error('m03 oracle position ceiling (65536) exceeded by a doc of '
                || (SELECT MAX(n) FROM b) || ' chars — raise the series bounds')
     ELSE 1 END AS ok
 ),
-offs AS (SELECT CAST(i AS BIGINT) AS off FROM generate_series(0, 16384, 1024) t(i)
+offs AS (SELECT CAST(i AS BIGINT) AS off FROM generate_series(0, 65536, 1024) t(i)
          WHERE (SELECT ok FROM guard) = 1),
 full_frames AS (
   SELECT b.asset_id, b.n, offs.off
@@ -610,7 +610,7 @@ frames AS (
          LEAST(CAST(256 AS BIGINT), n - off) AS flen
   FROM frames0
 ),
-pos AS (SELECT CAST(i AS BIGINT) AS i FROM generate_series(1, 16384, 1) t(i)),
+pos AS (SELECT CAST(i AS BIGINT) AS i FROM generate_series(1, 65536, 1) t(i)),
 ck AS (
   SELECT f.asset_id, f.frame_id,
          CAST(SUM(ascii(substr(b.text, CAST(pos.i AS INT), 1))) AS BIGINT) AS s
@@ -1527,10 +1527,10 @@ def t19_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 _M05_ORACLE = """
 WITH b AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
 -- DuckDB's generate_series can't take lateral column bounds, so the
--- stepped positions come from a fixed ceiling (16384 >> max doc length,
+-- stepped positions come from a fixed ceiling (65536 >> max doc length,
 -- a longer doc would surface as a hash mismatch, never silently) and an
 -- inequality join prunes to each doc's length
-pos AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 16384, 4) t(i)),
+pos AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 65536, 4) t(i)),
 ck AS (
   SELECT b.doc_id,
          CAST(SUM(ascii(substr(b.text, pos.i, 1))) AS BIGINT) AS s,

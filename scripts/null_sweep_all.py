@@ -255,7 +255,13 @@ COPY (
 
 # Expected divergences on the three r13 extreme axes, pinned in
 # tests/test_extreme_values.py with rationale.
-EXTREME_DOCS_EXPECTED: set[str] = set()
+# d15: the engine's own fail-loud guard — prefix blocking requires
+# every text >= the 16-char block width, and the axis plants 1-char /
+# empty docs. The guard exists precisely so short texts can't silently
+# vanish from the prefix index (its message says to lower the block
+# width to the corpus minimum); erroring here is the designed behavior,
+# same class as IVF/PQ on the empty corpus (EMPTY_EXPECTED above).
+EXTREME_DOCS_EXPECTED: set[str] = {"d15_prefix_duplicates"}
 # e03/e07: the session END timestamp for a year-9999 event lands in
 # year 10000 (9999-12-31 23:59:59 + the 30-min gap window) and the two
 # engines RENDER five-digit years differently (Spark ISO-8601 expanded

@@ -1213,3 +1213,30 @@ def test_e08_grouped_map_python_stage_never_serializes(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "REPARTITION_BY_NUM" in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_r13_additions_plan_shapes(spark):
+    """The r13 additions' scale promises as executable pins: single-
+    aggregation shapes stay one exchange, the window queries reuse
+    their spine partitioning (no extra shuffle for a wrapped groupBy
+    key — the q110 regression class), and q109's part dim broadcasts
+    while the fact never does."""
+    def counts(name):
+        # simple (non-formatted) plan string: formatted mode repeats
+        # node names in the details section and double-counts
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange"), plan.count("BroadcastExchange"), plan
+
+    ex, bc, plan = counts("q109_return_rate_by_brand")
+    assert bc >= 1 and ex - bc == 1, plan  # broadcast dim + ONE fact shuffle
+    ex, bc, plan = counts("q110_decile_spend_profile")
+    assert ex - bc <= 2, plan  # spine shuffle + window shuffle, groupBy reuses it
+    ex, bc, plan = counts("q111_reorder_gap_profile")
+    assert ex == 1, plan  # one custkey shuffle: window + agg share it
+    ex, bc, plan = counts("q112_discount_band_profile")
+    assert ex == 1, plan  # single map-side-combinable aggregation
+    ex, bc, plan = counts("t40_stopword_profile")
+    assert ex == 1, plan  # per-row array exprs, one bounded groupBy
+    ex, bc, plan = counts("e33_burst_detection")
+    assert ex - bc <= 2, plan  # (type, minute) spine + per-type window
