@@ -57,6 +57,12 @@ GATES = [
     ("d24_dedup_tier_attribution", 8.0),  # priced tier-0 cascade (adjudicated r11)
     ("q70_fuzzy_name_match", 2.5),  # blocked Levenshtein, designed-out quadratic
     ("q34_partitioned_write_readback", 6.0),  # real partitioned write+readback I/O
+    # r13 close: the canonical-run top-10 rotated three more shapes in;
+    # steady-state sf0.01 (idle, min-of-2): t39 0.45 s, q73 1.23 s,
+    # d19 2.36 s. Usual 3-8x headroom.
+    ("t39_pii_density", 2.5),  # triple-regex per-row pass (email/phone/token)
+    ("q73_market_basket_lift", 5.0),  # pair-join inside order baskets
+    ("d19_lsh_tuning_curve", 8.0),  # multi-(bands,rows) tiling over one sig table
 ]
 
 
