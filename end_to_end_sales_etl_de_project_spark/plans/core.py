@@ -3492,12 +3492,19 @@ def q89_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Supplier-availability count with exclusion list (TPC-H Q16 shape)
 # ---------------------------------------------------------------------------
 
+# NOT EXISTS, not NOT IN (r13 anti-join NULL-parity audit, the q107
+# ADVICE class): Spark's left_anti KEEPS NULL-l_suppkey rows while
+# NOT IN would drop them — NOT EXISTS with an equality correlation
+# matches anti-join three-valued logic exactly. Latent on the shipped
+# fixtures (no mask NULLs l_suppkey), fixed on the oracle side per
+# the ADVICE alternative.
 _Q90_ORACLE = """
 SELECT p_brand, p_size,
        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
-WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+WHERE NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_acctbal < 2000 AND s_suppkey = l_suppkey)
 GROUP BY p_brand, p_size
 """
 
@@ -3507,10 +3514,11 @@ def q90_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: per (brand, size), how many DISTINCT suppliers
     have shipped the part — excluding an undesirable-supplier list
     (low account balance standing in for Q16's complaints filter).
-    The NOT IN is decorrelated to a LEFT ANTI join against the tiny
-    broadcast exclusion set (supplier keys are non-null, so anti-join
-    ≡ NOT IN here — with nullable keys NOT IN would need the
-    three-valued-logic guard q43 pins).
+    The exclusion is a LEFT ANTI join against the tiny broadcast
+    exclusion set; the oracle is stated as NOT EXISTS, which matches
+    anti-join three-valued logic exactly even for NULL line keys
+    (r13 audit — the q107 ADVICE class; NOT IN would drop NULL-key
+    rows that the anti-join keeps).
 
     Scale shape: the exclusion list and part both broadcast; the
     distinct-supplier count is the only shuffle, and Spark plans it as

@@ -104,7 +104,6 @@ DRIVER_WINDOW: list[str] = [
     "d07_decontaminate",
     "d09_minhash_estimate_audit",
     "q01g_customer_monthly_spend_grouped",
-    "q32_approx_aggs",
     "q35_shipping_priority",
     "q56_orc_roundtrip",
     "q57_jsonl_roundtrip",
@@ -133,11 +132,20 @@ DRIVER_WINDOW: list[str] = [
     # artifact instead of re-deriving the curate chain per call
     # (VERDICT r12 #3);
     # e18's oracle squared terms widened to DECIMAL(19,2) (the q41
-    # r12 bug class, re-found by the extreme-events axis).
+    # r12 bug class, re-found by the extreme-events axis);
+    # q90's oracle restated NOT IN → NOT EXISTS (r13 anti-join
+    # NULL-parity audit, the q107 ADVICE class; planted-NULL-key
+    # parity pinned in tests/test_r13_operators.py). q90 displaced
+    # q32_approx_aggs — the window's one rows-only row, the least
+    # informative driver check in the registry: q32 keeps its r07
+    # rows-only evidence, runs the same rows-only check in the local
+    # suite every run, its hash-green audit twin q92 carries r11
+    # evidence, and it heads the r14 queue.
     "q107_supplier_part_breadth",
     "e08_interarrival_stats",
     "c01_curate_corpus",
     "e18_rolling_zscore",
+    "q90_supplier_diversity",
     # -- r13 additions (new queries must hold a slot; they displaced
     # the provisional r08 fillers, which keep their r08 evidence and
     # local parity and head the r14 queue).

@@ -127,3 +127,49 @@ def test_t40_and_d27_bounds(spark):
     for r in E.queries()["d27_cluster_purity"](spark, SF).collect():
         assert r["cluster_size"] >= 2
         assert 0.0 < r["majority_share"] <= 1.0
+
+
+def test_anti_join_null_key_parity(spark, tmp_path):
+    """r13 anti-join NULL-parity audit (the q107 ADVICE class): with a
+    planted NULL l_suppkey line, the two anti-join-vs-exclusion-list
+    queries must still hash-match their oracles — q107 drops NULL keys
+    explicitly to match its NOT IN oracle; q90's oracle is stated as
+    NOT EXISTS to match anti-join three-valued logic. No shipped
+    fixture NULLs a join key, so this corpus is the only standing
+    coverage of the divergence both fixes close."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from end_to_end_sales_etl_de_project_spark.testing import (
+        compare_spark_to_oracle,
+        duckdb_connection,
+        run_oracle,
+    )
+
+    out = str(tmp_path)
+    for f in os.listdir(SF):
+        if not f.startswith("lineitem"):
+            shutil.copy(f"{SF}/{f}", f"{out}/{f}")
+    duckdb.connect().execute(
+        f"""
+COPY (
+  SELECT * FROM read_parquet('{SF}/lineitem.parquet')
+  UNION ALL
+  SELECT 7777777, CAST(1 AS BIGINT), NULL, 1, CAST(1.0 AS DOUBLE),
+         CAST(10.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+         'N', 'O', TIMESTAMP '2000-01-01 00:00:00'
+) TO '{out}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    con = duckdb_connection(out)
+    try:
+        for name in ("q90_supplier_diversity", "q107_supplier_part_breadth"):
+            r = compare_spark_to_oracle(
+                name,
+                E.queries()[name](spark, out),
+                run_oracle(con, E.oracle_sql()[name]),
+            )
+            assert r.match, f"{name}: {r.mismatches[:3]}"
+    finally:
+        con.close()
