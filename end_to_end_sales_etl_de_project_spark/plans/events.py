@@ -733,7 +733,7 @@ _E18_ORACLE = """
 SELECT event_id, user_id, ts, value,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
          / COUNT(*) OVER w AS mean_1h,
-       CASE WHEN (CAST(SUM(CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(19,2))) OVER w AS DOUBLE)
+       CASE WHEN (CAST(CAST(SUM(CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(19,2))) OVER w AS VARCHAR) AS DOUBLE)
                     / COUNT(*) OVER w
                   - (CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
                        / COUNT(*) OVER w)
@@ -741,7 +741,7 @@ SELECT event_id, user_id, ts, value,
                          / COUNT(*) OVER w)) > 0
             THEN (value - CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
                             / COUNT(*) OVER w)
-                 / SQRT(CAST(SUM(CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(19,2))) OVER w AS DOUBLE)
+                 / SQRT(CAST(CAST(SUM(CAST(value AS DECIMAL(19,2)) * CAST(value AS DECIMAL(19,2))) OVER w AS VARCHAR) AS DOUBLE)
                           / COUNT(*) OVER w
                         - (CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
                              / COUNT(*) OVER w)
@@ -773,7 +773,14 @@ def e18_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-found by the r13 extreme-events axis): DuckDB multiplies
     DECIMAL(18) operands in int64 and overflows at the money edge
     where Spark's BigDecimal widens — one digit of operand headroom
-    moves DuckDB onto the HUGEINT path, values unchanged.
+    moves DuckDB onto the HUGEINT path, values unchanged. The
+    oracle's Σvalue² cast then goes DECIMAL→VARCHAR→DOUBLE (r14
+    fractional pre-epoch axis): DuckDB's direct hugeint-decimal→
+    double cast DOUBLE-ROUNDS (upper·2⁶⁴ + lower, two roundings —
+    measured 1 ulp off at 9999999999998000000001.0001) where Spark's
+    BigDecimal.doubleValue() rounds once; the string roundtrip is
+    correctly rounded, restoring bit-exact z parity when a money-edge
+    value shares a frame with an ordinary one.
     """
     from pyspark.sql.window import Window
 
@@ -1637,9 +1644,17 @@ def e33_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is the same double compare on both engines; an empty
     trailing frame gives NULL avg and FALSE via the explicit guard."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # unix_micros, not unix_timestamp: unix_timestamp TRUNCATES sub-second
+    # timestamps toward zero, so 1969-12-31 23:59:59.5 would bucket into
+    # minute 0 while the oracle's FLOOR(FLOOR(epoch)/60) floors it into
+    # minute -1. floor(micros/60e6) == floor(floor(sec)/60) for all reals
+    # (nested-floor identity with a positive integer divisor), so this
+    # matches the oracle on every input including fractional pre-epoch.
     buckets = ev.groupBy(
         "event_type",
-        F.floor(F.unix_timestamp("ts") / F.lit(60)).cast("bigint").alias("minute_idx"),
+        F.floor(F.unix_micros("ts") / F.lit(60_000_000))
+        .cast("bigint")
+        .alias("minute_idx"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     w = (
         Window.partitionBy("event_type")

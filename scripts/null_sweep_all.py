@@ -330,6 +330,12 @@ COPY (
      'click', CAST(99999999999.99 AS DOUBLE),  '{{"plan": "z", "n": 1}}'),
     (9500002, TIMESTAMP '1969-12-31 23:59:59', CAST(999001 AS BIGINT),
      'view',  CAST(-99999999999.99 AS DOUBLE), '{{"plan": "z", "n": 2}}'),
+    -- FRACTIONAL pre-epoch second: truncate-toward-zero vs floor
+    -- disagree here (truncation buckets -0.5s into second/minute 0,
+    -- floor into -1) — the r14 axis that catches unix_timestamp-based
+    -- second/minute bucketing (the e33 class, ADVICE r13)
+    (9500007, TIMESTAMP '1969-12-31 23:59:59.5', CAST(999001 AS BIGINT),
+     'view',  CAST(-1.0 AS DOUBLE), '{{"plan": "z", "n": 7}}'),
     (9500003, TIMESTAMP '1970-01-01 00:00:00', CAST(999002 AS BIGINT),
      'click', CAST(1e-300 AS DOUBLE), '{{"plan": "y", "n": 3}}'),
     (9500004, TIMESTAMP '2024-01-05 10:00:00', CAST(999003 AS BIGINT),
