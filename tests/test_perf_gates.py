@@ -11,6 +11,20 @@ steady-state measurement, so scheduler noise can't flake the suite,
 while the regression class being guarded (a re-paid corpus explode or
 resolution loop costs whole seconds at sf0.01) still trips it.
 
+Canary normalization (VERDICT r13 #2): raw absolutes still flaked
+once — a13 measured 13.6 s against its 4.0 bound mid-suite on a
+machine running the full 728-test battery, while the RELATIVE
+a13-vs-a12 gate stayed green (uniform contention, not a regression).
+So every absolute bound is now scaled by the session's measured load:
+the same q10 canary bench.py uses is timed once per session under
+this fixture's config (idle steady-state pinned at CANARY_IDLE_SEC),
+and each gate allows bound * max(1, canary/idle). On an idle machine
+the gates are exactly the absolutes below; under uniform contention
+the allowance grows with the contention the canary itself measured,
+which is precisely the noise term the old absolutes couldn't absorb.
+A genuine single-query regression (one artifact consumer re-running
+its producer) does NOT move the canary, so it still trips the gate.
+
 Run with `pytest -m bench`; the default suite includes them too (they
 cost ~30 s total at sf0.01).
 """
@@ -63,7 +77,28 @@ GATES = [
     ("t39_pii_density", 2.5),  # triple-regex per-row pass (email/phone/token)
     ("q73_market_basket_lift", 5.0),  # pair-join inside order baskets
     ("d19_lsh_tuning_curve", 8.0),  # multi-(bands,rows) tiling over one sig table
+    # r14 (VERDICT r13 #4): d18 is the one recurring bench-top-10
+    # visitor that had no gate (2.6x cross-run spread on identical
+    # code, adjudicated machine variance); idle steady-state sf0.01
+    # min-of-4 under this fixture's config: 1.08 s. Usual headroom.
+    ("d18_incremental_neardup", 6.0),  # incremental signature gate (banded joins)
 ]
+
+# Idle steady-state of the canary (q10: scan + per-group window rank)
+# at sf0.01 under THIS fixture's session config (local[8], 8 shuffle
+# partitions) — min-of-4 measured 0.415-0.48 s on an idle machine.
+# Re-pin if the fixture config or q10's plan changes.
+CANARY_IDLE_SEC = 0.45
+_canary_factor: dict[str, float] = {}
+
+
+def _load_factor(spark) -> float:
+    """max(1, measured canary / idle canary), measured once per session."""
+    if "factor" not in _canary_factor:
+        measured = _steady_state(spark, "q10_rank_top1")
+        _canary_factor["factor"] = max(1.0, measured / CANARY_IDLE_SEC)
+        _canary_factor["measured"] = measured
+    return _canary_factor["factor"]
 
 
 def _steady_state(spark, name: str) -> float:
@@ -102,10 +137,13 @@ def test_a13_rides_shared_baselines(spark):
 @pytest.mark.bench
 @pytest.mark.parametrize("name,bound", GATES, ids=[g[0] for g in GATES])
 def test_standing_perf_gate(spark, name, bound):
+    factor = _load_factor(spark)
     took = _steady_state(spark, name)
-    assert took <= bound, (
-        f"{name} took {took:.2f}s at sf0.01 (gate {bound}s) — the "
-        "r4-class plan-construction regression is back; check for "
-        "per-plan eager checkpoints or artifact consumers re-running "
-        "their producer stage"
+    allowed = bound * factor
+    assert took <= allowed, (
+        f"{name} took {took:.2f}s at sf0.01 (gate {bound}s x load "
+        f"factor {factor:.2f} [canary {_canary_factor['measured']:.2f}s "
+        f"vs idle {CANARY_IDLE_SEC}s] = {allowed:.2f}s) — the r4-class "
+        "plan-construction regression is back; check for per-plan eager "
+        "checkpoints or artifact consumers re-running their producer stage"
     )
