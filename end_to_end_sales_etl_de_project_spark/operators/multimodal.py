@@ -203,6 +203,14 @@ def extract_features(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
         import pandas as pd
 
         def pixel_features(b: bytes) -> tuple[float, int]:
+            if not b:
+                # ZERO-BYTE payload: no content, not an unknown format —
+                # without this, format dispatch falls through to the
+                # Pillow seam and one empty blob raises
+                # NotImplementedError out of the whole stage (r14
+                # extreme-assets axis). Same zero-valued features as
+                # the NULL-payload row.
+                return 0.0, 0
             px = decode_gray(b)
             if px is None:
                 import io as _io
@@ -565,6 +573,13 @@ def phash_signatures(assets: DataFrame, decode_stub: bool = True) -> DataFrame:
             if b is None:
                 return None
             bb = bytes(b)
+            if not bb:
+                # zero-byte payload: nothing to fingerprint — skip BEFORE
+                # format dispatch, which would otherwise route the empty
+                # blob to the Pillow seam and raise out of the stage
+                # (r14 extreme-assets axis; the <4-byte filter below
+                # already covers the stub branch)
+                return None
             if not decode_stub:
                 bb = decode_pixels(bb)
             if len(bb) < 4:

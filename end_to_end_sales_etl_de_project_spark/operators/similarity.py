@@ -1820,7 +1820,7 @@ def ivf_recall_audit(
     lsh: DataFrame | None = None,
 ) -> DataFrame:
     """Single-row IVF quality audit: (n_queries, n_exact, lsh_recall,
-    ivf_beats_lsh, ivf_above_floor). The first three are deterministic
+    ivf_at_least_lsh, ivf_above_floor). The first three are deterministic
     (exact + multiprobe paths); the booleans project the
     float-interior IVF result onto invariants stable across shuffle
     orders, so the whole row hash-matches a SQL twin that emits the
@@ -1847,7 +1847,13 @@ def ivf_recall_audit(
         F.col("n_queries").cast("bigint").alias("n_queries"),
         F.col("n_exact").cast("bigint").alias("n_exact"),
         (F.col("lsh_hits").cast("double") / F.col("n_exact")).alias("lsh_recall"),
-        (F.col("ivf_hits") > F.col("lsh_hits")).alias("ivf_beats_lsh"),
+        # >= not >: on a degenerate corpus where the LSH baseline is
+        # already perfect (identical_emb axis: every vector the same,
+        # lsh_recall = 1.0) a strict "beats" is unsatisfiable; the real
+        # invariant is "the cell-probed path never loses to the
+        # signature baseline", and the strict win on realistic corpora
+        # is still pinned by tests/test_ivf_recall.py
+        (F.col("ivf_hits") >= F.col("lsh_hits")).alias("ivf_at_least_lsh"),
         (recall_ivf >= F.lit(floor)).alias("ivf_above_floor"),
     )
 
@@ -1871,7 +1877,7 @@ h AS (SELECT CAST(COUNT(*) AS BIGINT) AS lsh_hits
       FROM e JOIN a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
 SELECT tot.n_queries, tot.n_exact,
        CAST(h.lsh_hits AS DOUBLE) / tot.n_exact AS lsh_recall,
-       TRUE AS ivf_beats_lsh,
+       TRUE AS ivf_at_least_lsh,
        TRUE AS ivf_above_floor
 FROM tot, h
 """
@@ -1888,7 +1894,7 @@ def pq_recall_audit(
     lsh: DataFrame | None = None,
 ) -> DataFrame:
     """Single-row PQ quality audit: (n_queries, n_exact, lsh_recall,
-    pq_beats_lsh, rerank_scores_exact). rerank_scores_exact recomputes
+    pq_at_least_lsh, rerank_scores_exact). rerank_scores_exact recomputes
     the exact cosine for EVERY returned (query, neighbor) pair with
     the same fixed-order fold the brute force uses and ANDs the
     equality — the 'rerank is exact, compression only shapes the
@@ -1933,7 +1939,9 @@ def pq_recall_audit(
         F.col("n_queries").cast("bigint").alias("n_queries"),
         F.col("n_exact").cast("bigint").alias("n_exact"),
         (F.col("lsh_hits").cast("double") / F.col("n_exact")).alias("lsh_recall"),
-        (F.col("pq_hits") > F.col("lsh_hits")).alias("pq_beats_lsh"),
+        # >= not >: see ivf_recall_audit — a perfect LSH baseline
+        # (identical_emb axis) makes a strict win unsatisfiable
+        (F.col("pq_hits") >= F.col("lsh_hits")).alias("pq_at_least_lsh"),
         "rerank_scores_exact",
     )
 
@@ -1957,7 +1965,7 @@ h AS (SELECT CAST(COUNT(*) AS BIGINT) AS lsh_hits
       FROM e JOIN a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
 SELECT tot.n_queries, tot.n_exact,
        CAST(h.lsh_hits AS DOUBLE) / tot.n_exact AS lsh_recall,
-       TRUE AS pq_beats_lsh,
+       TRUE AS pq_at_least_lsh,
        TRUE AS rerank_scores_exact
 FROM tot, h
 """

@@ -419,6 +419,32 @@ COPY (
     )
 
 
+def build_identical_emb(out: str) -> None:
+    """Degenerate-duplication axis for the embeddings scope (VERDICT
+    r13 #5): EVERY vector identical — the IVF/PQ training loop's
+    empty-cell worst case. Seeding takes the k lowest vec_ids'
+    (identical) quantized vectors, every point assigns to one cell,
+    and all other cells stay empty across every Lloyd round — the
+    empty-cell centroid-retention branch (similarity.py ivf_train)
+    runs for k-1 of k centroids on every iteration, which no shipped
+    fixture exercised. Downstream, every cosine similarity in the
+    corpus ties exactly, stressing the a-family's deterministic
+    tie-breaks, kNN-graph degree caps, and recall-audit denominators.
+    vec_ids/labels keep their real distribution so label-keyed
+    aggregations stay non-degenerate; the vector is unit-norm-ish
+    with distinct components so quantization is non-trivial."""
+    _clone_except(SF, out, {"embeddings"})
+    vec = "[" + ", ".join(f"{(i % 9 - 4) / 16:.4f}" for i in range(64)) + "]"
+    duckdb.connect().execute(
+        f"""
+COPY (
+  SELECT vec_id, CAST({vec} AS FLOAT[]) AS embedding, label
+  FROM read_parquet('{SF}/embeddings.parquet')
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+"""
+    )
+
+
 def build_twodoc(out: str) -> None:
     """Degenerate-duplication axis 2: a two-document corpus — one
     near-dup pair. The smallest non-empty input where every pairwise
@@ -480,6 +506,7 @@ FIXTURES = {
     # degenerate-duplication axes (VERDICT r11 #5): same scope as the
     # docs family — every oracle reading the documents table
     "identical": (build_identical, ["documents"]),
+    "identical_emb": (build_identical_emb, ["embeddings"]),
     "twodoc": (build_twodoc, ["documents"]),
     # extreme-values axis (r12): sales facts with edge rows appended
     "extreme": (build_extreme, ["lineitem", "orders"]),

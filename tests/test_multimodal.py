@@ -10,6 +10,8 @@ from end_to_end_sales_etl_de_project_spark.operators.multimodal import (
     ASSET_SCHEMA,
     documents_as_assets,
     extract_features,
+    phash_signatures,
+    sample_frames,
 )
 from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
 
@@ -366,3 +368,100 @@ def test_pure_decoder_roundtrip_property():
         assert decode(tiny_ppm(rgb, w, h)) == px  # gray(v,v,v) == v
 
     check()
+
+
+def test_real_decode_zero_byte_and_one_pixel_assets(spark):
+    """r14 extreme-assets axis (VERDICT r13 #5): the real-decode
+    branch must survive the two degenerate payloads a 100 TB ingest
+    WILL contain — a zero-byte blob and a 1-pixel image — without
+    raising out of the stage. Pre-fix, the empty payload fell through
+    format dispatch to the Pillow seam and one empty blob raised
+    NotImplementedError from the whole mapInPandas stage."""
+    from tests.fixtures import tiny_bmp_gray8, tiny_pgm, tiny_ppm
+
+    rows = [
+        (1, b""),                                # zero-byte payload
+        (2, tiny_pgm(b"\x7f", 1, 1)),            # 1-pixel PGM
+        (3, tiny_ppm(b"\x10\x20\x30", 1, 1)),    # 1-pixel PPM (RGB)
+        (4, tiny_bmp_gray8(b"\xff", 1, 1)),      # 1-pixel BMP (padded stride)
+        (5, None),                               # NULL payload (existing contract)
+        (6, tiny_pgm(bytes([10, 20, 30, 40]), 2, 2)),  # smallest sig-able image
+    ]
+    assets = spark.createDataFrame(
+        [
+            (i, p, {"format": "img", "source": "unit",
+                    "n_bytes": len(p) if p is not None else None})
+            for i, p in rows
+        ],
+        "asset_id long, payload binary, "
+        "meta struct<format:string,source:string,n_bytes:bigint>",
+    )
+
+    feats = {
+        r["asset_id"]: r
+        for r in extract_features(assets, decode_stub=False).collect()
+    }
+    assert len(feats) == 6  # one row per asset, nothing dropped or raised
+    # zero-byte: zero-valued features, n_bytes 0 (content absent != NULL)
+    assert feats[1]["byte_mean"] == 0.0 and feats[1]["byte_entropy_proxy"] == 0
+    assert feats[1]["n_bytes"] == 0
+    # 1-pixel images: mean == the single gray pixel, entropy proxy 1
+    assert feats[2]["byte_mean"] == 127.0 and feats[2]["byte_entropy_proxy"] == 1
+    gray = (19595 * 0x10 + 38470 * 0x20 + 7471 * 0x30 + 0x8000) >> 16
+    assert feats[3]["byte_mean"] == float(gray)
+    assert feats[4]["byte_mean"] == 255.0
+    # NULL payload: NULL n_bytes, zero-valued features
+    assert feats[5]["n_bytes"] is None and feats[5]["byte_mean"] == 0.0
+
+    # pHash real branch: empty and 1-pixel payloads decode to <4 pixel
+    # bytes -> no signature row (nothing to fingerprint, not an error);
+    # the 2x2 image produces one
+    sigs = {
+        r["asset_id"]: r["sig"]
+        for r in phash_signatures(assets, decode_stub=False).collect()
+    }
+    assert set(sigs) == {6}
+    assert isinstance(sigs[6], int)
+
+    # frame sampling over the same payloads: NULL emits no frames; a
+    # zero-byte payload emits exactly one EMPTY frame (the oracle-checked
+    # m03 contract, pinned by the r13 extreme_docs sweep's empty doc);
+    # the 1-pixel payloads emit one truncated frame each
+    frames = sample_frames(assets, frame_size=64, hop=64).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert 5 not in by_asset
+    assert len(by_asset[1]) == 1 and by_asset[1][0]["frame_bytes"] == b""
+    assert by_asset[1][0]["frame_checksum"] == 0
+    assert len(by_asset[2]) == 1 and len(by_asset[6]) == 1
+
+
+def test_ivf_pq_train_all_identical_corpus(spark):
+    """r14 degenerate axis (VERDICT r13 #5): an all-identical-vector
+    corpus drives ivf_train's empty-cell centroid-retention branch on
+    EVERY Lloyd round (all points assign to one cell; the other k-1
+    cells must keep their seeds, not crash or collapse to zeros), and
+    pq_train's equivalent per-subspace. The full oracle sweep twin is
+    scripts/null_sweep_all.py's identical_emb fixture."""
+    from end_to_end_sales_etl_de_project_spark.operators import similarity
+
+    vec = [((i % 9) - 4) / 16.0 for i in range(64)]
+    emb = spark.createDataFrame(
+        [(i, vec, i % 3) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cents = similarity.ivf_train(emb, n_centroids=4)
+    assert len(cents) == 4
+    # seeds are identical, every round reassigns everything to one cell,
+    # retained centroids stay identical (and equal to the quantized seed)
+    assert all(c == cents[0] for c in cents)
+    books = similarity.pq_train(emb, n_subspaces=4, n_codes=4)
+    assert len(books) == 4 and all(len(b) == 4 for b in books)
+    for b in books:
+        assert all(code == b[0] for code in b)
+    # the IVF query path still returns a full, deterministic top-k
+    out = similarity.ivf_topk(
+        emb, emb.filter("vec_id < 2"), k=3, centroids=cents
+    ).collect()
+    assert len(out) == 6  # 2 queries x k=3, all scores tied
