@@ -261,6 +261,12 @@ HEADLINE = [
     "e34_weekly_seasonality",
     "t40_stopword_profile",
     "d27_cluster_purity",
+    # round-14 additions
+    "t41_tfidf_top_terms",
+    "c16_mixture_reweight",
+    "e35_dwell_histogram",
+    "q113_pareto_coverage",
+    "q114_key_skew_audit",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -4904,3 +4904,228 @@ def q112_discount_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto revenue coverage per nation (r14)
+# ---------------------------------------------------------------------------
+
+_Q113_ORACLE = """
+WITH per_cust AS (
+  SELECT c_custkey, c_nationkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_nationkey, rev,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY rev DESC, c_custkey ASC) AS rn,
+         SUM(rev) OVER (PARTITION BY c_nationkey
+                        ORDER BY rev DESC, c_custkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rev,
+         SUM(rev) OVER (PARTITION BY c_nationkey) AS total_rev,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n_customers
+  FROM per_cust
+)
+SELECT n_name AS nation_name,
+       CAST(MAX(n_customers) AS BIGINT) AS n_customers,
+       CAST(MIN(CASE WHEN cum_rev * 2 >= total_rev THEN rn END) AS BIGINT)
+         AS pareto_50,
+       CAST(MIN(CASE WHEN cum_rev * 2 >= total_rev THEN rn END) AS DOUBLE)
+         / CAST(MAX(n_customers) AS DOUBLE) AS pareto_50_share
+FROM ranked JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+@_register("q113_pareto_coverage", _Q113_ORACLE)
+def q113_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation: the smallest number of
+    customers whose cumulative revenue reaches half the nation's total
+    (the "how top-heavy is this market" Pareto number), as an absolute
+    count and as a share of the nation's ordering customers.
+
+    Determinism: per-customer revenue, the running total, and the
+    nation total all stay in exact DECIMAL; the 50% test is
+    cum_rev·2 >= total_rev — pure decimal arithmetic, NO double ever
+    enters the threshold — and the window order breaks revenue ties on
+    the customer key. The single emitted double is one exact-int
+    division.
+
+    Scale shape: the fact collapses to a per-customer spine FIRST
+    (map-side combinable groupBy — orders never reaches a window), the
+    ranking window shuffles once on nationkey with partitions bounded
+    by customers-per-nation, and the nation name joins as a broadcast
+    dim AFTER the per-nation reduction (25 rows carry the window's
+    output)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(money("o_totalprice")).alias("rev"))
+    )
+    from pyspark.sql.window import Window
+
+    order_cols = [F.col("rev").desc(), F.col("c_custkey").asc()]
+    w_rank = Window.partitionBy("c_nationkey").orderBy(*order_cols)
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("c_nationkey")
+    ranked = per_cust.select(
+        "c_nationkey",
+        F.row_number().over(w_rank).alias("rn"),
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev").over(w_all).alias("total_rev"),
+        F.count(F.lit(1)).over(w_all).alias("n_customers"),
+    )
+    hit = F.when(F.col("cum_rev") * 2 >= F.col("total_rev"), F.col("rn"))
+    per_nation = ranked.groupBy("c_nationkey").agg(
+        F.max("n_customers").cast("bigint").alias("n_customers"),
+        F.min(hit).cast("bigint").alias("pareto_50"),
+        (
+            F.min(hit).cast("double")
+            / F.max("n_customers").cast("double")
+        ).alias("pareto_50_share"),
+    )
+    return (
+        per_nation.join(
+            F.broadcast(nation),
+            per_nation.c_nationkey == nation.n_nationkey,
+        )
+        .select(
+            F.col("n_name").alias("nation_name"),
+            "n_customers",
+            "pareto_50",
+            "pareto_50_share",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew audit (r14)
+# ---------------------------------------------------------------------------
+
+_Q114_ORACLE = """
+WITH stacked AS (
+  SELECT 'l_orderkey' AS col_name, l_orderkey AS key FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', l_partkey FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', l_suppkey FROM lineitem
+),
+key_counts AS (
+  SELECT col_name, key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM stacked GROUP BY 1, 2
+),
+hist AS (
+  SELECT col_name, cnt, CAST(COUNT(*) AS BIGINT) AS n_keys_at
+  FROM key_counts GROUP BY 1, 2
+),
+walked AS (
+  SELECT col_name, cnt, n_keys_at,
+         SUM(n_keys_at) OVER (PARTITION BY col_name ORDER BY cnt ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_asc,
+         SUM(n_keys_at) OVER (PARTITION BY col_name ORDER BY cnt DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_desc,
+         SUM(n_keys_at) OVER (PARTITION BY col_name) AS n_keys,
+         SUM(cnt * n_keys_at) OVER (PARTITION BY col_name) AS n_rows
+  FROM hist
+)
+SELECT col_name,
+       CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+       CAST(MAX(n_keys) AS BIGINT) AS n_keys,
+       CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+       CAST(MIN(CASE WHEN cum_asc >= CAST(CEIL(0.99 * CAST(n_keys AS DOUBLE))
+            AS BIGINT) THEN cnt END) AS BIGINT) AS p99_key_rows,
+       CAST(SUM(cnt * GREATEST(LEAST(n_keys_at,
+            10 - (cum_desc - n_keys_at)), 0)) AS DOUBLE)
+         / CAST(MAX(n_rows) AS DOUBLE) AS top10_share
+FROM walked
+GROUP BY col_name
+"""
+
+
+@_register("q114_key_skew_audit", _Q114_ORACLE)
+def q114_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew profile of the fact's three join keys — the table
+    you read BEFORE picking a salting factor or trusting AQE's skew
+    threshold: per key column, total rows, distinct keys, the heaviest
+    key's row count, the exact p99 of per-key cardinality, and the row
+    share held by the 10 heaviest keys.
+
+    Exactness with NO corpus-sized sort: order statistics come from
+    the COUNT-OF-COUNTS histogram (distinct cardinality VALUES, a tiny
+    domain), walked by two running sums — p99 is the smallest
+    cardinality whose ascending key-coverage reaches ceil(0.99·keys),
+    and the top-10 mass takes min(available, remaining-of-10) keys per
+    bucket descending, so heaviest-key TIES are handled exactly.
+    Everything is integer arithmetic except the final share division;
+    ceil(0.99·n) is the same one IEEE multiply both engines.
+
+    Scale shape: the stack explodes the fact 3x into a single
+    map-side-combinable (col, key) count (one shuffle); the histogram
+    collapse is another map-side combine onto a key domain bounded by
+    DISTINCT CARDINALITY VALUES (typically thousands at any corpus
+    size); the windows then walk that tiny table. No window or sort
+    ever sees the corpus or even the key population."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("bigint").alias("key"),
+                    )
+                    for c in ("l_orderkey", "l_partkey", "l_suppkey")
+                ]
+            )
+        ).alias("s")
+    ).select("s.col_name", "s.key")
+    key_counts = stacked.groupBy("col_name", "key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    hist = key_counts.groupBy("col_name", "cnt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys_at")
+    )
+    from pyspark.sql.window import Window
+
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    w_asc = (
+        Window.partitionBy("col_name").orderBy(F.col("cnt").asc()).rowsBetween(*frame)
+    )
+    w_desc = (
+        Window.partitionBy("col_name").orderBy(F.col("cnt").desc()).rowsBetween(*frame)
+    )
+    w_all = Window.partitionBy("col_name")
+    walked = hist.select(
+        "col_name",
+        "cnt",
+        "n_keys_at",
+        F.sum("n_keys_at").over(w_asc).alias("cum_asc"),
+        F.sum("n_keys_at").over(w_desc).alias("cum_desc"),
+        F.sum("n_keys_at").over(w_all).alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("n_keys_at")).over(w_all).alias("n_rows"),
+    )
+    p99_thr = F.ceil(0.99 * F.col("n_keys").cast("double")).cast("bigint")
+    take = F.greatest(
+        F.least(F.col("n_keys_at"), F.lit(10) - (F.col("cum_desc") - F.col("n_keys_at"))),
+        F.lit(0),
+    )
+    return walked.groupBy("col_name").agg(
+        F.max("n_rows").cast("bigint").alias("n_rows"),
+        F.max("n_keys").cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_key_rows"),
+        F.min(F.when(F.col("cum_asc") >= p99_thr, F.col("cnt")))
+        .cast("bigint")
+        .alias("p99_key_rows"),
+        (
+            F.sum(F.col("cnt") * take).cast("double")
+            / F.max("n_rows").cast("double")
+        ).alias("top10_share"),
+    )

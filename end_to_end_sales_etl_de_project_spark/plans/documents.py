@@ -3345,3 +3345,194 @@ def d27_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cluster_size") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per source (r14)
+# ---------------------------------------------------------------------------
+
+_T41_SCALE = 100_000
+_T41_K = 5
+_T41_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, source, tok
+  FROM documents, UNNEST({text.tokens_sql('text')}) AS u(tok)
+),
+tf AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toked GROUP BY 1, 2
+),
+df AS (
+  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toked GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.source, tf.tok, tf.tf, df.df,
+         tf.tf * CAST(ROUND(LN(CAST(n.n_docs AS DOUBLE) / df.df)
+                            * {_T41_SCALE}) AS BIGINT) AS score_q
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY score_q DESC, tok ASC) AS rn
+  FROM scored
+)
+SELECT source, tok AS term, tf, df,
+       CAST(score_q AS DOUBLE) / {float(_T41_SCALE)} AS tfidf
+FROM ranked WHERE rn <= {_T41_K}
+"""
+
+
+@_register("t41_tfidf_top_terms", _T41_ORACLE)
+def t41_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per source — the classic "what is this
+    slice about" signal next to t31's concentration and t38's
+    entropy: tf is the term's frequency within the source, idf
+    down-weights corpus-wide boilerplate (a term in every doc scores
+    0 everywhere).
+
+    Determinism (the t34/t38 quantized-log discipline): idf rides the
+    quantized-integer grid — round(ln(N/df)·1e5) as BIGINT, absorbing
+    the 1-ulp jvm/libm ln divergence — so score_q = tf·idf_q is exact
+    integer arithmetic, ranking is exact, ties break on the term
+    itself, and the reported tfidf is one exact-int-to-double cast +
+    one division. N counts ALL documents (NULL-text docs contribute
+    no tokens but stay in the idf denominator's universe, both
+    engines).
+
+    Scale shape: one corpus scan feeds both aggregates off the shared
+    tokenization — tf is map-side combinable on (source, tok); df is
+    the standard two-level distinct on (doc, tok). After that,
+    everything is vocabulary-bounded: the tf⋈df equi-join and the
+    per-source top-k window never touch the corpus grain, and N is a
+    broadcast 1-row scalar, not a driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "source", F.explode(text.tokens("text")).alias("tok")
+    )
+    tf = toked.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = toked.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    idf_q = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df")) * _T41_SCALE
+    ).cast("bigint")
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "tok",
+            "tf",
+            "df",
+            (F.col("tf") * idf_q).alias("score_q"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("score_q").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _T41_K)
+        .select(
+            "source",
+            F.col("tok").alias("term"),
+            "tf",
+            "df",
+            (F.col("score_q").cast("double") / F.lit(float(_T41_SCALE))).alias(
+                "tfidf"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture reweighting toward a uniform source target (r14)
+# ---------------------------------------------------------------------------
+
+_C16_CAP = 4.0
+_C16_SCALE = 1_000_000
+_C16_ORACLE = f"""
+WITH per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS k
+  FROM per_source
+),
+weighted AS (
+  SELECT source, n_docs,
+         CAST(n_docs AS DOUBLE) / tot.n_total AS actual_share,
+         CAST(ROUND(LEAST(CAST(tot.n_total AS DOUBLE) / (tot.k * n_docs),
+                          {_C16_CAP}) * {_C16_SCALE}) AS BIGINT) AS wq
+  FROM per_source CROSS JOIN tot
+)
+SELECT source, n_docs, actual_share,
+       CAST(wq AS DOUBLE) / {float(_C16_SCALE)} AS weight,
+       CAST(wq * n_docs AS DOUBLE)
+         / (SELECT CAST(SUM(wq * n_docs) AS DOUBLE) FROM weighted)
+         AS resampled_share
+FROM weighted
+"""
+
+
+@_register("c16_mixture_reweight", _C16_ORACLE)
+def c16_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights that move the corpus toward a
+    UNIFORM source mixture under an up-sampling cap — the static
+    single-step form of mixture tuning (cap 4.0: a rare source is
+    repeated at most 4x, the standard guard against epoch-ing a tiny
+    slice into memorization). Reports, per source: current share, the
+    capped weight, and the share the reweighted corpus would actually
+    have (capped sources can't reach the uniform target, so the
+    realized mixture is renormalized over the capped masses).
+
+    Determinism: the raw weight N/(K·n_s) is one IEEE division of
+    exact integers, the cap is an exact compare, and the weight is
+    then quantized to 1e-6 (BIGINT grid) so the renormalization mass
+    Σ wq·n_s is an exact integer sum — order-free — and each share is
+    one exact-int division. Scale shape: everything after the first
+    map-side-combinable count is source-bounded (K rows); the two
+    scalar frames (N,K and the mass total) are broadcast 1-row cross
+    joins, never driver collects."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    wq = F.round(
+        F.least(
+            F.col("n_total").cast("double") / (F.col("k") * F.col("n_docs")),
+            F.lit(_C16_CAP),
+        )
+        * _C16_SCALE
+    ).cast("bigint")
+    weighted = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n_total")).alias("actual_share"),
+        wq.alias("wq"),
+    )
+    mass = weighted.agg(
+        F.sum(F.col("wq") * F.col("n_docs")).cast("bigint").alias("mass_total")
+    )
+    return weighted.crossJoin(F.broadcast(mass)).select(
+        "source",
+        "n_docs",
+        "actual_share",
+        (F.col("wq").cast("double") / F.lit(float(_C16_SCALE))).alias("weight"),
+        (
+            (F.col("wq") * F.col("n_docs")).cast("double")
+            / F.col("mass_total").cast("double")
+        ).alias("resampled_share"),
+    )

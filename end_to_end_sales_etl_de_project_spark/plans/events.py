@@ -1728,3 +1728,64 @@ def e34_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_events").over(w).cast("double")
         ).alias("share"),
     )
+
+
+_E35_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS gap_us
+  FROM events
+  WHERE ts IS NOT NULL
+)
+SELECT event_type,
+       CAST(LENGTH(CAST(gap_us AS VARCHAR)) AS INT) AS magnitude,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@_register("e35_dwell_histogram", _E35_ORACLE)
+def e35_dwell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-of-magnitude dwell-time histogram per event type: the gap
+    from each event to the same user's NEXT event of the same type,
+    bucketed by decimal magnitude — the engagement-cadence profile
+    (sub-second bots vs minute-scale browsing vs day-scale returns)
+    that e08/e14's per-user median/max summaries can't show.
+
+    The bucket is the DIGIT COUNT of the microsecond gap rendered as a
+    string — exactly floor(log10)+1 for positive ints and 1 for the
+    zero gap (duplicate timestamps), computed with NO floating log at
+    all: a pure string length is engine-exact where floor(log10(x))
+    sits one ulp from flipping at every power of ten. Gaps are exact
+    64-bit epoch-microsecond differences (the e08 discipline — micros,
+    not the ns-bounded pandas bridge); window order ties break on
+    event_id, so duplicate-ts runs produce deterministic zero-gap rows.
+    Un-timestamped events are dropped explicitly on both engines; each
+    user+type's last event has no successor and contributes no gap.
+
+    Scale shape: one (user_id, event_type) shuffle for the lag window
+    — partitions bounded by per-user-per-type event counts, never the
+    corpus — then a map-side-combinable aggregation on a key domain
+    bounded by (types x ~20 magnitudes)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy(
+        "event_type",
+        F.length(F.col("gap_us").cast("string")).cast("int").alias("magnitude"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )

@@ -74,99 +74,89 @@ DRIVER_WINDOW_SIZE = 50
 # window; all rotated-out queries stay under local parity at sf0.001
 # every run (tests/test_oracle_parity.py).
 DRIVER_WINDOW: list[str] = [
-    # ---- Round-13 rotation (VERDICT r12 #1). Every r12-window query
-    # is green in CORRECTNESS_r12 (50/50 hash), so slots go to the
-    # standing refresh queue, oldest evidence first: ALL 9 remaining
-    # r06-era rows, then ALL 28 r07-era rows — after this round's
-    # driver run, no query in the repo holds evidence older than r08.
-    # The tail slots carry r13 code-changed queries and r13 additions;
-    # leftover tail slots go to the oldest r08 rows (events family
-    # first, so the window keeps readers of all four corpora —
-    # sales facts, events, documents, embeddings — and the
-    # window-scoped sweeps stay non-vacuous).
-    # -- r06-era remainder (oldest evidence in the repo)
-    "q02w_sales_team_incentive_windowed",
-    "q38_grouping_sets",
-    "q42_union_distinct",
-    "q43_not_in_subquery",
-    "q44_dedup_keep_latest",
-    "q45_orc_roundtrip",
-    "q46_json_roundtrip",
-    "q47_like_patterns",
-    "q48_range_frame",
-    # -- r07-era rows (complete)
-    "a09_knn_graph",
-    "a14_knn_label_agreement",
-    "a15_recall_curve",
-    "c03_dataset_mix",
-    "c08_decontamination_agreement",
-    "c10_sequence_packing",
-    "d07_decontaminate",
-    "d09_minhash_estimate_audit",
-    "q01g_customer_monthly_spend_grouped",
-    "q35_shipping_priority",
-    "q56_orc_roundtrip",
-    "q57_jsonl_roundtrip",
-    "q60_star_join",
-    "q69_csv_quoted_roundtrip",
-    "q76_large_orders",
-    "q85_nation_volume",
-    "q86_market_share",
-    "q87_returned_items",
-    "q94_min_cost_supplier",
-    "q95_sales_opportunity",
-    "q96_dominant_supplier",
-    "q97_waiting_orders",
-    "t14_doc_chunking",
-    "t15_boilerplate_ngrams",
-    "t20_contamination_spans",
-    "t26_shingle_novelty",
-    "t28_repetition_ratio",
-    # -- r13 code-changed queries (must re-earn evidence):
-    # q107 gained the NULL-suppkey parity filter (ADVICE r12);
-    # e08 rides operators/grouped.py, whose stage-width rule changed
-    # (ADVICE r12) AND whose Python stage now receives epoch micros
-    # instead of timestamps (r13 extreme-events axis: the Arrow
-    # us→ns pandas cast overflowed on year-9999 events);
-    # c01 now reads the staged per-(session, fingerprint) decision
-    # artifact instead of re-deriving the curate chain per call
-    # (VERDICT r12 #3);
-    # e18's oracle squared terms widened to DECIMAL(19,2) (the q41
-    # r12 bug class, re-found by the extreme-events axis);
-    # q90's oracle restated NOT IN → NOT EXISTS (r13 anti-join
-    # NULL-parity audit, the q107 ADVICE class; planted-NULL-key
-    # parity pinned in tests/test_r13_operators.py). q90 displaced
-    # q32_approx_aggs — the window's one rows-only row, the least
-    # informative driver check in the registry: q32 keeps its r07
-    # rows-only evidence, runs the same rows-only check in the local
-    # suite every run, its hash-green audit twin q92 carries r11
-    # evidence, and it heads the r14 queue.
-    "q107_supplier_part_breadth",
-    "e08_interarrival_stats",
-    "c01_curate_corpus",
-    "e18_rolling_zscore",
-    "q90_supplier_diversity",
-    # -- r13 additions (new queries must hold a slot; they displaced
-    # the provisional r08 fillers, which keep their r08 evidence and
-    # local parity and head the r14 queue).
-    "q109_return_rate_by_brand",
-    "q110_decile_spend_profile",
-    "q111_reorder_gap_profile",
-    "q112_discount_band_profile",
-    "e32_daily_type_profile",
+    # ---- Round-14 rotation (VERDICT r13 #1). Every r13-window query
+    # is green in CORRECTNESS_r13 (50/50 hash), so slots go to the
+    # standing refresh queue, oldest evidence first: q32 (r07
+    # rows-only, the oldest evidence in the registry) and ALL 37
+    # r08-era rows — after this round's driver run, no query holds
+    # driver evidence older than r09. The tail carries the seven
+    # r14 code-changed queries and the five r14 additions.
+    # (Historical note — the r13 rotation consumed the r06+r07 queues
+    # and the r13 additions q109-q112/e32-e34/t40/d27; see
+    # CORRECTNESS_r13.json and git history for the full narration.)
+    # -- oldest evidence in the registry
+    "q32_approx_aggs",
+    # -- r08-era rows (complete, 37)
+    "a16_knn_pagerank",
+    "a17_matryoshka_audit",
+    "a19_isotropy_histogram",
+    "c11_diversity_sample",
+    "c12_corpus_datasheet",
+    "c13_corpus_delta",
+    "c14_packing_fragmentation",
+    "d17_substring_dedup",
+    "d20_cross_source_dups",
+    "e01_tumbling_hourly",
+    "e02_sliding_hourly_30m",
+    "e03_session_window",
+    "e14_interarrival_native",
+    "m03_frame_sample",
+    "q55_string_agg",
+    "q59_data_profile",
+    "q98_line_priority",
+    "q99_profit_by_nation",
+    "q100_heavy_small_part_suppliers",
+    "q103_partition_completeness",
+    "q104_promo_revenue",
+    "t02_language_id",
+    "t03_quality_score",
+    "t10_pii_redact",
+    "t11_token_packing",
+    "t12_source_cap",
+    "t27_dsir_importance",
+    "t29_vocab_overlap",
+    "t30_zipf_slope",
+    "t31_token_concentration",
+    "t32_domain_mixture",
+    "t33_bpe_pairs",
+    "t35_language_confidence",
+    "t36_length_drift",
+    "t37_gopher_rules",
+    "t38_unigram_entropy",
+    "t39_pii_density",
+    # -- r14 code-changed queries (must re-earn evidence):
+    # e33's minute bucketing moved to floor(unix_micros/60e6) and
+    # e18's oracle cast goes DECIMAL->VARCHAR->DOUBLE (both: the r14
+    # fractional pre-epoch axis, ADVICE r13); e08 rides
+    # operators/grouped.py, whose docstring changed (function-source
+    # diff is the staleness contract, so it re-earns); a12/a13
+    # restated their strict 'beats LSH' invariant as >= with renamed
+    # columns (the identical_emb axis: a perfect LSH baseline makes a
+    # strict win unsatisfiable); m02/m07 ride the real-decode seams
+    # hardened against zero-byte payloads (m07 via phash_signatures,
+    # an indirect call the function-level differ doesn't flag —
+    # included deliberately).
     "e33_burst_detection",
-    "e34_weekly_seasonality",
-    "t40_stopword_profile",
-    "d27_cluster_purity",
+    "e18_rolling_zscore",
+    "e08_interarrival_stats",
+    "a12_ivf_recall_audit",
+    "a13_pq_recall_audit",
+    "m02_multimodal_features",
+    "m07_phash_neardup",
+    # -- r14 additions (new queries must hold a slot)
+    "t41_tfidf_top_terms",
+    "c16_mixture_reweight",
+    "e35_dwell_histogram",
+    "q113_pareto_coverage",
+    "q114_key_skew_audit",
 ]
-# ---- Standing r14 refresh queue (generated from the COVERAGE evidence
-# table: oldest-evidence rows NOT holding an r13 slot). The r13
-# rotation consumed the r06 and r07 queues entirely; next up: the
-# r08-era rows (a16, a17, a19, c11-c14, d17, d20, e01-e03, e14, m03,
-# q55, q59, q98-q100, q103, q104, t02, t03, t10-t12, t27, t29-t39),
-# plus whatever scripts/driver_evidence.py flags stale from the r14
-# diffs. tests/test_registry_window.py enforces the union invariant
-# either way.
+# ---- Standing r15 refresh queue (generated from the COVERAGE evidence
+# table: oldest-evidence rows NOT holding an r14 slot). The r14
+# rotation consumed q32 and the entire r08 queue; next up: the 39
+# r09-era rows (see COVERAGE.md's evidence table), plus whatever
+# scripts/driver_evidence.py flags stale from the r15 diffs.
+# tests/test_registry_window.py enforces the union invariant either
+# way.
 
 # Queries registered WITHOUT a DuckDB oracle — the driver records a
 # rows-only check for these. This is a closed, documented allowlist
