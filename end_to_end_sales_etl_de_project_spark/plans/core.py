@@ -1285,10 +1285,17 @@ def q39_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partitioning — not cross-engine comparable. Exact decimal sums of
 # x, x², y, y², xy are partitioning-independent; the final double
 # arithmetic below is the SAME expression text in Spark and DuckDB, so
-# the IEEE operation sequence is identical. One caveat: DuckDB's
-# DECIMAL(38,4)->DOUBLE conversion can double-round (int128 then scale)
-# where the JVM rounds once — a 1-ulp divergence that survives into
-# corr; corr is therefore rounded to 12 decimals on both sides.
+# the IEEE operation sequence is identical. DuckDB's direct
+# DECIMAL(38,4)->DOUBLE conversion double-rounds on the hugeint path
+# (upper*2^64 + lower, two roundings — proven 1 ulp off by the r14
+# fractional pre-epoch axis via e18, and by direct probe at the 1e22+
+# magnitudes the money-edge squared sums reach), where the JVM rounds
+# once; every decimal sum therefore goes DECIMAL->VARCHAR->DOUBLE in
+# the SHARED text below — the string roundtrip is correctly rounded on
+# both engines (Double.parseDouble / fast_float), so the casts agree
+# bit-exactly on ALL inputs instead of by cancellation luck. corr
+# keeps its 12-decimal round from the original adjudication (defense
+# in depth; the inputs are now bit-identical anyway).
 # The squared terms multiply DECIMAL(19,2) operands, not (18,2): at
 # precision <= 18 DuckDB multiplies on int64 and ERRORS when the
 # product overflows (the r12 extreme-values sweep hit it at
@@ -1305,13 +1312,13 @@ _Q41_MOMENTS = """
 
 _Q41_FINAL = """
   n,
-  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)
+  (CAST(CAST(sxx AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE) * CAST(CAST(sx AS STRING) AS DOUBLE) / n) / (n - 1)
     AS var_qty,
-  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
+  sqrt((CAST(CAST(sxx AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE) * CAST(CAST(sx AS STRING) AS DOUBLE) / n) / (n - 1))
     AS stddev_qty,
-  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-    / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-           * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 12)
+  round((CAST(CAST(sxy AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE) * CAST(CAST(sy AS STRING) AS DOUBLE) / n)
+    / sqrt((CAST(CAST(sxx AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE) * CAST(CAST(sx AS STRING) AS DOUBLE) / n)
+           * (CAST(CAST(syy AS STRING) AS DOUBLE) - CAST(CAST(sy AS STRING) AS DOUBLE) * CAST(CAST(sy AS STRING) AS DOUBLE) / n)), 12)
     AS corr_qty_price
 """
 

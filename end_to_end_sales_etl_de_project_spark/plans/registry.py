@@ -76,16 +76,17 @@ DRIVER_WINDOW_SIZE = 50
 DRIVER_WINDOW: list[str] = [
     # ---- Round-14 rotation (VERDICT r13 #1). Every r13-window query
     # is green in CORRECTNESS_r13 (50/50 hash), so slots go to the
-    # standing refresh queue, oldest evidence first: q32 (r07
-    # rows-only, the oldest evidence in the registry) and ALL 37
-    # r08-era rows — after this round's driver run, no query holds
-    # driver evidence older than r09. The tail carries the seven
-    # r14 code-changed queries and the five r14 additions.
+    # standing refresh queue, oldest evidence first: ALL 37 r08-era
+    # rows. The tail carries the eight r14 code-changed queries and
+    # the five r14 additions. q32 (r07 rows-only) was slated for the
+    # head slot but yielded it to q41, whose oracle changed this round
+    # (stale queries outrank evidence refreshes): q32's rows-only row
+    # cannot regress beyond what the in-suite rows-only check already
+    # reruns every session, its hash-green audit twin q92 carries r11
+    # evidence, and it heads the r15 queue.
     # (Historical note — the r13 rotation consumed the r06+r07 queues
     # and the r13 additions q109-q112/e32-e34/t40/d27; see
     # CORRECTNESS_r13.json and git history for the full narration.)
-    # -- oldest evidence in the registry
-    "q32_approx_aggs",
     # -- r08-era rows (complete, 37)
     "a16_knn_pagerank",
     "a17_matryoshka_audit",
@@ -135,7 +136,12 @@ DRIVER_WINDOW: list[str] = [
     # strict win unsatisfiable); m02/m07 ride the real-decode seams
     # hardened against zero-byte payloads (m07 via phash_signatures,
     # an indirect call the function-level differ doesn't flag —
-    # included deliberately).
+    # included deliberately); q41's shared final-projection text now
+    # roundtrips every moment sum DECIMAL->STRING->DOUBLE (DuckDB's
+    # direct hugeint-decimal cast double-rounds — the e18 class,
+    # proven by direct probe at the money-edge squared magnitudes; the
+    # old text passed the extreme axis by cancellation luck only).
+    "q41_exact_moment_stats",
     "e33_burst_detection",
     "e18_rolling_zscore",
     "e08_interarrival_stats",
@@ -152,8 +158,8 @@ DRIVER_WINDOW: list[str] = [
 ]
 # ---- Standing r15 refresh queue (generated from the COVERAGE evidence
 # table: oldest-evidence rows NOT holding an r14 slot). The r14
-# rotation consumed q32 and the entire r08 queue; next up: the 39
-# r09-era rows (see COVERAGE.md's evidence table), plus whatever
+# rotation consumed the entire r08 queue; next up: q32 (r07
+# rows-only), then the 39 r09-era rows (see COVERAGE.md's evidence table), plus whatever
 # scripts/driver_evidence.py flags stale from the r15 diffs.
 # tests/test_registry_window.py enforces the union invariant either
 # way.
