@@ -4936,14 +4936,14 @@ ranked AS (
          COUNT(*) OVER (PARTITION BY c_nationkey) AS n_customers
   FROM per_cust
 )
-SELECT n_name AS nation_name,
+SELECT n_nationkey AS nation_key, n_name AS nation_name,
        CAST(MAX(n_customers) AS BIGINT) AS n_customers,
        CAST(MIN(CASE WHEN cum_rev * 2 >= total_rev THEN rn END) AS BIGINT)
          AS pareto_50,
        CAST(MIN(CASE WHEN cum_rev * 2 >= total_rev THEN rn END) AS DOUBLE)
          / CAST(MAX(n_customers) AS DOUBLE) AS pareto_50_share
 FROM ranked JOIN nation ON c_nationkey = n_nationkey
-GROUP BY 1
+GROUP BY 1, 2
 """
 
 
@@ -5003,6 +5003,7 @@ def q113_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             per_nation.c_nationkey == nation.n_nationkey,
         )
         .select(
+            F.col("n_nationkey").cast("int").alias("nation_key"),
             F.col("n_name").alias("nation_name"),
             "n_customers",
             "pareto_50",

@@ -1240,3 +1240,44 @@ def test_r13_additions_plan_shapes(spark):
     assert ex == 1, plan  # per-row array exprs, one bounded groupBy
     ex, bc, plan = counts("e33_burst_detection")
     assert ex - bc <= 2, plan  # (type, minute) spine + per-type window
+
+
+def test_r14_additions_plan_shapes(spark):
+    """The r14 additions' scale promises as executable pins (same
+    discipline as the r13 block): q113's nation dim broadcasts AFTER
+    the per-nation reduction and the fact collapses to a per-customer
+    spine before any window; q114's windows walk the count-of-counts
+    histogram (two map-side-combinable exchanges before them, nothing
+    corpus-sized); e35's lag window and final aggregation stay within
+    two shuffles; t41's corpus is scanned for tf and df off one
+    tokenization (vocab-bounded join + per-source top-k after); c16 is
+    source-bounded past the first count with its scalars broadcast."""
+    def counts(name):
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange"), plan.count("BroadcastExchange"), plan
+
+    ex, bc, plan = counts("q113_pareto_coverage")
+    assert bc >= 1, plan                      # nation joins broadcast
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1, plan
+    ex, bc, plan = counts("q114_key_skew_audit")
+    # (col,key) count + histogram collapse + col_name window partitioning;
+    # the final groupBy reuses the window's col_name partitioning
+    assert ex - bc <= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    ex, bc, plan = counts("e35_dwell_histogram")
+    assert ex - bc <= 2, plan                 # (user,type) window + bounded agg
+    ex, bc, plan = counts("t41_tfidf_top_terms")
+    assert "CartesianProduct" not in plan, plan   # the N scalar must broadcast
+    ex, bc, plan = counts("c16_mixture_reweight")
+    assert "CartesianProduct" not in plan, plan   # both scalars broadcast
+    # Spark doesn't share the per_source subtree across the two scalar
+    # consumers, so the single-column source scan repeats (bounded at 3,
+    # each pruned to ONE column) — but no exchange ever carries more
+    # than the per-source counts: every shuffle is hashpartitioning on
+    # source or a SinglePartition scalar collapse, never the doc grain.
+    import re as _re
+    for m in _re.finditer(r"Exchange (hashpartitioning\([^)]*\)|SinglePartition)", plan):
+        assert "doc_id" not in m.group(1), plan
+    for m in _re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert m.group(1) == "source:string", plan
