@@ -3386,11 +3386,16 @@ FROM ranked WHERE rn <= {_T41_K}
 
 @_register("t41_tfidf_top_terms", _T41_ORACLE)
 def t41_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 TF-IDF terms per source — the classic "what is this
-    slice about" signal next to t31's concentration and t38's
-    entropy: tf is the term's frequency within the source, idf
-    down-weights corpus-wide boilerplate (a term in every doc scores
-    0 everywhere).
+    """Top-5 TF-IDF terms per SOURCE with the canonical ln-idf
+    weighting — the "what is this slice about" signal next to t31's
+    concentration and t38's entropy. Complements t09, which ranks
+    per-DOC keywords and predates the t34 quantized-log grid (it uses
+    a reciprocal-df weight precisely to avoid cross-engine ln): t41
+    is the textbook idf=ln(N/df) form at the slice grain, exact
+    because the log rides the integer grid. tf is the term's
+    frequency within the source; idf sends corpus-wide boilerplate
+    to 0 (a term in every doc scores 0 everywhere, which the
+    reciprocal form can't do).
 
     Determinism (the t34/t38 quantized-log discipline): idf rides the
     quantized-integer grid — round(ln(N/df)·1e5) as BIGINT, absorbing
