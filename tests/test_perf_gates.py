@@ -82,6 +82,13 @@ GATES = [
     # code, adjudicated machine variance); idle steady-state sf0.01
     # min-of-4 under this fixture's config: 1.08 s. Usual headroom.
     ("d18_incremental_neardup", 6.0),  # incremental signature gate (banded joins)
+    # r14 close: the canonical-run top-10 rotated three ungated shapes
+    # in. Steady-state sf0.01 (min-of-3 after warm, canary 0.55 ≈ 1.2x
+    # the idle pin — bounds keep the usual headroom against the TRUE
+    # idle figure): q02 0.68 s, d06 1.79 s, q01g 0.24 s.
+    ("q02_sales_team_incentive", 3.0),  # reference A2 window + rank-tie incentive
+    ("d06_neardup_resolve", 8.0),  # full LSH->components resolution chain
+    ("q01g_customer_monthly_spend_grouped", 2.0),  # flagship groupBy form
 ]
 
 # Idle steady-state of the canary (q10: scan + per-group window rank)
