@@ -1337,11 +1337,15 @@ def e28_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     from end_to_end_sales_etl_de_project_spark.operators.sequences import swept_peaks
 
     ev = load_table(spark, sf_dir, "events")
+    # floor(unix_micros/1e6), not unix_timestamp: the oracle floors
+    # epoch while unix_timestamp TRUNCATES toward zero, so fractional
+    # pre-epoch timestamps land one second apart (the e33 class, r14
+    # fractional pre-epoch axis — masked here by hour bucketing until
+    # an interval straddles an hour edge)
+    sec = F.floor(F.unix_micros("ts") / F.lit(1_000_000)).cast("bigint")
     iv = ev.filter(F.col("event_type") == "view").select(
-        F.unix_timestamp("ts").alias("start_s"),
-        (F.unix_timestamp("ts") + 60 * F.col("value").cast("bigint")).alias(
-            "end_s"
-        ),
+        sec.alias("start_s"),
+        (sec + 60 * F.col("value").cast("bigint")).alias("end_s"),
     )
     pts = iv.select(F.col("start_s").alias("t"), F.lit(1).alias("delta")).unionAll(
         iv.select(F.col("end_s").alias("t"), F.lit(-1).alias("delta"))
@@ -1483,7 +1487,13 @@ def e30_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = p.agg(F.max("last_ts").alias("gmax"))
     r = p.crossJoin(F.broadcast(g)).select(
         "user_id",
-        (F.unix_timestamp("gmax") - F.unix_timestamp("last_ts")).alias("recency_s"),
+        # floored epoch seconds (not unix_timestamp's truncation): the
+        # oracle's FLOOR(epoch) differs by 1s on fractional pre-epoch
+        # timestamps, which can flip a quintile comparison (e33 class)
+        (
+            F.floor(F.unix_micros("gmax") / F.lit(1_000_000))
+            - F.floor(F.unix_micros("last_ts") / F.lit(1_000_000))
+        ).cast("bigint").alias("recency_s"),
         "frequency",
         "monetary",
     )

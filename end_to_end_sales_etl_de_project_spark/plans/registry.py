@@ -97,10 +97,8 @@ DRIVER_WINDOW: list[str] = [
     "c14_packing_fragmentation",
     "d17_substring_dedup",
     "d20_cross_source_dups",
-    "e01_tumbling_hourly",
     "e02_sliding_hourly_30m",
     "e03_session_window",
-    "e14_interarrival_native",
     "m03_frame_sample",
     "q55_string_agg",
     "q59_data_profile",
@@ -136,7 +134,19 @@ DRIVER_WINDOW: list[str] = [
     # strict win unsatisfiable); m02/m07 ride the real-decode seams
     # hardened against zero-byte payloads (m07 via phash_signatures,
     # an indirect call the function-level differ doesn't flag —
-    # included deliberately); q41's shared final-projection text now
+    # included deliberately); e28/e30 moved their Spark-side second
+    # bucketing from unix_timestamp (truncates toward zero) to floored
+    # epoch seconds, matching their FLOOR(epoch) oracles on fractional
+    # pre-epoch timestamps (the e33 class — previously masked by hour
+    # bucketing / quintile coarseness). Their slots displace e14 and
+    # e01 from the r08 refresh block (stale outranks refresh): e14
+    # shares in-window e08's oracle verbatim (the most redundant
+    # refresh of the 37) and e01's tumbling shape is the hop=width
+    # special case of in-window e02's sliding window; both keep green
+    # r08 evidence + local parity and head the r15 queue with q32.
+    "e28_concurrency_peak",
+    "e30_rfm_segments",
+    # q41's shared final-projection text now
     # roundtrips every moment sum DECIMAL->STRING->DOUBLE (DuckDB's
     # direct hugeint-decimal cast double-rounds — the e18 class,
     # proven by direct probe at the money-edge squared magnitudes; the
@@ -158,8 +168,9 @@ DRIVER_WINDOW: list[str] = [
 ]
 # ---- Standing r15 refresh queue (generated from the COVERAGE evidence
 # table: oldest-evidence rows NOT holding an r14 slot). The r14
-# rotation consumed the entire r08 queue; next up: q32 (r07
-# rows-only), then the 39 r09-era rows (see COVERAGE.md's evidence table), plus whatever
+# rotation consumed the r08 queue except e01/e14 (displaced by the
+# late-round e28/e30 staleness, see above); next up: q32 (r07
+# rows-only), e01, e14, then the 39 r09-era rows (see COVERAGE.md's evidence table), plus whatever
 # scripts/driver_evidence.py flags stale from the r15 diffs.
 # tests/test_registry_window.py enforces the union invariant either
 # way.
