@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -384,6 +385,119 @@ def ewma_stream(events: DataFrame, alpha: float = 0.5) -> DataFrame:
             update_ewma,
             outputStructType=EWMA_OUTPUT_SCHEMA,
             stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming burst detection (stateful trailing-window twin of batch e33)
+# ---------------------------------------------------------------------------
+
+BURST_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("minute_idx", LongType()),
+        StructField("n_events", LongType()),
+        StructField("trailing_avg", DoubleType()),
+        StructField("is_burst", BooleanType()),
+    ]
+)
+
+BURST_STATE_SCHEMA = StructType(
+    [
+        StructField("minutes", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def burst_stream(
+    events: DataFrame, trailing_minutes: int = 60, min_active: int = 5
+) -> DataFrame:
+    """Streaming twin of batch ``e33_burst_detection``: per event type,
+    a minute is a burst when its event count reaches 2x the trailing-
+    hour per-active-minute average (PRECEDING minutes only, >=
+    ``min_active`` active trailing minutes to keep cold starts quiet).
+    The online form of the rate-anomaly gate — ``anomaly_score_stream``
+    scores against an OFFLINE-fitted baseline; this one maintains the
+    trailing baseline IN STATE, which Structured Streaming's built-in
+    windows cannot express (the frame is over ACTIVE minutes, not wall
+    time).
+
+    State per event type is the (minute, count) deque of the trailing
+    window — bounded at ``trailing_minutes``+1 entries regardless of
+    event rate. Minutes are floor(epoch_us/60e6) — the e33/e28/e30
+    discipline: exact integer bucketing, identical to the batch form on
+    every input including fractional pre-epoch timestamps. The trailing
+    average is the same single IEEE division the batch window computes,
+    so closed minutes are bit-equal to e33's rows.
+
+    Correct under in-order delivery per key at MINUTE granularity: all
+    events of one (type, minute) must arrive before a later minute's
+    (the rolling_window_stream caveat one level up — a micro-batch
+    split mid-minute emits that minute's partial count; an event-time
+    buffer keyed on the watermark is the general fix). Un-timestamped
+    events are dropped explicitly, as in the batch twin.
+    """
+
+    def update_bursts(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        import pandas as pd  # noqa: F811 — resolved on the worker
+
+        (event_type,) = key
+        if state.exists:
+            minutes, counts = (list(x) for x in state.get)
+        else:
+            minutes, counts = [], []
+        per_minute: dict[int, int] = {}
+        for pdf in pdfs:
+            us = pdf["ts"].astype("int64") // 1000  # ns -> us, exact ints
+            for m, c in (us // 60_000_000).value_counts().items():
+                per_minute[int(m)] = per_minute.get(int(m), 0) + int(c)
+        out: dict[str, list] = {
+            k: []
+            for k in ("event_type", "minute_idx", "n_events", "trailing_avg", "is_burst")
+        }
+        for m in sorted(per_minute):
+            n = per_minute[m]
+            if minutes and minutes[-1] == m:
+                # continuation of a minute already emitted (mid-minute
+                # micro-batch split): fold into state so LATER minutes
+                # see the full count in their trailing average; the
+                # documented caveat is the partial emit, not state rot
+                counts[-1] += n
+                n = counts[-1]
+            else:
+                minutes.append(m)
+                counts.append(n)
+            while minutes and minutes[0] < m - trailing_minutes:
+                minutes.pop(0)
+                counts.pop(0)
+            trail_n = [c for mm, c in zip(minutes, counts) if mm < m]
+            if trail_n:
+                avg = float(sum(trail_n)) / float(len(trail_n))
+                burst = len(trail_n) >= min_active and float(n) >= 2.0 * avg
+            else:
+                avg, burst = None, False
+            out["event_type"].append(event_type)
+            out["minute_idx"].append(m)
+            out["n_events"].append(n)
+            out["trailing_avg"].append(avg)
+            out["is_burst"].append(burst)
+        state.update((minutes, counts))
+        yield pd.DataFrame(out)
+
+    return (
+        events.filter("ts IS NOT NULL")
+        .select("event_type", "ts")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update_bursts,
+            outputStructType=BURST_OUTPUT_SCHEMA,
+            stateStructType=BURST_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

