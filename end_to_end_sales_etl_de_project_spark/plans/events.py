@@ -145,14 +145,30 @@ def e04_user_activity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# As-of semantics pinned to DuckDB's ASOF LEFT JOIN: latest right row
-# with right.ts <= left.ts per key; equal timestamps match.
+# As-of semantics: latest right row with right.ts <= left.ts per key;
+# equal timestamps match (DuckDB ASOF). The oracle spells the match
+# out as an explicit argmax instead of DuckDB's native ASOF LEFT JOIN
+# because ASOF leaves the pick among DUPLICATE (key, ts) right rows
+# unspecified — the r14 identical_events axis (every event at one
+# timestamp) made it disagree with the engine's documented tie rule.
+# The tie rule IS part of the operator contract (temporal_joins.
+# asof_join: max right payload by struct ordering — here ts equal, so
+# max value, NULLs losing), and the ORDER BY below states it exactly.
 _E05_ORACLE = """
-SELECT l.event_id, l.user_id, l.ts, l.value,
-       r.ts AS ts_right, r.value AS value_right
-FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
-  ON l.user_id = r.user_id AND l.ts >= r.ts
+WITH l AS (SELECT event_id, user_id, ts, value
+           FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, value
+      FROM events WHERE event_type = 'signup' AND ts IS NOT NULL),
+cand AS (
+  SELECT l.event_id, r.ts AS ts_right, r.value AS value_right,
+         ROW_NUMBER() OVER (PARTITION BY l.event_id
+                            ORDER BY r.ts DESC,
+                                     r.value DESC NULLS LAST) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+)
+SELECT l.event_id, l.user_id, l.ts, l.value, c.ts_right, c.value_right
+FROM l LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  ON l.event_id = c.event_id
 """
 
 

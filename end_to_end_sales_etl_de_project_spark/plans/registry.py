@@ -99,7 +99,6 @@ DRIVER_WINDOW: list[str] = [
     "d20_cross_source_dups",
     "e02_sliding_hourly_30m",
     "e03_session_window",
-    "m03_frame_sample",
     "q55_string_agg",
     "q59_data_profile",
     "q98_line_priority",
@@ -146,6 +145,16 @@ DRIVER_WINDOW: list[str] = [
     # r08 evidence + local parity and head the r15 queue with q32.
     "e28_concurrency_peak",
     "e30_rfm_segments",
+    # e05's ORACLE was restated as an explicit argmax pinning the
+    # duplicate-(key,ts) tie rule (the r14 identical_events axis:
+    # DuckDB's native ASOF leaves that pick unspecified). The Spark
+    # side is unchanged, but the oracle is half the contract, so e05
+    # re-earns driver evidence (the q41/q90 precedent). Its slot
+    # displaces m03_frame_sample from the r08 block: the multimodal
+    # family keeps three in-window representatives (m02/m05/m07)
+    # riding the same decode seams and documents_as_assets path; m03
+    # keeps r08 evidence + local parity and heads the r15 queue.
+    "e05_asof_join",
     # q41's shared final-projection text now
     # roundtrips every moment sum DECIMAL->STRING->DOUBLE (DuckDB's
     # direct hugeint-decimal cast double-rounds — the e18 class,
@@ -168,9 +177,9 @@ DRIVER_WINDOW: list[str] = [
 ]
 # ---- Standing r15 refresh queue (generated from the COVERAGE evidence
 # table: oldest-evidence rows NOT holding an r14 slot). The r14
-# rotation consumed the r08 queue except e01/e14 (displaced by the
-# late-round e28/e30 staleness, see above); next up: q32 (r07
-# rows-only), e01, e14, then the 39 r09-era rows (see COVERAGE.md's evidence table), plus whatever
+# rotation consumed the r08 queue except e01/e14/m03 (displaced by
+# the late-round e28/e30/e05 contract changes, see above); next up:
+# q32 (r07 rows-only), e01, e14, m03, then the 39 r09-era rows (see COVERAGE.md's evidence table), plus whatever
 # scripts/driver_evidence.py flags stale from the r15 diffs.
 # tests/test_registry_window.py enforces the union invariant either
 # way.

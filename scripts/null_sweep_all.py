@@ -419,6 +419,29 @@ COPY (
     )
 
 
+def build_identical_events(out: str) -> None:
+    """Degenerate-duplication axis for the events scope (r14): EVERY
+    event at the same timestamp — the window family's worst case.
+    Every ORDER BY ts is one giant peer group (RANGE frames include
+    the whole partition, lag/lead resolve purely by the documented
+    tie-breaks), every session is a single zero-length run, every
+    inter-arrival gap is zero, and every funnel/attribution lookback
+    collapses to simultaneity. Tie-break discipline that holds on
+    realistic data by luck breaks loudly here. event_id/user_id/type/
+    value keep their real distribution so aggregations stay
+    non-degenerate."""
+    _clone_except(SF, out, {"events"})
+    duckdb.connect().execute(
+        f"""
+COPY (
+  SELECT event_id, TIMESTAMP '2024-01-05 10:00:00' AS ts,
+         user_id, event_type, value, props
+  FROM read_parquet('{SF}/events.parquet')
+) TO '{out}/events.parquet' (FORMAT PARQUET)
+"""
+    )
+
+
 def build_identical_emb(out: str) -> None:
     """Degenerate-duplication axis for the embeddings scope (VERDICT
     r13 #5): EVERY vector identical — the IVF/PQ training loop's
@@ -507,6 +530,7 @@ FIXTURES = {
     # docs family — every oracle reading the documents table
     "identical": (build_identical, ["documents"]),
     "identical_emb": (build_identical_emb, ["embeddings"]),
+    "identical_events": (build_identical_events, ["events"]),
     "twodoc": (build_twodoc, ["documents"]),
     # extreme-values axis (r12): sales facts with edge rows appended
     "extreme": (build_extreme, ["lineitem", "orders"]),
