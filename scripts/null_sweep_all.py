@@ -419,6 +419,48 @@ COPY (
     )
 
 
+def build_identical_sales(out: str) -> None:
+    """Degenerate-duplication axis for the sales scope (r14): every
+    MEASURE and ORDERING COLUMN identical — one order date, one total
+    price, one quantity/price/discount/tax per line, one ship date —
+    while all KEYS keep their real distribution. Every revenue rank
+    ties across an entire nation, every keep-latest window ties on the
+    date, every decile/NTILE boundary is one value, every month key is
+    the same month, every Pareto cumulative share is linear. Rank/
+    row_number tie-breaks that hold on realistic data by luck (the
+    e05 ASOF class) break loudly; aggregates must still be exact on
+    the constant inputs."""
+    _clone_except(SF, out, set(_SALES_MUTATIONS))
+    con = duckdb.connect()
+    con.execute(
+        f"""
+COPY (SELECT * REPLACE (
+        TIMESTAMP '2024-03-15 00:00:00' AS o_orderdate,
+        CAST(1000.00 AS DOUBLE) AS o_totalprice,
+        'O' AS o_orderstatus,
+        '3-MEDIUM' AS o_orderpriority)
+      FROM read_parquet('{SF}/orders.parquet'))
+TO '{out}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""
+COPY (SELECT * REPLACE (
+        CAST(10.0 AS DOUBLE) AS l_quantity,
+        CAST(500.00 AS DOUBLE) AS l_extendedprice,
+        CAST(0.05 AS DOUBLE) AS l_discount,
+        CAST(0.04 AS DOUBLE) AS l_tax,
+        'N' AS l_returnflag,
+        'O' AS l_linestatus,
+        TIMESTAMP '2024-03-20 00:00:00' AS l_shipdate)
+      FROM read_parquet('{SF}/lineitem.parquet'))
+TO '{out}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    # _clone_except skipped the whole mutation set; supplier/nation/
+    # region stay UNMUTATED on this axis (keys and dims are real)
+    for t in ("supplier", "nation", "region"):
+        shutil.copy(f"{SF}/{t}.parquet", f"{out}/{t}.parquet")
+
+
 def build_identical_events(out: str) -> None:
     """Degenerate-duplication axis for the events scope (r14): EVERY
     event at the same timestamp — the window family's worst case.
@@ -531,6 +573,7 @@ FIXTURES = {
     "identical": (build_identical, ["documents"]),
     "identical_emb": (build_identical_emb, ["embeddings"]),
     "identical_events": (build_identical_events, ["events"]),
+    "identical_sales": (build_identical_sales, SALES_TABLES),
     "twodoc": (build_twodoc, ["documents"]),
     # extreme-values axis (r12): sales facts with edge rows appended
     "extreme": (build_extreme, ["lineitem", "orders"]),
