@@ -267,6 +267,10 @@ HEADLINE = [
     "e35_dwell_histogram",
     "q113_pareto_coverage",
     "q114_key_skew_audit",
+    # round-14 continuation additions
+    "t42_frequent_tokens",
+    "d28_cms_error_audit",
+    "a24_knn_triangles",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

@@ -2588,6 +2588,163 @@ FROM {prev} LEFT JOIN deg d ON {prev}.node = d.src
 
 
 # ---------------------------------------------------------------------------
+# kNN-graph triangle census: local clustering coefficient per vector
+# ---------------------------------------------------------------------------
+
+
+def knn_triangles(
+    emb: DataFrame,
+    graph: DataFrame | None = None,
+    k: int = 3,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+) -> DataFrame:
+    """Triangle count + local clustering coefficient per vector over
+    the corpus kNN graph — the neighborhood-density signal that
+    complements a16's centrality: a vector whose neighbors are also
+    neighbors of EACH OTHER sits inside a tight semantic cluster
+    (near-dup colony, template family — a10's SemDeDup targets), while
+    high degree with zero triangles is hub-like bridging (diverse
+    regions, the coreset keeper profile). Output: (vec_id, degree,
+    n_tri, lcc) with lcc = 2*T / (deg*(deg-1)), 0.0 below degree 2.
+
+    Algorithm: the degree-ordered triangle census (the standard
+    distributed formulation — Suri & Vassilvitskii 2011's MapReduce
+    variant). The directed kNN edges are first symmetrized to simple
+    undirected edges, then each edge is ORIENTED from its lower
+    (degree, id) endpoint to the higher; wedges are built by
+    self-joining oriented edges on the low endpoint and closed by an
+    equi-join against the oriented edge set. Orienting by degree
+    bounds every node's oriented out-degree by O(sqrt(|E|)) — the
+    wedge join's fan-out — so a celebrity vector with huge IN-degree
+    (everyone's nearest neighbor) generates its wedges at its
+    low-degree spokes instead of exploding at the hub. Out-degree of
+    the raw kNN graph is k, so |E| <= k|V| and the whole census is
+    equi-joins over 16-byte edge rows; nothing ever shuffles payloads.
+
+    Every triangle is counted exactly once (at its lowest-rank
+    vertex), then credited to all three corners. Integer counts plus
+    one guarded IEEE division per row: hash-exact vs the DuckDB twin.
+    """
+    if graph is None:
+        graph = lsh_topk_multiprobe(emb, emb, k=k, dim=dim, sig_bits=sig_bits)
+    und = graph.select(
+        F.least("query_id", "neighbor_id").alias("a"),
+        F.greatest("query_id", "neighbor_id").alias("b"),
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    ed = und.join(
+        deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    orient = ed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("hi_deg"),
+    )
+    e1 = orient.select("lo", F.col("hi").alias("v"), F.col("hi_deg").alias("dv"))
+    e2 = orient.select("lo", F.col("hi").alias("w"), F.col("hi_deg").alias("dw"))
+    wedge = e1.join(e2, "lo").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = orient.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    tri = wedge.join(closing, ["v", "w"]).select(
+        F.col("lo").alias("x"), "v", "w"
+    )
+    tcnt = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    dcol = F.coalesce(F.col("degree"), F.lit(0).cast("bigint"))
+    tcol = F.coalesce(F.col("n_tri"), F.lit(0).cast("bigint"))
+    lcc = F.when(
+        dcol >= 2,
+        (F.lit(2.0) * tcol.cast("double"))
+        / (dcol.cast("double") * (dcol - F.lit(1)).cast("double")),
+    ).otherwise(F.lit(0.0))
+    return (
+        emb.select("vec_id")
+        .join(deg.select(F.col("node").alias("vec_id"), "degree"), "vec_id", "left")
+        .join(tcnt.select(F.col("node").alias("vec_id"), "n_tri"), "vec_id", "left")
+        .select(
+            "vec_id",
+            dcol.alias("degree"),
+            tcol.alias("n_tri"),
+            lcc.alias("lcc"),
+        )
+    )
+
+
+def knn_triangles_sql(
+    k: int = 3,
+    dim: int = DIM,
+    sig_bits: int = SIG_BITS,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin: identical symmetrize -> degree-orient -> wedge ->
+    close pipeline over the shared multiprobe graph CTE."""
+    graph = lsh_topk_multiprobe_sql(
+        "TRUE", k=k, dim=dim, sig_bits=sig_bits, table=table
+    )
+    return f"""
+WITH graph AS ({graph}),
+und AS (
+  SELECT DISTINCT least(query_id, neighbor_id) AS a,
+                  greatest(query_id, neighbor_id) AS b
+  FROM graph),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) u
+  GROUP BY node),
+orient AS (
+  SELECT CASE WHEN lo_first THEN a ELSE b END AS lo,
+         CASE WHEN lo_first THEN b ELSE a END AS hi,
+         CASE WHEN lo_first THEN db ELSE da END AS hi_deg
+  FROM (
+    SELECT u.a, u.b, da.degree AS da, db.degree AS db,
+           (da.degree < db.degree
+            OR (da.degree = db.degree AND u.a < u.b)) AS lo_first
+    FROM und u
+    JOIN deg da ON u.a = da.node
+    JOIN deg db ON u.b = db.node) x),
+tri AS (
+  SELECT e1.lo AS x, e1.hi AS v, e2.hi AS w
+  FROM orient e1
+  JOIN orient e2 ON e1.lo = e2.lo
+  JOIN orient e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+  WHERE e1.hi_deg < e2.hi_deg
+     OR (e1.hi_deg = e2.hi_deg AND e1.hi < e2.hi)),
+tcnt AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT v AS node FROM tri
+    UNION ALL SELECT w AS node FROM tri) u
+  GROUP BY node)
+SELECT e.vec_id,
+       COALESCE(d.degree, CAST(0 AS BIGINT)) AS degree,
+       COALESCE(t.n_tri, CAST(0 AS BIGINT)) AS n_tri,
+       CASE WHEN COALESCE(d.degree, 0) >= 2
+            THEN (2.0 * CAST(COALESCE(t.n_tri, 0) AS DOUBLE))
+                 / (CAST(d.degree AS DOUBLE) * CAST(d.degree - 1 AS DOUBLE))
+            ELSE 0.0 END AS lcc
+FROM {table} e
+LEFT JOIN deg d ON e.vec_id = d.node
+LEFT JOIN tcnt t ON e.vec_id = t.node
+"""
+
+
+# ---------------------------------------------------------------------------
 # Matryoshka truncation audit: recall of prefix-dim search vs full-dim
 # ---------------------------------------------------------------------------
 

@@ -1578,3 +1578,121 @@ SELECT source,
 FROM per_source
 """
 
+
+
+# ---------------------------------------------------------------------------
+# Frequent tokens: Misra-Gries candidates + exact verification
+# ---------------------------------------------------------------------------
+
+
+def frequent_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    capacity: int = 128,
+) -> DataFrame:
+    """Corpus-wide heavy-hitter tokens — every token whose exact count
+    exceeds ``total/capacity`` — via the two-phase sketch-then-verify
+    pattern that makes frequent-items tractable at 100 TB: (token,
+    n_token, total_tokens, share).
+
+    Phase 1 runs a Misra-Gries summary of ``capacity`` counters PER
+    PARTITION (bounded memory, one streaming pass, no shuffle), then
+    merges the per-partition summaries on the driver with the
+    mergeable-summaries rule (Agarwal et al. 2012: sum counters, then
+    subtract the (capacity+1)-th largest and drop non-positives). The
+    merged summary undercounts any token by at most N/(capacity+1), so
+    every token with true count > N/capacity is GUARANTEED a candidate
+    — the candidate set itself may vary with partitioning, but phase 2
+    makes the output partition-independent. Phase 2 exact-counts ONLY
+    the <= capacity candidate tokens: the broadcast IN-list prunes the
+    token grain before the aggregation shuffle, so the shuffle carries
+    candidate rows only — never the full vocabulary. The strict filter
+    ``n_token * capacity > total`` then yields EXACTLY the true heavy
+    hitters: deterministic, partition-order-free, hash-checkable.
+
+    The collect is control-plane bounded: <= capacity rows per
+    partition summary (at 1000 executors x 32 partitions each this is
+    a few MB; a tree-merge of summaries is the escape hatch long
+    before that matters). ``total_tokens`` folds map-side from per-doc
+    token-array lengths — the corpus-wide token count never shuffles
+    the token grain either. The DuckDB twin is the exact GROUP BY +
+    HAVING the two phases reproduce.
+    """
+    toks = docs.select(F.explode(tokens(text_col)).alias("token"))
+    cap = int(capacity)
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > cap:
+                vals = sorted(counters.values(), reverse=True)
+                thr = vals[cap]
+                counters = {
+                    t: c - thr for t, c in counters.items() if c - thr > 0
+                }
+        yield pd.DataFrame(
+            {"token": list(counters.keys()), "cnt": list(counters.values())}
+        )
+
+    summaries = toks.mapInPandas(mg_partition, "token string, cnt long").collect()
+    merged: dict[str, int] = {}
+    for row in summaries:
+        merged[row["token"]] = merged.get(row["token"], 0) + int(row["cnt"])
+    if len(merged) > cap:
+        vals = sorted(merged.values(), reverse=True)
+        thr = vals[cap]
+        merged = {t: c - thr for t, c in merged.items() if c - thr > 0}
+    candidates = sorted(merged)
+
+    total_df = docs.agg(
+        F.coalesce(
+            F.sum(F.size(tokens(text_col)).cast("bigint")), F.lit(0).cast("bigint")
+        ).alias("total_tokens")
+    )
+    cand_pred = F.col("token").isin(candidates) if candidates else F.lit(False)
+    exact = (
+        toks.filter(cand_pred)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_token"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total_df))
+        .filter(F.col("n_token") * F.lit(cap) > F.col("total_tokens"))
+        .select(
+            "token",
+            "n_token",
+            "total_tokens",
+            (
+                F.col("n_token").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
+def frequent_tokens_sql(
+    text_col: str = "text",
+    capacity: int = 128,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: the exact GROUP BY + strict HAVING the sketch-then-
+    verify phases reproduce (the Misra-Gries guarantee makes the Spark
+    output identical to this for every partitioning)."""
+    toks = tokens_sql(text_col)
+    return f"""
+WITH tok AS (
+  SELECT unnest({toks}) AS token FROM {table} WHERE {text_col} IS NOT NULL
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens FROM tok),
+cnt AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_token FROM tok GROUP BY token
+)
+SELECT c.token, c.n_token, t.total_tokens,
+       CAST(c.n_token AS DOUBLE) / CAST(t.total_tokens AS DOUBLE) AS share
+FROM cnt c CROSS JOIN tot t
+WHERE c.n_token * {capacity} > t.total_tokens
+"""

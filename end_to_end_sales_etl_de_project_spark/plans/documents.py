@@ -3541,3 +3541,52 @@ def c16_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("mass_total").cast("double")
         ).alias("resampled_share"),
     )
+
+
+@_register("t42_frequent_tokens", text.frequent_tokens_sql(capacity=128))
+def t42_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy-hitter tokens via the sketch-then-verify pattern:
+    a per-partition Misra-Gries summary (128 bounded counters, no
+    shuffle) generates <= 128 candidates whose broadcast IN-list
+    prunes the token grain BEFORE the exact-count aggregation — the
+    only way a "tokens above total/k frequency" query avoids shuffling
+    the full vocabulary at 100 TB. The MG merge guarantee makes the
+    output exactly the true heavy hitters for every partitioning, so
+    the sketch path is hash-checked against the plain GROUP BY +
+    HAVING oracle (see operators/text.py:frequent_tokens for the
+    guarantee argument). Complements t31 (fixed top-k coverage): this
+    is the threshold-form with a partition-independent contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.frequent_tokens(docs, capacity=128)
+
+
+@_register("d28_cms_error_audit", dedup.cms_error_audit_sql())
+def d28_cms_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min-sketch width dial as a hash-checked table — d23's
+    sizing-curve pattern applied to COUNT estimation: per sketch width,
+    the measured document-frequency overcount across every distinct
+    shingle (est >= exact is a structural invariant; the audit prices
+    the width at which DF tracking for the d-family's max_df caps goes
+    from useless to exact — on this corpus 512 buckets overcount 100%
+    of keys, 32768 buckets 2.6% with max error 2). Reads the session
+    shingle-index artifact; each grid leg is a <= w-row bucket
+    aggregate joined back by broadcast."""
+    shx = _shingle_index(spark, sf_dir, 3)
+    return dedup.cms_error_audit(shx)
+
+
+@_register("a24_knn_triangles", similarity.knn_triangles_sql(k=3))
+def a24_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + local clustering coefficient over the a09 kNN
+    graph — the neighborhood-density complement to a16's centrality:
+    high lcc marks tight semantic colonies (near-dup families, the
+    a10 SemDeDup targets), high degree at zero lcc marks bridging
+    hubs (coreset keepers). Degree-ordered wedge joins bound the
+    fan-out at O(sqrt(|E|)) per node (Suri & Vassilvitskii 2011), so
+    a celebrity vector can't explode the join. Reads the session
+    graph artifact (build once, audit many — the a14/a16 pattern);
+    integer counts + one guarded division ⇒ hash-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_triangles(
+        emb, graph=_knn_graph_artifact(spark, sf_dir), k=3
+    )

@@ -106,9 +106,6 @@ DRIVER_WINDOW: list[str] = [
     "q100_heavy_small_part_suppliers",
     "q103_partition_completeness",
     "q104_promo_revenue",
-    "t02_language_id",
-    "t03_quality_score",
-    "t10_pii_redact",
     "t11_token_packing",
     "t12_source_cap",
     "t27_dsir_importance",
@@ -174,6 +171,19 @@ DRIVER_WINDOW: list[str] = [
     "e35_dwell_histogram",
     "q113_pareto_coverage",
     "q114_key_skew_audit",
+    # -- r14 continuation additions (post-close session): the
+    # sketch-then-verify heavy hitters, the CMS width audit, and the
+    # kNN triangle census. Their slots displace t02/t03/t10 from the
+    # r08 refresh block (new queries outrank refreshes, the e01/e14
+    # precedent): each displaced row keeps green r08 evidence + local
+    # parity, and its shape keeps an in-window representative —
+    # in-window t35 is t02's n-gram language scorer with confidence
+    # margins, t37 composes the same quality primitives as t03, and
+    # t39 rides t10's PII regex set verbatim. All three head the r15
+    # queue with q32/e01/e14/m03.
+    "t42_frequent_tokens",
+    "d28_cms_error_audit",
+    "a24_knn_triangles",
 ]
 # ---- Standing r15 refresh queue (generated from the COVERAGE evidence
 # table: oldest-evidence rows NOT holding an r14 slot). The r14

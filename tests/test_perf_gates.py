@@ -89,6 +89,17 @@ GATES = [
     ("q02_sales_team_incentive", 3.0),  # reference A2 window + rank-tie incentive
     ("d06_neardup_resolve", 8.0),  # full LSH->components resolution chain
     ("q01g_customer_monthly_spend_grouped", 2.0),  # flagship groupBy form
+    # r14 continuation: the three post-close additions, gated from
+    # birth (no waiting for a top-10 visit). Idle steady-state sf0.01
+    # min-of-3 under this fixture's config (canary 0.37 < idle pin):
+    # t42 0.71 s, d28 1.66 s, a24 1.04 s. Usual 3-5x headroom; the
+    # regression classes guarded: t42 re-running the MG phase per
+    # consumer / losing the candidate prune, d28 re-deriving the md5
+    # bucket hashes per grid leg (the 3.9 s first cut), a24 re-banding
+    # the corpus instead of reading the session graph artifact.
+    ("t42_frequent_tokens", 3.0),
+    ("d28_cms_error_audit", 6.0),
+    ("a24_knn_triangles", 4.0),
 ]
 
 # Idle steady-state of the canary (q10: scan + per-group window rank)

@@ -1281,3 +1281,31 @@ def test_r14_additions_plan_shapes(spark):
         assert "doc_id" not in m.group(1), plan
     for m in _re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         assert m.group(1) == "source:string", plan
+
+
+def test_r14_continuation_plan_shapes(spark):
+    """The post-close continuation additions' scale promises: t42's
+    exact phase carries the Misra-Gries candidate IN-set BELOW the
+    aggregation (the vocabulary never shuffles un-pruned) with its
+    total-tokens scalar broadcast; d28's 16 bucket-sum joins all
+    broadcast (the sketch IS control-plane sized — that's the point of
+    a CMS) with no sort-merge fallback; a24's wedge/closure joins stay
+    equi-joins end to end (the degree-oriented census never
+    cross-joins)."""
+    def counts(name):
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange"), plan.count("BroadcastExchange"), plan
+
+    ex, bc, plan = counts("t42_frequent_tokens")
+    assert "INSET" in plan or " IN (" in plan, plan   # candidate prune below agg
+    assert bc >= 1, plan                              # total scalar broadcasts
+    assert ex - bc <= 2, plan                         # token agg + scalar collapse
+    assert "CartesianProduct" not in plan, plan
+    ex, bc, plan = counts("d28_cms_error_audit")
+    assert plan.count("BroadcastHashJoin") >= 16, plan  # 4 widths x 4 hash rows
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    ex, bc, plan = counts("a24_knn_triangles")
+    assert "CartesianProduct" not in plan, plan       # all equi-joins
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -1,0 +1,103 @@
+"""Behavioral invariants for the r14-continuation operators —
+properties the oracle hash cannot express directly: t42's output must
+be PARTITION-INDEPENDENT (the Misra-Gries merge guarantee), d28's CMS
+estimates must be one-sided, and a24's census must count a
+hand-computable graph exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_to_end_sales_etl_de_project_spark.operators import similarity, text
+from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ft_rows(df):
+    return sorted(
+        (r["token"], r["n_token"], r["total_tokens"]) for r in df.collect()
+    )
+
+
+def test_t42_output_is_partition_independent(spark):
+    """The whole point of the sketch-then-verify design: the candidate
+    SET may vary with partitioning, but the verified output may not.
+    Run the operator over adversarial partitionings (one partition =
+    the pure-stream MG; many tiny partitions = maximal summary
+    merging) and pin identical results."""
+    docs = load_table(spark, SF, "documents")
+    baseline = _ft_rows(text.frequent_tokens(docs, capacity=128))
+    assert baseline, "fixture corpus should yield heavy hitters"
+    for parts in (1, 7, 61):
+        got = _ft_rows(text.frequent_tokens(docs.repartition(parts), capacity=128))
+        assert got == baseline, f"partitioning {parts} changed the output"
+
+
+def test_t42_matches_plain_group_by(spark):
+    """The sketch path equals the exact GROUP BY + HAVING it claims to
+    reproduce, computed independently Spark-side (the DuckDB twin is
+    the cross-engine check; this is the same-engine one)."""
+    docs = load_table(spark, SF, "documents")
+    got = _ft_rows(text.frequent_tokens(docs, capacity=128))
+    toks = docs.select(F.explode(text.tokens("text")).alias("token"))
+    total = toks.count()
+    want = sorted(
+        (r["token"], r["n"], total)
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") * 128 > F.lit(total))
+        .collect()
+    )
+    assert got == want
+
+
+def test_d28_estimates_are_one_sided_and_width_monotone_in_law(spark):
+    """CMS structural laws on the fixture corpus: est >= exact for
+    every key (one-sided by construction → n_over <= n_keys, errors
+    non-negative), n_keys identical across grid rows (the ground truth
+    is width-independent), and the 4-row depth recorded as declared."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["d28_cms_error_audit"](spark, SF).collect()
+    assert len(rows) == 4
+    n_keys = {r["n_keys"] for r in rows}
+    assert len(n_keys) == 1 and n_keys.pop() > 0
+    for r in rows:
+        assert r["depth"] == 4
+        assert 0 <= r["n_over"] <= r["n_keys"]
+        assert r["sum_err"] >= 0 and r["max_err"] >= 0
+        assert r["sum_err"] == 0 or r["max_err"] > 0
+        assert abs(r["over_rate"] - r["n_over"] / r["n_keys"]) == 0.0
+
+
+def test_a24_counts_a_handmade_graph_exactly(spark):
+    """Feed a known graph through the census: K4 on {1,2,3,4} (every
+    triple a triangle) plus a pendant 5-6 edge and an isolate 7.
+    Directed duplicate edges must symmetrize away; expected per-node
+    (degree, n_tri, lcc) is hand-computable."""
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # K4
+        (2, 1), (4, 3),                                  # directed dups
+        (5, 6),                                          # pendant pair
+    ]
+    graph = spark.createDataFrame(
+        [(a, b, 1, 1.0) for a, b in edges],
+        "query_id long, neighbor_id long, rank int, cosine double",
+    )
+    emb = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "vec_id long"
+    )
+    got = {
+        r["vec_id"]: (r["degree"], r["n_tri"], r["lcc"])
+        for r in similarity.knn_triangles(emb, graph=graph).collect()
+    }
+    assert got == {
+        1: (3, 3, 1.0),
+        2: (3, 3, 1.0),
+        3: (3, 3, 1.0),
+        4: (3, 3, 1.0),
+        5: (1, 0, 0.0),
+        6: (1, 0, 0.0),
+        7: (0, 0, 0.0),
+    }
