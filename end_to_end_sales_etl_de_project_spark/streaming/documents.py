@@ -395,3 +395,202 @@ def start_neardup_gate(
         .foreachBatch(fold)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min sketch: online shingle-DF tracking (d28's twin)
+# ---------------------------------------------------------------------------
+
+CMS_STREAM_W = 1024
+CMS_STREAM_DEPTH = 4
+
+
+def _py_h60(s: str) -> int:
+    """Driver-side twin of functions/hashing.h60 (same md5-prefix
+    parse), for bucketing PROBE keys without a Spark job."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _doc_shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document DISTINCT hashed k-shingles as (shingle) rows — the
+    per-row-expression form of ``dedup.shingle_table`` + h60 (the same
+    array pipeline the decontamination gate runs), so each (doc,
+    shingle) contributes exactly once: document-frequency semantics,
+    identical to the batch d28 ground truth."""
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60
+    from end_to_end_sales_etl_de_project_spark.operators.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    # two-step projection (tokens -> shingles): inlining the token
+    # chain re-evaluates it per shingle inside the transform lambda
+    # (shingles_from_tokens docstring, ~6.5x on the explode)
+    toked = docs.filter(F.col("text").isNotNull()).select(
+        tokens("text").alias("toks")
+    )
+    hashed = F.array_distinct(
+        F.transform(shingles_from_tokens(F.col("toks"), k), h60)
+    )
+    return toked.select(F.explode(hashed).alias("shingle"))
+
+
+def cms_probe_stream(
+    docs: DataFrame,
+    probes: list[int],
+    w: int = CMS_STREAM_W,
+    depth: int = CMS_STREAM_DEPTH,
+    k: int = 3,
+) -> DataFrame:
+    """Online shingle document-frequency tracking via a count-min
+    sketch held IN STATE — the streaming face of d28: the batch audit
+    prices the width; this gate maintains the w x depth counter grid
+    as documents land and emits, per micro-batch, each PROBE key's
+    per-row estimate. The production question it answers online is the
+    d-family's: "has this shingle's DF crossed the max_df boilerplate
+    cap yet" — without tracking per-key state for an unbounded key
+    universe (the entire point of a CMS: state is w*depth longs,
+    CONSTANT in corpus size, vs the unbounded map a per-key counter
+    gate would grow).
+
+    State is partitioned BY HASH ROW (``depth`` groups, each holding
+    its w-counter array): rows are independent by construction, so
+    this is the natural shard key; at production width shard further
+    by counter block — (row, bucket // B) — since bucket updates
+    within a row are also independent sums. Counter updates COMMUTE
+    (integer sums), so the state after all input is bit-identical for
+    every micro-batch partitioning — the final emission per (row,
+    probe) equals the batch sketch exactly (test-pinned), unlike the
+    order-sensitive summaries (t42's Misra-Gries) where only the
+    verified output is partition-free.
+
+    Output per batch and probe: (row_idx, probe, est, n_seen) with
+    ``est`` the row's counter at the probe's bucket AFTER folding the
+    batch and ``n_seen`` the row's total folded shingle occurrences
+    (monotone — the test selects each row's final emission by max
+    n_seen). Election to the CMS estimate (min across rows) is
+    ``cms_probe_decisions`` below, the neardup_probe/decisions split.
+    """
+    from collections.abc import Iterable
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60_seeded
+
+    probe_buckets = {
+        s: [(int(p), _py_h60(f"{p}#{s}") % w) for p in probes]
+        for s in range(depth)
+    }
+    seeded = _doc_shingle_rows(docs, k).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("row_idx"),
+                        (
+                            h60_seeded(F.col("shingle").cast("string"), s)
+                            % F.lit(w)
+                        ).alias("bucket"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("e")
+    ).select("e.row_idx", "e.bucket")
+
+    def update_cms(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        import pandas as pd  # noqa: F811 — resolved on the worker
+
+        (row_idx,) = key
+        if state.exists:
+            counters_t, n_seen = state.get
+            counters = list(counters_t)
+        else:
+            counters, n_seen = [0] * w, 0
+        for pdf in pdfs:
+            for b, c in pdf["bucket"].value_counts().items():
+                counters[int(b)] += int(c)
+                n_seen += int(c)
+        state.update((counters, n_seen))
+        pb = probe_buckets[int(row_idx)]
+        yield pd.DataFrame(
+            {
+                "row_idx": [int(row_idx)] * len(pb),
+                "probe": [p for p, _ in pb],
+                "est": [counters[b] for _, b in pb],
+                "n_seen": [n_seen] * len(pb),
+            }
+        )
+
+    return seeded.groupBy("row_idx").applyInPandasWithState(
+        update_cms,
+        outputStructType="row_idx int, probe bigint, est bigint, n_seen bigint",
+        stateStructType="counters array<bigint>, n_seen bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def cms_probe_batch(
+    docs: DataFrame,
+    probes: list[int],
+    w: int = CMS_STREAM_W,
+    depth: int = CMS_STREAM_DEPTH,
+    k: int = 3,
+) -> DataFrame:
+    """BATCH twin of the final stream state: per (row, probe), the
+    bucket sum over the whole corpus — bit-equal to the stream's last
+    emission because counter updates are integer sums. One bounded
+    (<= w-row) aggregate per hash row; probe lookup joins are against
+    a driver-built <= |probes|-row frame."""
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60_seeded
+
+    rows = _doc_shingle_rows(docs, k)
+    spark = docs.sparkSession
+    legs = []
+    for s in range(depth):
+        sums = (
+            rows.select(
+                (h60_seeded(F.col("shingle").cast("string"), s) % F.lit(w)).alias(
+                    "bucket"
+                )
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("est"))
+        )
+        pb = spark.createDataFrame(
+            [(s, int(p), _py_h60(f"{p}#{s}") % w) for p in probes],
+            "row_idx int, probe long, bucket long",
+        )
+        legs.append(
+            pb.join(sums, "bucket", "left").select(
+                "row_idx",
+                "probe",
+                F.coalesce(F.col("est"), F.lit(0).cast("bigint")).alias("est"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def cms_probe_decisions(probe_rows: DataFrame) -> DataFrame:
+    """Election over ``cms_probe_stream`` emissions: keep each row's
+    FINAL emission (max n_seen — state is monotone), then the CMS
+    estimate is the min across hash rows: (probe, df_estimate).
+    One-sided by construction: df_estimate >= the key's exact DF."""
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("row_idx", "probe").orderBy(F.col("n_seen").desc())
+    latest = probe_rows.withColumn("rn", F.row_number().over(win)).filter(
+        F.col("rn") == 1
+    )
+    return latest.groupBy("probe").agg(
+        F.min("est").cast("bigint").alias("df_estimate")
+    )

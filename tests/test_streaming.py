@@ -806,3 +806,62 @@ def test_burst_stream_state_spans_micro_batches(spark, sf_dir, tmpdir):
     got = _canon(result)
     assert len(got) > 0
     assert got == _canon(batch)
+
+
+def test_cms_probe_stream_equals_batch(spark, sf_dir, docs_src):
+    """The streaming CMS holds the w x depth counter grid in state;
+    counter updates are integer sums, so the FINAL emission per (hash
+    row, probe) must be bit-equal to the batch sketch regardless of
+    micro-batch splits (docs_src streams two files, one per trigger).
+    The elected min-across-rows estimate must obey the one-sided CMS
+    law against the exact shingle-DF ground truth."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60
+    from end_to_end_sales_etl_de_project_spark.operators import dedup
+    from end_to_end_sales_etl_de_project_spark.streaming.documents import (
+        cms_probe_batch,
+        cms_probe_decisions,
+        cms_probe_stream,
+        read_documents_stream,
+    )
+
+    landing = spark.read.parquet(docs_src)
+    exact = (
+        dedup.shingle_table(landing, "doc_id", "text", 3)
+        .select("doc", h60(F.col("shingle")).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    top = exact.orderBy(F.desc("df"), "shingle").limit(2).collect()
+    probes = [int(r["shingle"]) for r in top] + [424242]  # absent key
+    exact_df = {int(r["shingle"]): int(r["df"]) for r in top}
+    exact_df[424242] = 0
+
+    stream = read_documents_stream(spark, docs_src)
+    rows = run_to_memory_sink(
+        cms_probe_stream(stream, probes), "cms_probe_test", "append"
+    )
+    # final emission per (row, probe): the max-n_seen row
+    latest = (
+        rows.groupBy("row_idx", "probe")
+        .agg(F.max_by("est", "n_seen").alias("est"))
+        .collect()
+    )
+    got = {(r["row_idx"], r["probe"]): r["est"] for r in latest}
+    want = {
+        (r["row_idx"], r["probe"]): r["est"]
+        for r in cms_probe_batch(landing, probes).collect()
+    }
+    assert len(want) == 4 * 3 and got == want  # stream ≡ batch, bit-exact
+    # election: min across rows, one-sided vs exact DF
+    est = {
+        int(r["probe"]): int(r["df_estimate"])
+        for r in cms_probe_decisions(rows).collect()
+    }
+    for p in probes:
+        assert est[p] >= exact_df[p]
+    # non-vacuous: the heavy probes' estimates are near their true DF
+    # (top-DF keys dominate their buckets; equality when no collision)
+    for p in probes[:2]:
+        assert est[p] >= exact_df[p] > 0
