@@ -1648,9 +1648,15 @@ def frequent_tokens(
         merged = {t: c - thr for t, c in merged.items() if c - thr > 0}
     candidates = sorted(merged)
 
+    # size(NULL) is -1 under legacy semantics (the t37 lesson — caught
+    # live by the planted-NULL docs sweep: two NULL-text docs shaved 2
+    # off the threshold denominator), so NULL text is guarded to 0
+    n_toks = F.when(
+        F.col(text_col).isNull(), F.lit(0)
+    ).otherwise(F.size(tokens(text_col)))
     total_df = docs.agg(
         F.coalesce(
-            F.sum(F.size(tokens(text_col)).cast("bigint")), F.lit(0).cast("bigint")
+            F.sum(n_toks.cast("bigint")), F.lit(0).cast("bigint")
         ).alias("total_tokens")
     )
     cand_pred = F.col("token").isin(candidates) if candidates else F.lit(False)

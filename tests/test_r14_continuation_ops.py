@@ -101,3 +101,17 @@ def test_a24_counts_a_handmade_graph_exactly(spark):
         6: (1, 0, 0.0),
         7: (0, 0, 0.0),
     }
+
+
+def test_t42_mg_guarantee_on_adversarial_spread(spark):
+    """Synthetic corpus with a KNOWN answer: token 'a' holds 30 of 100
+    occurrences (> total/capacity at capacity 4) but is spread one-ish
+    per partition among distinct junk, so no partition sees it
+    dominate locally — the Misra-Gries merge guarantee (undercount <=
+    N/(cap+1)) must still surface it, and the strict exact-count
+    filter must emit EXACTLY {a} for every partitioning."""
+    rows = [("a",)] * 30 + [(f"junk{i}",) for i in range(70)]
+    docs = spark.createDataFrame(rows, "text string")
+    for parts in (1, 10, 37):
+        got = _ft_rows(text.frequent_tokens(docs.repartition(parts), capacity=4))
+        assert got == [("a", 30, 100)], f"partitioning {parts}: {got}"
