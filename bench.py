@@ -271,6 +271,7 @@ HEADLINE = [
     "t42_frequent_tokens",
     "d28_cms_error_audit",
     "a24_knn_triangles",
+    "q115_untapped_customers",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

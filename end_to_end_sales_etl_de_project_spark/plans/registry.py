@@ -107,7 +107,6 @@ DRIVER_WINDOW: list[str] = [
     "q103_partition_completeness",
     "q104_promo_revenue",
     "t11_token_packing",
-    "t12_source_cap",
     "t27_dsir_importance",
     "t29_vocab_overlap",
     "t30_zipf_slope",
@@ -184,6 +183,11 @@ DRIVER_WINDOW: list[str] = [
     "t42_frequent_tokens",
     "d28_cms_error_audit",
     "a24_knn_triangles",
+    # q115 (TPC-H Q22 churn restatement) displaces t12_source_cap:
+    # in-window c11_diversity_sample covers the deterministic
+    # hash-ordered quota-selection family t12 belongs to; t12 keeps
+    # green r08 evidence + local parity and joins the r15 queue.
+    "q115_untapped_customers",
 ]
 # ---- Standing r15 refresh queue (generated from the COVERAGE evidence
 # table: oldest-evidence rows NOT holding an r14 slot). The r14
