@@ -272,6 +272,7 @@ HEADLINE = [
     "d28_cms_error_audit",
     "a24_knn_triangles",
     "q115_untapped_customers",
+    "d29_tuned_neardup",
 ]
 
 # Queries registered but deliberately NOT benched — a closed list

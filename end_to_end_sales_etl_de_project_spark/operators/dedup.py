@@ -3032,3 +3032,217 @@ ex AS MATERIALIZED (
 {legs_sql}
 {leg_selects}
 """
+
+
+# ---------------------------------------------------------------------------
+# Curve-driven near-dup: close the d19 tuning loop (the d22/d23 pattern)
+# ---------------------------------------------------------------------------
+
+LSH_TARGET_PRECISION = 0.9
+
+
+def lsh_choose_config(
+    curve: DataFrame,
+    min_precision: float = LSH_TARGET_PRECISION,
+) -> tuple[int, int]:
+    """Pick the banding config from the MEASURED d19 curve: among
+    configs whose candidate precision meets ``min_precision``, the one
+    finding the most verified pairs (recall proxy), ties to fewer
+    candidates (cheaper join) then fewer bands; if none qualifies, the
+    same order ignoring the precision gate (most pairs wins). The
+    |configs|-row collect is control-plane — the dial a deployment
+    sets once per corpus, exactly like ``bloom_choose_m``. NULL
+    precision (zero candidates) never qualifies."""
+    rows = curve.select(
+        "n_bands", "rows_per_band", "n_candidates", "n_verified", "precision"
+    ).collect()
+    if not rows:
+        raise ValueError("lsh_choose_config: empty tuning curve")
+
+    def order(r):
+        q = (
+            1
+            if r["precision"] is not None and r["precision"] >= min_precision
+            else 0
+        )
+        return (-q, -r["n_verified"], r["n_candidates"], r["n_bands"])
+
+    best = min(rows, key=order)
+    return int(best["n_bands"]), int(best["rows_per_band"])
+
+
+def tuned_neardup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    configs: tuple[tuple[int, int], ...] = ((2, 8), (4, 4), (8, 2)),
+    min_jaccard: float = 0.5,
+    min_precision: float = LSH_TARGET_PRECISION,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    hashed_shingles: DataFrame | None = None,
+    signatures: DataFrame | None = None,
+    curve: DataFrame | None = None,
+) -> DataFrame:
+    """d03 with its dial set FROM the measured d19 curve instead of by
+    hand — the closed tuning loop, mirroring how d22 sizes its Bloom
+    filter from the d23 curve: measure each (bands, rows) tiling's
+    candidate volume and precision, choose by ``lsh_choose_config``,
+    run the near-dup join at the winning config, and stamp the choice
+    on every output row so the decision itself is hash-checked:
+    (doc_a, doc_b, jaccard, n_bands, rows_per_band).
+
+    Shape: the curve and the final join share ONE signature table and
+    ONE shingle index (session artifacts in the plans layer); the
+    chooser is a |configs|-row collect. At 100 TB the curve runs on a
+    sample slice and the chosen config runs on the corpus — here both
+    run on the same corpus so the choice is exactly reproducible by
+    the oracle's in-SQL chooser."""
+    if hashed_shingles is None:
+        sh = shingle_table(docs, id_col, text_col, k)
+        hashed_shingles = sh.select("doc", h60(F.col("shingle")).alias("shingle"))
+    else:
+        _check_index_k(hashed_shingles, k)
+    if signatures is None:
+        signatures = minhash_signatures(hashed_shingles, n_hashes, pre_hashed=True)
+    else:
+        _check_sig_n(signatures, n_hashes)
+    if curve is None:
+        curve = lsh_tuning_curve(
+            docs,
+            id_col,
+            text_col,
+            k,
+            n_hashes,
+            configs,
+            min_jaccard,
+            max_bucket_size,
+            hashed_shingles=hashed_shingles,
+            signatures=signatures,
+        )
+    nb, rpb = lsh_choose_config(curve, min_precision)
+    cands = lsh_candidate_pairs(signatures, nb, rpb, max_bucket_size)
+    pairs = jaccard_pairs(
+        hashed_shingles, min_jaccard, candidates=cands, pre_hashed=True
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.lit(nb).cast("bigint").alias("n_bands"),
+        F.lit(rpb).cast("bigint").alias("rows_per_band"),
+    )
+
+
+def tuned_neardup_sql(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    configs: tuple[tuple[int, int], ...] = ((2, 8), (4, 4), (8, 2)),
+    min_jaccard: float = 0.5,
+    min_precision: float = LSH_TARGET_PRECISION,
+    table: str = "documents",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> str:
+    """Oracle twin: every config's candidate/verified tables, the curve,
+    the SAME qualifying-then-(n_verified DESC, n_candidates, n_bands)
+    chooser as ORDER BY ... LIMIT 1, and the chosen config's pairs
+    selected by join — the d22 oracle pattern (unchosen legs exist
+    only in the oracle plan; Spark picks via the control-plane
+    collect and builds one join)."""
+    sh = word_shingles_sql(text_col, k)
+    mh_cols = ", ".join(
+        f"MIN({minhash_family_sql('shingle', s)}) AS mh{s}" for s in range(n_hashes)
+    )
+    ctes = [
+        f"""sh0 AS (
+  SELECT {id_col} AS doc, unnest({sh}) AS shingle FROM {table}
+),
+sh AS (SELECT doc, {h60_sql('shingle')} AS shingle FROM sh0),
+sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY 1),
+sigs AS (SELECT doc, {mh_cols} FROM sh GROUP BY doc)"""
+    ]
+    curve_legs = []
+    pair_legs = []
+    for nb, rpb in configs:
+        tag = f"b{nb}r{rpb}"
+        band_rows = " UNION ALL ".join(
+            f"SELECT doc, {b} AS band, "
+            + " || '_' || ".join(f"mh{b * rpb + r}" for r in range(rpb))
+            + " AS key FROM sigs"
+            for b in range(nb)
+        )
+        guard = ""
+        src = f"buckets_{tag}"
+        if max_bucket_size is not None:
+            guard = f""",
+pruned_{tag} AS (
+  SELECT bu.doc, bu.band, bu.key
+  FROM buckets_{tag} bu
+  JOIN (SELECT band, key, COUNT(*) AS n
+        FROM buckets_{tag} GROUP BY 1, 2) bs
+    ON bu.band = bs.band AND bu.key = bs.key
+  WHERE bs.n <= {max_bucket_size}
+)"""
+            src = f"pruned_{tag}"
+        ctes.append(
+            f"""buckets_{tag} AS ({band_rows}){guard},
+cands_{tag} AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM {src} a JOIN {src} b
+    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+),
+ver_{tag} AS (
+  SELECT i.doc_a, i.doc_b,
+         n_common / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+  FROM (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+    FROM cands_{tag} c
+    JOIN sh a ON c.doc_a = a.doc
+    JOIN sh b ON c.doc_b = b.doc AND a.shingle = b.shingle
+    GROUP BY 1, 2
+  ) i
+  JOIN sizes sa ON i.doc_a = sa.doc
+  JOIN sizes sb ON i.doc_b = sb.doc
+  WHERE n_common / CAST(sa.n + sb.n - n_common AS DOUBLE) >= {min_jaccard}
+)"""
+        )
+        curve_legs.append(
+            f"""
+SELECT CAST({nb} AS BIGINT) AS n_bands,
+       CAST({rpb} AS BIGINT) AS rows_per_band,
+       CAST((SELECT COUNT(*) FROM cands_{tag}) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM ver_{tag}) AS BIGINT) AS n_verified,
+       CASE WHEN (SELECT COUNT(*) FROM cands_{tag}) > 0
+            THEN CAST((SELECT COUNT(*) FROM ver_{tag}) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM cands_{tag}) AS DOUBLE)
+       END AS precision"""
+        )
+        pair_legs.append(
+            f"""SELECT doc_a, doc_b, jaccard,
+       CAST({nb} AS BIGINT) AS n_bands,
+       CAST({rpb} AS BIGINT) AS rows_per_band
+FROM ver_{tag}"""
+        )
+    curve_sql = "\nUNION ALL\n".join(curve_legs)
+    pairs_sql = "\nUNION ALL\n".join(pair_legs)
+    ctes.append(f"curve AS ({curve_sql})")
+    ctes.append(
+        f"""choice AS (
+  SELECT n_bands, rows_per_band FROM curve
+  ORDER BY (CASE WHEN precision IS NOT NULL
+                  AND precision >= {min_precision} THEN 1 ELSE 0 END) DESC,
+           n_verified DESC, n_candidates ASC, n_bands ASC
+  LIMIT 1
+)"""
+    )
+    ctes.append(f"allpairs AS ({pairs_sql})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT p.doc_a, p.doc_b, p.jaccard, p.n_bands, p.rows_per_band"
+        + "\nFROM allpairs p JOIN choice c"
+        + "\n  ON p.n_bands = c.n_bands AND p.rows_per_band = c.rows_per_band"
+    )

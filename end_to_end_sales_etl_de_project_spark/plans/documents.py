@@ -3590,3 +3590,43 @@ def a24_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_triangles(
         emb, graph=_knn_graph_artifact(spark, sf_dir), k=3
     )
+
+
+# d19's measured curve as a session artifact (3 rows, localCheckpoint):
+# the tuning stage runs once per corpus; d29 reads the measurement the
+# way d22 reads the d23 curve via its chosen m. d19 itself still
+# computes the curve live — it IS the tuning stage.
+_LSH_CURVES: dict[tuple, DataFrame] = {}
+
+
+def _lsh_curve_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = session_memo_key(_LSH_CURVES, spark, f"{sf_dir}/documents.parquet")
+    if key not in _LSH_CURVES:
+        docs = load_table(spark, sf_dir, "documents")
+        curve = dedup.lsh_tuning_curve(
+            docs,
+            hashed_shingles=_shingle_index(spark, sf_dir, 3),
+            signatures=_minhash_sig_artifact(spark, sf_dir),
+        )
+        _LSH_CURVES[key] = curve.localCheckpoint(eager=True)
+    return _LSH_CURVES[key]
+
+
+@_register("d29_tuned_neardup", dedup.tuned_neardup_sql())
+def d29_tuned_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d03 with its banding dial set FROM the measured d19 curve — the
+    closed tuning loop, mirroring d22's curve-driven Bloom sizing: the
+    chooser takes the highest-recall config meeting the 0.9 measured-
+    precision gate (ties to cheaper, then fewer bands; most-pairs
+    fallback if none qualifies) and stamps (n_bands, rows_per_band) on
+    every output pair so the DECISION is hash-checked too — on this
+    corpus the pick genuinely varies by scale ((4,4) at sf0.001,
+    (2,8) at sf0.01). Reads the session curve/signature/shingle
+    artifacts; the chooser is a 3-row control-plane collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.tuned_neardup(
+        docs,
+        hashed_shingles=_shingle_index(spark, sf_dir, 3),
+        signatures=_minhash_sig_artifact(spark, sf_dir),
+        curve=_lsh_curve_artifact(spark, sf_dir),
+    )

@@ -106,7 +106,6 @@ DRIVER_WINDOW: list[str] = [
     "q100_heavy_small_part_suppliers",
     "q103_partition_completeness",
     "q104_promo_revenue",
-    "t11_token_packing",
     "t27_dsir_importance",
     "t29_vocab_overlap",
     "t30_zipf_slope",
@@ -188,6 +187,11 @@ DRIVER_WINDOW: list[str] = [
     # hash-ordered quota-selection family t12 belongs to; t12 keeps
     # green r08 evidence + local parity and joins the r15 queue.
     "q115_untapped_customers",
+    # d29 (curve-driven near-dup, the closed d19 tuning loop)
+    # displaces t11_token_packing: in-window c14_packing_fragmentation
+    # audits the same two-level-prefix-sum packing family; t11 keeps
+    # green r08 evidence + local parity and joins the r15 queue.
+    "d29_tuned_neardup",
 ]
 # ---- Standing r15 refresh queue (generated from the COVERAGE evidence
 # table: oldest-evidence rows NOT holding an r14 slot). The r14

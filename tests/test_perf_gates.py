@@ -100,6 +100,10 @@ GATES = [
     ("t42_frequent_tokens", 3.0),
     ("d28_cms_error_audit", 6.0),
     ("a24_knn_triangles", 4.0),
+    # d29 rides the session curve/signature/shingle artifacts; idle
+    # steady-state sf0.01 min-of-3: 0.86 s (canary 0.34). A re-derived
+    # curve or signature table per call would triple it.
+    ("d29_tuned_neardup", 4.0),
 ]
 
 # Idle steady-state of the canary (q10: scan + per-group window rank)

@@ -115,3 +115,50 @@ def test_t42_mg_guarantee_on_adversarial_spread(spark):
     for parts in (1, 10, 37):
         got = _ft_rows(text.frequent_tokens(docs.repartition(parts), capacity=4))
         assert got == [("a", 30, 100)], f"partitioning {parts}: {got}"
+
+
+def test_d29_chooser_laws(spark):
+    """The curve-driven chooser's contract on synthetic curves: the
+    qualifying config with most verified pairs wins (ties to fewer
+    candidates, then fewer bands); NULL precision never qualifies;
+    with no qualifier the most-pairs fallback applies."""
+    from end_to_end_sales_etl_de_project_spark.operators.dedup import (
+        lsh_choose_config,
+    )
+
+    schema = (
+        "n_bands long, rows_per_band long, n_candidates long,"
+        " n_verified long, precision double"
+    )
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+    # qualifying (>=0.9) subset: (2,8) and (4,4); (4,4) has more pairs
+    assert lsh_choose_config(
+        mk([(2, 8, 27, 27, 1.0), (4, 4, 28, 28, 1.0), (8, 2, 40, 28, 0.7)])
+    ) == (4, 4)
+    # tie on pairs AND candidates -> fewer bands
+    assert lsh_choose_config(
+        mk([(2, 8, 25, 25, 1.0), (4, 4, 25, 25, 1.0), (8, 2, 33, 25, 0.75)])
+    ) == (2, 8)
+    # nothing qualifies -> most pairs regardless of precision
+    assert lsh_choose_config(
+        mk([(2, 8, 100, 10, 0.1), (4, 4, 200, 40, 0.2), (8, 2, 300, 30, 0.1)])
+    ) == (4, 4)
+    # NULL precision (zero candidates) never qualifies
+    assert lsh_choose_config(
+        mk([(2, 8, 0, 0, None), (4, 4, 10, 9, 0.9)])
+    ) == (4, 4)
+
+
+def test_d29_output_carries_the_curve_choice(spark):
+    """d29's stamped config must equal the chooser's pick over the
+    live d19 curve, and its pairs must equal d03-at-that-config."""
+    import __spark_entry__ as E
+    from end_to_end_sales_etl_de_project_spark.operators.dedup import (
+        lsh_choose_config,
+    )
+
+    curve = E.queries()["d19_lsh_tuning_curve"](spark, SF)
+    nb, rpb = lsh_choose_config(curve)
+    rows = E.queries()["d29_tuned_neardup"](spark, SF).collect()
+    assert rows
+    assert {(r["n_bands"], r["rows_per_band"]) for r in rows} == {(nb, rpb)}
