@@ -271,7 +271,6 @@ HEADLINE = [
     "t42_frequent_tokens",
     "d28_cms_error_audit",
     "a24_knn_triangles",
-    "q115_untapped_customers",
     "d29_tuned_neardup",
 ]
 

@@ -5137,89 +5137,3 @@ def q114_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.max("n_rows").cast("double")
         ).alias("top10_share"),
     )
-
-
-# ---------------------------------------------------------------------------
-# q115: untapped high-balance customers (TPC-H Q22 shape)
-# ---------------------------------------------------------------------------
-
-_Q115_CODES = (1, 3, 7, 13, 17, 19, 23)
-
-_Q115_ORACLE = f"""
-WITH cust AS (
-  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
-  WHERE c_nationkey IN {_Q115_CODES!r}
-),
-avg_bal AS (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-         / CAST(COUNT(*) AS DOUBLE) AS avg_bal
-  FROM cust WHERE c_acctbal > 0.0
-),
-rich AS (
-  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
-  FROM cust c CROSS JOIN avg_bal a
-  WHERE CAST(c.c_acctbal AS DOUBLE) > a.avg_bal
-)
-SELECT c_nationkey AS cntry_key,
-       CAST(COUNT(*) AS BIGINT) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
-FROM rich r
-WHERE NOT EXISTS (
-  SELECT 1 FROM orders o
-  WHERE o.o_custkey = r.c_custkey
-    AND CAST(o.o_orderdate AS VARCHAR) >= '2001-01-01')
-GROUP BY 1
-"""
-
-
-@_register("q115_untapped_customers", _Q115_ORACLE)
-def q115_untapped_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape (the last classic-suite shape missing from the
-    q-family): customers in selected "country codes" (nationkey — the
-    testdata customer has no phone column) whose balance beats the
-    positive-balance average AND who placed no order in the data's
-    final year (every synthetic customer has SOME order, so the classic
-    never-ordered correlate would be vacuous — the churn restatement
-    keeps Q22's shape non-trivially exercised: ~9/~85 qualifying
-    customers at sf0.001/sf0.01). Exercises the filtered-scalar-
-    subquery + null-safe-anti combination: the average is computed
-    over a FILTERED subset and broadcast as a 1-row scalar (never a
-    per-row correlated rescan); the "no recent orders" correlate is a
-    LEFT ANTI equi-join against the date-filtered orders projection,
-    which matches NOT EXISTS on every NULL pattern (a NULL o_custkey
-    matches no one; a NULL c_custkey is kept by both — the q43 NOT-IN
-    trap does NOT apply to EXISTS, per the q90/q107 audit; a NULL
-    o_orderdate fails the pushed date predicate in both engines).
-
-    Scale shape: customer is filtered then anti-joined against the
-    orders key projection (one shuffle pair on custkey — stats-gated,
-    no forced broadcast: orders scales with the corpus); the scalar
-    average broadcasts. Money discipline: balances sum as
-    DECIMAL(18,2) exactly (order-free), emitted DOUBLE; the average is
-    one IEEE division; the threshold compare runs in double in both
-    engines."""
-    cust = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_nationkey").isin(*_Q115_CODES))
-        .select("c_custkey", "c_nationkey", "c_acctbal")
-    )
-    avg_df = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        (
-            money_sum("c_acctbal") / F.count(F.lit(1)).cast("double")
-        ).alias("avg_bal")
-    )
-    rich = cust.crossJoin(F.broadcast(avg_df)).filter(
-        F.col("c_acctbal").cast("double") > F.col("avg_bal")
-    )
-    recent = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate").cast("string") >= "2001-01-01")
-        .select("o_custkey")
-    )
-    untapped = rich.join(
-        recent, rich.c_custkey == recent.o_custkey, "left_anti"
-    )
-    return untapped.groupBy(F.col("c_nationkey").alias("cntry_key")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("numcust"),
-        money_sum("c_acctbal").alias("totacctbal"),
-    )

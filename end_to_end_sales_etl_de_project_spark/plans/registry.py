@@ -106,6 +106,7 @@ DRIVER_WINDOW: list[str] = [
     "q100_heavy_small_part_suppliers",
     "q103_partition_completeness",
     "q104_promo_revenue",
+    "t12_source_cap",
     "t27_dsir_importance",
     "t29_vocab_overlap",
     "t30_zipf_slope",
@@ -182,11 +183,6 @@ DRIVER_WINDOW: list[str] = [
     "t42_frequent_tokens",
     "d28_cms_error_audit",
     "a24_knn_triangles",
-    # q115 (TPC-H Q22 churn restatement) displaces t12_source_cap:
-    # in-window c11_diversity_sample covers the deterministic
-    # hash-ordered quota-selection family t12 belongs to; t12 keeps
-    # green r08 evidence + local parity and joins the r15 queue.
-    "q115_untapped_customers",
     # d29 (curve-driven near-dup, the closed d19 tuning loop)
     # displaces t11_token_packing: in-window c14_packing_fragmentation
     # audits the same two-level-prefix-sum packing family; t11 keeps

@@ -1309,13 +1309,3 @@ def test_r14_continuation_plan_shapes(spark):
     ex, bc, plan = counts("a24_knn_triangles")
     assert "CartesianProduct" not in plan, plan       # all equi-joins
     assert "BroadcastNestedLoopJoin" not in plan, plan
-
-
-def test_q115_scalar_broadcasts_and_anti_join_filter_pushes(spark):
-    """Q22 shape: the positive-balance average rides a 1-row
-    BroadcastExchange (never a per-row correlated rescan or cartesian),
-    and the churn anti-join's date predicate reaches the orders scan."""
-    plan = plan_of(spark, "q115_untapped_customers")
-    assert "BroadcastExchange" in plan
-    assert "CartesianProduct" not in plan
-    assert "2001-01-01" in plan  # date predicate pushed into the orders leg
