@@ -2886,10 +2886,28 @@ CMS_W_GRID: tuple[int, ...] = (512, 2048, 8192, 32768)
 CMS_DEPTH = 4
 
 
+def cms_exact_df(hashed_shingles: DataFrame, depth: int = CMS_DEPTH) -> DataFrame:
+    """The d28 ground-truth table, materialized: per distinct shingle
+    its exact document frequency plus the ``depth`` width-independent
+    seed hashes (bucket for any width = ``h_s % w``). localCheckpoint'd
+    — every grid leg reads it ~5x and Spark re-derives unshared
+    subtrees per read; a production audit stages it to parquet."""
+    key_str = F.col("shingle").cast("string")
+    return (
+        hashed_shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            "c", *[h60_seeded(key_str, s).alias(f"h{s}") for s in range(depth)]
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def cms_error_audit(
     hashed_shingles: DataFrame,
     w_grid: tuple[int, ...] = CMS_W_GRID,
     depth: int = CMS_DEPTH,
+    ex: DataFrame | None = None,
 ) -> DataFrame:
     """The count-min-sketch width-dial as a hash-checked table — d23's
     sizing-curve pattern applied to COUNT estimation instead of
@@ -2924,17 +2942,11 @@ def cms_error_audit(
     # bounded bucket aggregate, and a broadcast join back. Without the
     # hoist each leg re-derived the md5s on both the probe and
     # bucket-sum sides (~50M md5 calls at sf0.1 — measured 3.9 s;
-    # hoisted ~1.6M calls once). A production audit would stage this
-    # table to parquet — the split_shingles/d23 pattern.
-    key_str = F.col("shingle").cast("string")
-    ex = (
-        hashed_shingles.groupBy("shingle")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .select(
-            "c", *[h60_seeded(key_str, s).alias(f"h{s}") for s in range(depth)]
-        )
-        .localCheckpoint(eager=True)
-    )
+    # hoisted ~1.6M calls once). Pass ``ex`` (built by
+    # :func:`cms_exact_df`, staged per session in the plans layer —
+    # the split_shingles/d23 pattern) to skip even the one build.
+    if ex is None:
+        ex = cms_exact_df(hashed_shingles, depth)
     legs = []
     for w in w_grid:
         withb = ex.select(

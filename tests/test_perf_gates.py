@@ -162,10 +162,23 @@ def test_standing_perf_gate(spark, name, bound):
     factor = _load_factor(spark)
     took = _steady_state(spark, name)
     allowed = bound * factor
+    if took > allowed:
+        # The session canary can't see a TRANSIENT spike that lands on
+        # one gate mid-suite (the d19 flake at suite-load 20: canary
+        # 0.17 s measured idle minutes earlier, the gate's own window
+        # contended). On breach, re-measure the canary AT FAILURE TIME
+        # and re-run once with the fresh factor: a genuine single-query
+        # regression reproduces (the re-run is the same measurement,
+        # and a real regression doesn't move the canary); a spike has
+        # passed or now shows in the fresh canary.
+        fresh = max(1.0, _steady_state(spark, "q10_rank_top1") / CANARY_IDLE_SEC)
+        retook = _steady_state(spark, name)
+        factor, took, allowed = fresh, retook, bound * fresh
     assert took <= allowed, (
         f"{name} took {took:.2f}s at sf0.01 (gate {bound}s x load "
-        f"factor {factor:.2f} [canary {_canary_factor['measured']:.2f}s "
-        f"vs idle {CANARY_IDLE_SEC}s] = {allowed:.2f}s) — the r4-class "
+        f"factor {factor:.2f} [session canary "
+        f"{_canary_factor['measured']:.2f}s vs idle {CANARY_IDLE_SEC}s] "
+        f"= {allowed:.2f}s, breach re-measured) — the r4-class "
         "plan-construction regression is back; check for per-plan eager "
         "checkpoints or artifact consumers re-running their producer stage"
     )
