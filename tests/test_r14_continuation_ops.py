@@ -162,3 +162,51 @@ def test_d29_output_carries_the_curve_choice(spark):
     rows = E.queries()["d29_tuned_neardup"](spark, SF).collect()
     assert rows
     assert {(r["n_bands"], r["rows_per_band"]) for r in rows} == {(nb, rpb)}
+
+
+def test_a24_matches_bruteforce_on_random_graphs(spark):
+    """The degree-orientation logic is the census's only subtle part —
+    cross-check the operator against a brute-force Python triangle
+    count on seeded random graphs (including duplicate directed edges
+    and isolates), so an orientation/tie bug that happens to pass the
+    K4 fixture still trips."""
+    import itertools
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 24
+        edges = {
+            (a, b)
+            for a in range(1, n + 1)
+            for b in range(1, n + 1)
+            if a != b and rng.random() < 0.12
+        }
+        und = {(min(a, b), max(a, b)) for a, b in edges}
+        adj = {v: set() for v in range(1, n + 1)}
+        for a, b in und:
+            adj[a].add(b)
+            adj[b].add(a)
+        tri = {v: 0 for v in range(1, n + 1)}
+        for x, y, z in itertools.combinations(range(1, n + 1), 3):
+            if y in adj[x] and z in adj[x] and z in adj[y]:
+                tri[x] += 1
+                tri[y] += 1
+                tri[z] += 1
+        want = {}
+        for v in range(1, n + 1):
+            d = len(adj[v])
+            lcc = (2.0 * tri[v]) / (d * (d - 1)) if d >= 2 else 0.0
+            want[v] = (d, tri[v], lcc)
+        graph = spark.createDataFrame(
+            [(a, b, 1, 1.0) for a, b in sorted(edges)],
+            "query_id long, neighbor_id long, rank int, cosine double",
+        )
+        emb = spark.createDataFrame(
+            [(v,) for v in range(1, n + 1)], "vec_id long"
+        )
+        got = {
+            r["vec_id"]: (r["degree"], r["n_tri"], r["lcc"])
+            for r in similarity.knn_triangles(emb, graph=graph).collect()
+        }
+        assert got == want, f"seed {seed}"
