@@ -865,3 +865,83 @@ def test_cms_probe_stream_equals_batch(spark, sf_dir, docs_src):
     # (top-DF keys dominate their buckets; equality when no collision)
     for p in probes[:2]:
         assert est[p] >= exact_df[p] > 0
+
+
+def test_cms_probe_stream_state_survives_restart(spark, sf_dir, tmpdir):
+    """Kill the CMS query between files and restart it from the
+    checkpoint: the second run's emissions must carry the FIRST file's
+    counters (sketch state recovered, source offsets not replayed), so
+    the final per-(row, probe) estimates equal the batch sketch over
+    the union — the exactly-once face of the DF tracker."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_sales_etl_de_project_spark.streaming.documents import (
+        cms_probe_batch,
+        cms_probe_stream,
+        read_documents_stream,
+    )
+
+    src = f"{tmpdir}/cms-landing"
+    sink = f"{tmpdir}/cms-sink"
+    ckpt = f"{tmpdir}/cms-ckpt"
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/docs-000.parquet")
+    probes = [424242]  # plus two live keys chosen below
+
+    landing1 = spark.read.parquet(f"{src}/docs-000.parquet")
+    from end_to_end_sales_etl_de_project_spark.functions.hashing import h60
+    from end_to_end_sales_etl_de_project_spark.operators import dedup
+
+    top = (
+        dedup.shingle_table(landing1, "doc_id", "text", 3)
+        .select("doc", h60(F.col("shingle")).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "shingle")
+        .limit(2)
+        .collect()
+    )
+    probes = [int(r["shingle"]) for r in top] + probes
+
+    def start():
+        return (
+            cms_probe_stream(read_documents_stream(spark, src), probes)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    # second file lands AFTER the stop — the restarted query must fold
+    # it onto the recovered counters, not onto zeros
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src}/docs-001.parquet")
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    rows = spark.read.parquet(sink)
+    got = {
+        (r["row_idx"], r["probe"]): r["est"]
+        for r in rows.groupBy("row_idx", "probe")
+        .agg(F.max_by("est", "n_seen").alias("est"))
+        .collect()
+    }
+    want = {
+        (r["row_idx"], r["probe"]): r["est"]
+        for r in cms_probe_batch(spark.read.parquet(src), probes).collect()
+    }
+    assert len(want) == 4 * 3 and got == want
+    # non-vacuous restart: the doubled corpus doubles every live count,
+    # so the final estimates must be EXACTLY twice the one-file sketch
+    one = {
+        (r["row_idx"], r["probe"]): r["est"]
+        for r in cms_probe_batch(landing1, probes).collect()
+    }
+    for key, est in got.items():
+        assert est == 2 * one[key]
