@@ -1,0 +1,143 @@
+"""Round-14 optimization tooling: plan dumps, isolated timing, parity.
+
+Usage:
+  python scripts/r14_tools.py explain <tag> <query> [query ...]
+      -> writes plans/r14/<query>_<tag>.txt (explain formatted)
+  python scripts/r14_tools.py time [-n N] <query> [query ...]
+      -> warm + min-of-N noop-sink timing per query (bench methodology)
+  python scripts/r14_tools.py parity [--sf DIR] <query> [query ...]
+      -> driver-style DuckDB oracle hash comparison per query
+
+All three build the same session bench.py does (local[$SPARK_GRAFT_CPUS]),
+so plan shapes and timings match the driver's environment.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+import time
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+from end_to_end_sales_etl_de_project_spark.session import get_spark_session
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PLAN_DIR = os.path.join(REPO, "plans", "r14")
+
+
+def _spark():
+    return get_spark_session(
+        app_name="r14-tools",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+
+def cmd_explain(tag: str, names: list[str]) -> None:
+    os.makedirs(PLAN_DIR, exist_ok=True)
+    spark = _spark()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(PLAN_DIR, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(buf.getvalue())
+        txt = buf.getvalue()
+        print(
+            f"{name}: Exchange={txt.count('Exchange')} "
+            f"SortMergeJoin={txt.count('SortMergeJoin')} "
+            f"BroadcastHashJoin={txt.count('BroadcastHashJoin')} "
+            f"EvalPython={txt.count('EvalPython') + txt.count('MapInPandas') + txt.count('FlatMapGroupsInPandas')} "
+            f"-> {os.path.relpath(path, REPO)}"
+        )
+
+
+def cmd_time(names: list[str], n: int = 2) -> None:
+    spark = _spark()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def run(name: str) -> None:
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    # canary first (machine-state context, bench methodology)
+    t0 = time.perf_counter()
+    run("q10_rank_top1")
+    warm = time.perf_counter() - t0
+    steady = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run("q10_rank_top1")
+        steady = min(steady, time.perf_counter() - t0)
+    print(f"canary: warm={warm:.3f} steady={steady:.3f}")
+    for name in names:
+        spark.sparkContext.setJobDescription(name)
+        t0 = time.perf_counter()
+        run(name)  # warm
+        warm = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            run(name)
+            best = min(best, time.perf_counter() - t0)
+        print(f"{name}: warm={warm:.3f} steady={best:.3f}")
+        spark.sparkContext.setJobDescription(None)
+
+
+def cmd_parity(names: list[str], sf_dir: str) -> None:
+    import __spark_entry__ as E
+    from end_to_end_sales_etl_de_project_spark.testing import (
+        compare_spark_to_oracle,
+        duckdb_connection,
+        run_oracle,
+    )
+
+    spark = _spark()
+    con = duckdb_connection(sf_dir)
+    oracles = E.oracle_sql()
+    failures = 0
+    for name in names:
+        if name not in oracles:
+            print(f"SKIP {name} (no oracle)")
+            continue
+        r = compare_spark_to_oracle(
+            name, E.queries()[name](spark, sf_dir), run_oracle(con, oracles[name])
+        )
+        if r.match:
+            print(f"PASS {name}")
+        else:
+            failures += 1
+            print(f"FAIL {name}: {r.mismatches[:3]}")
+    if failures:
+        sys.exit(1)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    cmd = args.pop(0)
+    if cmd == "explain":
+        tag = args.pop(0)
+        cmd_explain(tag, args)
+    elif cmd == "time":
+        n = 2
+        if args and args[0] == "-n":
+            args.pop(0)
+            n = int(args.pop(0))
+        cmd_time(args, n)
+    elif cmd == "parity":
+        sf = "/root/testdata/sf0.01"
+        if args and args[0] == "--sf":
+            args.pop(0)
+            sf = args.pop(0)
+        cmd_parity(args, sf)
+    else:
+        raise SystemExit(f"unknown command {cmd!r}")
+
+
+if __name__ == "__main__":
+    main()
