@@ -2331,7 +2331,18 @@ def q70_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("k_b"),
         F.col("c_name").alias("name_b"),
     )
-    dist = F.levenshtein("name_a", "name_b")
+    # r14: the join requires substr(name,1,15) equality, and Levenshtein
+    # is prefix-invariant — lev(p·x, p·y) = lev(x, y) for any common
+    # prefix p (the first |p| rows/cols of the DP matrix align at zero
+    # cost). Scoring only the suffixes past the block key is therefore
+    # EXACTLY the same distance at ~1/36 the DP work (3x3 vs 18x18
+    # cells on this corpus), paid once in the filter and once in the
+    # min() agg. The oracle keeps full-string levenshtein — hash parity
+    # proves the identity on real data.
+    dist = F.levenshtein(
+        F.col("name_a").substr(F.lit(16), F.length("name_a")),
+        F.col("name_b").substr(F.lit(16), F.length("name_b")),
+    )
     return (
         a.join(
             b,
