@@ -631,7 +631,16 @@ def phash_neardup_pairs(
         raise ValueError(
             f"banded recall is lossless only for hamming_max < {PHASH_BANDS}"
         )
-    sigs = phash_signatures(assets, decode_stub=decode_stub)
+    # r14: materialize the signature table before the self-join. Both
+    # sides of the banded join hang off the SAME Python seam, and Spark
+    # shares no subtrees within a plan — without this the mapInPandas
+    # signature pass (decode + per-gram md5, the operator's dominant
+    # cost) executes twice per run. localCheckpoint keeps the cost
+    # inside each invocation (nothing is memoized across calls); only
+    # 16-byte (asset_id, sig) rows are materialized, never payloads.
+    sigs = phash_signatures(assets, decode_stub=decode_stub).localCheckpoint(
+        eager=True
+    )
     bands = sigs.select(
         "asset_id",
         "sig",

@@ -178,6 +178,26 @@ def test_resize_assets_stub_semantics(spark):
     assert out[3]["orig_bytes"] == 0 and out[3]["resized_bytes"] == 0
 
 
+def test_phash_neardup_runs_python_seam_once(spark):
+    """r14 optimization pin: the banded self-join's two sides must read
+    a MATERIALIZED signature table, not re-run the mapInPandas
+    signature pass per side. The plan of the returned frame therefore
+    contains zero Python-eval nodes (the seam ran once, at build time,
+    into the localCheckpoint) and scans an ExistingRDD instead."""
+    from end_to_end_sales_etl_de_project_spark.operators.multimodal import (
+        phash_neardup_pairs,
+    )
+
+    assets = spark.createDataFrame(
+        [(1, b"abcdefghij" * 20, ("txt", "web", 200))],
+        "asset_id long, payload binary, "
+        "meta struct<format:string,source:string,n_bytes:long>",
+    )
+    plan = phash_neardup_pairs(assets)._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+
+
 def test_phash_neardup_detects_planted_perturbation(spark):
     """A few flipped bytes must keep the pair within hamming <= 3; an
     unrelated payload must not pair — and the banded candidate path
