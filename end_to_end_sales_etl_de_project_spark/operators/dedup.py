@@ -2615,11 +2615,19 @@ def dedup_tier_attribution(
     train_docs = scoped.filter(corpus_split(text_col) == "train").select(
         F.col(id_col).alias("doc")
     )
+    # r14: each tier's flag set is referenced by every LATER tier's
+    # anti-joins AND by all four count legs — left as lazy plans the
+    # bloom set alone is instantiated ~16x in the final union (an
+    # ~800-node plan costing ~1 min of Catalyst time on first build and
+    # re-paying every tier per reference at runtime). Materialize each
+    # flag set ONCE per invocation (doc-id lists, bounded by |corpus|);
+    # nothing is memoized across calls.
     bloom_f = (
         hashed_shingles.join(train_docs, "doc")
         .join(pos_sh, "shingle")
         .select("doc")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # tier 1: exact (marginal: minus the gate's holds)
     th = scoped.select(F.col(id_col).alias("doc"), h60(text_col).alias("h"))
@@ -2629,6 +2637,7 @@ def dedup_tier_attribution(
         .filter(F.col("doc") > F.col("c"))
         .select("doc")
         .join(bloom_f, "doc", "left_anti")
+        .localCheckpoint(eager=True)
     )
     # tier 2: near-dup components (artifact or derived)
     if components is None:
@@ -2645,8 +2654,10 @@ def dedup_tier_attribution(
     near_all = components.filter(~F.col("is_canonical")).select(
         F.col("doc_id").alias("doc")
     )
-    near_f = near_all.join(bloom_f, "doc", "left_anti").join(
-        exact_f, "doc", "left_anti"
+    near_f = (
+        near_all.join(bloom_f, "doc", "left_anti")
+        .join(exact_f, "doc", "left_anti")
+        .localCheckpoint(eager=True)
     )
     # tier 3: containment (df-capped universe, d16's exact semantics)
     if capped_shingles is None:
@@ -2667,6 +2678,7 @@ def dedup_tier_attribution(
         contained.join(bloom_f, "doc", "left_anti")
         .join(exact_f, "doc", "left_anti")
         .join(near_f, "doc", "left_anti")
+        .localCheckpoint(eager=True)
     )
 
     def cnt(df: DataFrame, name: str) -> DataFrame:
@@ -2677,6 +2689,9 @@ def dedup_tier_attribution(
         .crossJoin(F.broadcast(cnt(exact_f, "n1")))
         .crossJoin(F.broadcast(cnt(near_f, "n2")))
         .crossJoin(F.broadcast(cnt(cont_f, "n3")))
+        # all four legs project off this 1-row frame; materialized, the
+        # counts run once instead of once per leg
+        .localCheckpoint(eager=True)
     )
     legs = [
         row.select(

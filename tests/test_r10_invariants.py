@@ -60,6 +60,21 @@ def test_d24_tier_attribution_laws(spark):
     assert cum > 0, "cascade flagged nothing — corpus fixture degenerate"
 
 
+def test_d24_plan_is_truncated(spark):
+    """r14 optimization pin: the four tier flag sets are materialized
+    ONCE per invocation (localCheckpoint) instead of being re-planned
+    into every later tier's anti-joins and every count leg — the lazy
+    form built an ~800-node plan (~1 min of Catalyst time) that
+    re-evaluated the bloom set up to 16x. The returned frame must plan
+    as a bounded union over ExistingRDD scans: no Exchange survives."""
+    from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
+
+    df = QUERIES["d24_dedup_tier_attribution"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
 def test_signature_width_guard_refuses_mismatch(spark):
     """A staged signature table built at a different n_hashes than the
     caller requests must be refused loudly — silently banding a 16-hash
