@@ -2983,16 +2983,30 @@ def q81_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # r14 (guide §2.4): two rewrites, same results.
+    # - min() over the TIMESTAMP, month key taken after: month_key is
+    #   monotone non-decreasing in the timestamp order (zero-padded ISO
+    #   rendering), so min commutes with it — and min(timestamp) is
+    #   hash-aggregable where min(string) forced SortAggregate (two
+    #   extra whole-stage sorts in the r13 plan).
+    # - one explicit repartition by customer_id: hash partitioning on a
+    #   PREFIX of the grouping keys satisfies both groupBys AND the
+    #   window's required distribution, so the (cust,pk) aggregation,
+    #   the (cust,month) rollup and the running-sum window all reuse a
+    #   single exchange (was 3: by (cust,pk), (cust,month), (cust)).
     cp = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy(
+        .select(
             F.col("o_custkey").alias("customer_id"),
             F.col("l_partkey").alias("pk"),
+            "o_orderdate",
         )
-        .agg(F.min(month_key("o_orderdate")).alias("first_month"))
+        .repartition("customer_id")
+        .groupBy("customer_id", "pk")
+        .agg(F.min("o_orderdate").alias("first_dt"))
     )
     monthly = cp.groupBy(
-        "customer_id", F.col("first_month").alias("sales_month")
+        "customer_id", month_key("first_dt").alias("sales_month")
     ).agg(F.count(F.lit(1)).alias("new_parts"))
     w = (
         Window.partitionBy("customer_id")
