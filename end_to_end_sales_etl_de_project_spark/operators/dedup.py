@@ -1724,7 +1724,13 @@ def lsh_tuning_curve(
         sigs = minhash_signatures(hashed_shingles, n_hashes, pre_hashed=True)
     legs = []
     for nb, rpb in configs:
-        cands = lsh_candidate_pairs(sigs, nb, rpb, max_bucket_size)
+        # r14: each leg references its candidate set twice (the volume
+        # count and the verify join's probe side) — lazy, the banding
+        # self-join chain ran twice per leg. Materialize the pair list
+        # (two 8-byte ids per row, bucket-bounded) once per invocation.
+        cands = lsh_candidate_pairs(sigs, nb, rpb, max_bucket_size).localCheckpoint(
+            eager=True
+        )
         verified = jaccard_pairs(
             hashed_shingles, min_jaccard, candidates=cands, pre_hashed=True
         )
