@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from end_to_end_sales_etl_de_project_spark.checkpoints import scoped_checkpoint
+
 ASSET_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
@@ -638,8 +640,11 @@ def phash_neardup_pairs(
     # cost) executes twice per run. localCheckpoint keeps the cost
     # inside each invocation (nothing is memoized across calls); only
     # 16-byte (asset_id, sig) rows are materialized, never payloads.
-    sigs = phash_signatures(assets, decode_stub=decode_stub).localCheckpoint(
-        eager=True
+    # The returned plan reads the checkpoint, so it cannot be freed
+    # here — the call-site scope frees the previous invocation's blocks
+    # on re-entry (r14 leaked one generation per invocation).
+    sigs = scoped_checkpoint(
+        "phash_neardup.sigs", phash_signatures(assets, decode_stub=decode_stub)
     )
     bands = sigs.select(
         "asset_id",
