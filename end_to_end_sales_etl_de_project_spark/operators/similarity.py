@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from end_to_end_sales_etl_de_project_spark.checkpoints import scoped_checkpoint
+
 DIM = 64
 SIG_BITS = 8
 
@@ -1599,16 +1601,70 @@ def ivf_recall_curve(
     (n_probe, n_exact, n_hit, recall).
 
     ``exact`` is the materialized brute-force top-k over the SAME
-    (emb, queries, k) — the session ground-truth artifact. Each probe
-    width re-runs only the candidate join + top-k (the centroid model
-    and cell assignment are shared by construction); the corpus is
-    never shuffled."""
+    (emb, queries, k) — the session ground-truth artifact. The corpus
+    cell assignment and the query probe RANKING are computed once per
+    invocation and shared by every leg (r15, guide §4/§5: left to
+    ivf_topk each leg re-ran the corpus numpy-assign seam — 3 seams and
+    3 full corpus passes per run; the DuckDB twin always shared them
+    via its materialized cells/probe_rank CTEs). A leg's probe set at
+    width p is exactly the first p entries of the max-width ranking
+    (``_with_cells_np`` orders probes sim-desc, cid-desc), so each leg
+    is just a slice + candidate join + top-k; the corpus is never
+    shuffled."""
     exact_pairs = exact.select("query_id", "neighbor_id")
+    cells = scoped_checkpoint(
+        "ivf_recall_curve.cells",
+        _with_cells_np(
+            with_norm(_valid_vecs(emb, dim=dim), dim=dim).select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"),
+                F.col("norm").alias("n_norm"),
+                _vq_col("embedding", dim).alias("__vq"),
+            ),
+            centroids,
+        ).select("neighbor_id", "n_emb", "n_norm", "cid"),
+    )
+    q_ranked = scoped_checkpoint(
+        "ivf_recall_curve.probes",
+        _with_cells_np(
+            with_norm(_valid_vecs(queries, dim=dim), dim=dim).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("norm").alias("q_norm"),
+                _vq_col("embedding", dim).alias("__vq"),
+            ),
+            centroids,
+            n_probe=max(probe_counts),
+            out_col="probe_cids",
+        ).select("query_id", "q_emb", "q_norm", "probe_cids"),
+    )
+    dot = _dot_col("q_emb", "n_emb", dim)
     legs = []
     for p in probe_counts:
-        approx = ivf_topk(
-            emb, queries, k=k, dim=dim, n_probe=p, centroids=centroids
-        ).select("query_id", "neighbor_id")
+        q = q_ranked.select(
+            "query_id",
+            "q_emb",
+            "q_norm",
+            F.explode(F.slice("probe_cids", 1, p)).alias("cid"),
+        )
+        scored = (
+            F.broadcast(q)
+            .join(cells, "cid")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (dot / (F.col("q_norm") * F.col("n_norm"))).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        approx = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        )
         legs.append(
             exact_pairs.join(
                 approx, ["query_id", "neighbor_id"], "left_semi"
@@ -1907,7 +1963,14 @@ def pq_recall_audit(
     if lsh is None:
         lsh = lsh_topk_multiprobe(emb, queries, k=k, dim=dim, sig_bits=sig_bits)
     exact = exact.select("query_id", "neighbor_id")
-    pq = pq_topk(emb, queries, k=k, dim=dim, books=books)
+    # the PQ result feeds TWO consumers (the hit count and the rerank
+    # re-verification) and Spark shares no subtrees within a plan — left
+    # lazy, the whole encode→ADC→shortlist→rerank chain (2 Python seams)
+    # ran twice per run. Materialize the |queries|·k-row result once per
+    # invocation (guide §4/§5; the call-site scope frees it on re-entry).
+    pq = scoped_checkpoint(
+        "pq_recall_audit.pq", pq_topk(emb, queries, k=k, dim=dim, books=books)
+    )
     tot = exact.agg(
         F.countDistinct("query_id").alias("n_queries"),
         F.count(F.lit(1)).alias("n_exact"),

@@ -23,17 +23,19 @@ and the oracle SQL (driver hash-compares by sorted column name).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from end_to_end_sales_etl_de_project_spark.checkpoints import scoped_checkpoint
 from end_to_end_sales_etl_de_project_spark.functions.scalar import money, money_sum, month_key
 from end_to_end_sales_etl_de_project_spark.operators.metrics import (
     top_performer_incentive,
     windowed_partition_sum,
 )
-from end_to_end_sales_etl_de_project_spark.sources.tables import load_table
+from end_to_end_sales_etl_de_project_spark.sources.tables import load_table, spread
 
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 CORE_ORACLES: dict[str, str] = {}
@@ -1101,10 +1103,23 @@ def q34_partitioned_write_readback(spark: SparkSession, sf_dir: str) -> DataFram
     # touches (on a single-split input, ALL files write serially from
     # one task); with it each month is written by exactly one task, in
     # parallel, and file count stays |months| regardless of scan
-    # splits. Measured: write 2.4s -> 1.1s at sf0.1, same 80 files.
-    orders.repartition("sales_month").write.mode("overwrite").partitionBy(
-        "sales_month"
-    ).parquet(out)
+    # splits. r15 (VERDICT r14 #5): a plain repartition("sales_month")
+    # caps write parallelism at one task per month FOREVER — at 100 TB a
+    # skewed month is a straggler by construction — so the distribution
+    # key gains a deterministic within-month salt (pmod(xxhash64(key)),
+    # guide §2.5: never rand() under retries) bounded by
+    # SPARK_GRAFT_WRITE_SALT = ceil(max month bytes / target file size)
+    # in production; the default of 1 keeps one file per month and the
+    # local bench comparable. File count stays |months| x n_salt. (The
+    # AQE REBALANCE hint was measured instead and REJECTED here: at
+    # bench scale optimizeSkewsInRebalancePartitions coalesces all 80
+    # tiny months under one advisory-sized task — the serial write this
+    # fix exists to avoid; 1.27 s -> 2.63 s.)
+    n_salt = int(os.environ.get("SPARK_GRAFT_WRITE_SALT", "1"))
+    salt = F.pmod(F.xxhash64("o_orderkey"), F.lit(n_salt))
+    orders.repartition(F.col("sales_month"), salt).write.mode(
+        "overwrite"
+    ).partitionBy("sales_month").parquet(out)
     back = (
         spark.read.schema(orders.schema)
         .parquet(out)
@@ -1794,8 +1809,14 @@ def q59_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~end_to_end_sales_etl_de_project_spark.operators.profiling.profile_columns`
     (single scan for all metrics; tests/test_plan_shapes.py pins the
     one-scan property, tests/test_profiling.py the planted-null
-    behavior the null-free sf corpora cannot exercise)."""
-    return profile_columns(load_table(spark, sf_dir, "lineitem"), _Q59_PROFILE_COLS)
+    behavior the null-free sf corpora cannot exercise). spread()
+    rescues the 1-split sandbox scan in front of the multi-distinct
+    Expand — N profiled columns multiply every fact row, and that
+    fan-out otherwise partial-aggregates on ONE core (no-op at real
+    scale)."""
+    return profile_columns(
+        spread(load_table(spark, sf_dir, "lineitem")), _Q59_PROFILE_COLS
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1905,7 +1926,10 @@ def q61_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     (caught by the r11 full-registry NULL sweep).
     """
     base = _staging_dir(spark, "evolve", sf_dir)
-    orders = load_table(spark, sf_dir, "orders")
+    # spread: each generation's filter + decimal projection + parquet
+    # encode otherwise runs as ONE write task off the 1-split sandbox
+    # scan — guide §6's serial-write anti-pattern (no-op at real scale)
+    orders = spread(load_table(spark, sf_dir, "orders"))
     od = F.substring(F.col("o_orderdate").cast("string"), 1, 10)
     gen1 = orders.filter((od < "1997-01-01") | od.isNull()).select(
         "o_orderkey", money("o_totalprice").alias("total_price")
@@ -2529,6 +2553,15 @@ def q73_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable counts; the order-count scalar rides a 1-row
     broadcast; top-k is TakeOrdered (no global sort materialization).
     Lift is exact integer products with ONE IEEE division ⇒ hash-exact.
+
+    r15 audit, deliberately left alone: the distinct (order, part)
+    item table feeds FOUR consumers as the SAME DataFrame object, so
+    its exchange is deduplicated by ReusedExchange — an eager
+    checkpoint measured SLOWER (+0.4 s: one extra blocking job for a
+    shuffle the plan already shares), and spread() measured slower too
+    (+0.8 s: the keyless repartition's sort-before-repartition runs on
+    the single scan partition before anything parallelizes, guide
+    §2.5 note).
     """
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(

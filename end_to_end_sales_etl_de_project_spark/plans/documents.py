@@ -481,8 +481,10 @@ def d08_jaccard_stopshingle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("d04_simhash", dedup.simhash_sql("doc_id", "text"))
 def d04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprint per doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    """32-bit SimHash fingerprint per doc. spread() rescues the 1-split
+    sandbox scan in front of the token explode + per-token md5 — the
+    map stage otherwise runs on ONE core (no-op at real scale)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return dedup.simhash(docs, "doc_id", "text")
 
 
@@ -1627,10 +1629,15 @@ def d12_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (MinHash-LSH candidates, exact-Jaccard verified ≥ 0.5) — catches
     paraphrases/re-wraps that verbatim n-gram overlap (d07/t20)
     misses. One signature pass, bucket join restricted to test×train
-    sides; reads the session shingle index."""
+    sides; reads the session shingle index AND the session signature
+    table (r15: the signature groupBy was this query's dominant
+    shuffle, re-paid per run while the identical artifact sat
+    materialized — the d03 pattern)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.fuzzy_decontaminate(
-        docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
+        docs,
+        hashed_shingles=_shingle_index(spark, sf_dir, 3),
+        signatures=_minhash_sig_artifact(spark, sf_dir),
     )
 
 
@@ -2358,7 +2365,9 @@ def c08_decontamination_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     fuzzy = (
         dedup.fuzzy_decontaminate(
-            docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
+            docs,
+            hashed_shingles=_shingle_index(spark, sf_dir, 3),
+            signatures=_minhash_sig_artifact(spark, sf_dir),
         )
         .select("test_doc")
         .distinct()

@@ -26,7 +26,7 @@ from end_to_end_sales_etl_de_project_spark.plans.registry import QUERIES
 from end_to_end_sales_etl_de_project_spark.session import get_spark_session
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PLAN_DIR = os.path.join(REPO, "plans", "r14")
+PLAN_DIR = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r15"))
 
 
 def _spark():
