@@ -508,8 +508,13 @@ GROUP BY 1, 2
 @_register("q12_pricing_summary", _Q12_ORACLE)
 def q12_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: multi-aggregate groupBy with
-    map-side partial aggregation — the canonical 100 TB-safe agg."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    map-side partial aggregation — the canonical 100 TB-safe agg.
+    spread(): the countDistinct Expand doubles every fact row and the
+    partial agg otherwise runs on ONE core off the 1-split sandbox
+    scan (no-op at real scale)."""
+    li = spread(load_table(spark, sf_dir, "lineitem")).filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
     one = F.lit(1).cast("decimal(18,2)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         money_sum("l_quantity").alias("sum_qty"),

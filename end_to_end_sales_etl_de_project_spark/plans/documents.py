@@ -78,12 +78,25 @@ def _shingle_index(
                 .filter(F.col("df") <= max_df)
                 .drop("df")
             )
-            _SHINGLE_INDEX[key] = capped.localCheckpoint(eager=True, storageLevel=checkpoint_level())
+            # repartition BEFORE the checkpoint (r15): a checkpointed
+            # RDD keeps its build-time partitioning forever — built off
+            # the 1-row-group sandbox scan (or an AQE-coalesced tiny
+            # shuffle) the artifact lands as ONE partition and every
+            # consumer's map stage (self-join sides, explodes, partial
+            # aggs) runs SERIAL. Keyed (hash) repartition, not keyless
+            # spread: deterministic placement without the
+            # sort-before-repartition pre-pass, and the production
+            # analog is a shingle-bucketed index table.
+            _SHINGLE_INDEX[key] = capped.repartition("shingle").localCheckpoint(
+                eager=True, storageLevel=checkpoint_level()
+            )
         else:
             docs = load_table(spark, sf_dir, "documents")
             sh = dedup.shingle_table(docs, "doc_id", "text", k)
             hashed = sh.select("doc", h60(F.col("shingle")).alias("shingle"))
-            _SHINGLE_INDEX[key] = hashed.localCheckpoint(eager=True, storageLevel=checkpoint_level())
+            _SHINGLE_INDEX[key] = hashed.repartition("shingle").localCheckpoint(
+                eager=True, storageLevel=checkpoint_level()
+            )
         # stamp the shingle width on the artifact so consumers that
         # take an explicit k can refuse a mismatched index instead of
         # silently computing k'-gram Jaccard against a k-gram oracle
@@ -140,10 +153,12 @@ def _split_shingle_artifact(
         test_sh, train_sh, train_src = dedup.split_shingle_tables(
             docs, hashed_shingles=_shingle_index(spark, sf_dir, 3)
         )
+        # keyed repartition: 1-partition checkpoints serialize every
+        # consumer's map stage (see _shingle_index)
         _SPLIT_SHINGLES[key] = (
-            test_sh.localCheckpoint(eager=True, storageLevel=checkpoint_level()),
-            train_sh.localCheckpoint(eager=True, storageLevel=checkpoint_level()),
-            train_src.localCheckpoint(eager=True, storageLevel=checkpoint_level()),
+            test_sh.repartition("shingle").localCheckpoint(eager=True, storageLevel=checkpoint_level()),
+            train_sh.repartition("shingle").localCheckpoint(eager=True, storageLevel=checkpoint_level()),
+            train_src.repartition("shingle").localCheckpoint(eager=True, storageLevel=checkpoint_level()),
         )
     return _SPLIT_SHINGLES[key]
 
@@ -165,7 +180,11 @@ def _minhash_sig_artifact(
         sigs = dedup.minhash_signatures(
             _shingle_index(spark, sf_dir, 3), n_hashes, pre_hashed=True
         )
-        _MINHASH_SIGS[key] = sigs.localCheckpoint(eager=True, storageLevel=checkpoint_level())
+        # keyed repartition: the banding explode every LSH consumer
+        # runs off this table would otherwise fan out from ONE partition
+        _MINHASH_SIGS[key] = sigs.repartition("doc").localCheckpoint(
+            eager=True, storageLevel=checkpoint_level()
+        )
     return _MINHASH_SIGS[key]
 
 
@@ -193,7 +212,7 @@ def _chunk_shingle_index(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFr
     )
     sh = dedup.shingle_table(chunks, "cid", "chunk_text", k)
     hashed = sh.select("doc", h60(F.col("shingle")).alias("shingle"))
-    out = scoped_checkpoint("d11.chunk_shingles", hashed)
+    out = scoped_checkpoint("d11.chunk_shingles", hashed.repartition("shingle"))
     out._shingle_k = k
     return out
 
@@ -202,7 +221,7 @@ def _chunk_signatures(
     spark: SparkSession, chunk_shingles: DataFrame, n_hashes: int = 16
 ) -> DataFrame:
     sigs = dedup.minhash_signatures(chunk_shingles, n_hashes, pre_hashed=True)
-    return scoped_checkpoint("d11.chunk_sigs", sigs)
+    return scoped_checkpoint("d11.chunk_sigs", sigs.repartition("doc"))
 
 
 # The Bloom sizing decision (chosen m for the 1% FP target) — made
@@ -270,7 +289,10 @@ def _kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 text.tokens("text").alias("toks"),
             )
         )
-        _KEPT_CORPUS[key] = kept.localCheckpoint(eager=True, storageLevel=checkpoint_level())
+        # keyed repartition: c02's shingle explode fans out off this
+        _KEPT_CORPUS[key] = kept.repartition("doc").localCheckpoint(
+            eager=True, storageLevel=checkpoint_level()
+        )
     return _KEPT_CORPUS[key]
 
 
@@ -293,7 +315,10 @@ def _split_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
             text.corpus_split("text").alias("split"),
             text.tokens("text").alias("toks"),
         )
-        _SPLIT_TOKS[key] = base.localCheckpoint(eager=True, storageLevel=checkpoint_level())
+        # keyed repartition: t20's positional explode fans out off this
+        _SPLIT_TOKS[key] = base.repartition("doc").localCheckpoint(
+            eager=True, storageLevel=checkpoint_level()
+        )
     return _SPLIT_TOKS[key]
 
 
@@ -306,7 +331,10 @@ def _split_shingles5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split",
             text.shingles_from_tokens(F.col("toks"), 5).alias("sh"),
         )
-        _SPLIT_SHINGLES5[key] = sh.localCheckpoint(eager=True, storageLevel=checkpoint_level())
+        # keyed repartition: d07/c08's explodes fan out off this
+        _SPLIT_SHINGLES5[key] = sh.repartition("doc").localCheckpoint(
+            eager=True, storageLevel=checkpoint_level()
+        )
         # stamp the shingle width (same discipline as _shingle_index):
         # consumers taking an explicit k refuse a mismatched artifact
         # instead of silently computing k'-gram overlap (ADVICE r5)
@@ -1253,7 +1281,11 @@ def d09_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and banding; adds one signature-pair join over the (few) candidates."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_estimate_audit(
-        docs, "doc_id", "text", hashed_shingles=_shingle_index(spark, sf_dir, 3)
+        docs,
+        "doc_id",
+        "text",
+        hashed_shingles=_shingle_index(spark, sf_dir, 3),
+        signatures=_minhash_sig_artifact(spark, sf_dir),
     )
 
 
@@ -1700,7 +1732,10 @@ def t21_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional bigram stream is an equi-join on (w1,w2) (hot bigrams =
     AQE skew territory, same as t13's token join); per-doc state is
     bounded by doc length."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the positional bigram explode below is instantiated by
+    # TWO consumers (the LM counts and the scored stream) and would
+    # otherwise run twice on ONE core off the 1-split sandbox scan
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toked = docs.select("doc_id", text.tokens("text").alias("toks"))
     n1 = F.greatest(F.size("toks") - 1, F.lit(0))
     pairs = toked.select(
@@ -2878,8 +2913,11 @@ def t37_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Gopher/MassiveText quality-rule breakdown (Rae et al.
     2021 §A1.1): seven named booleans + the overall verdict. Every
     threshold is an integer cross-multiplication — no float ever
-    materializes; pure projection, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    materializes; pure projection. spread(): the per-doc rule folds
+    otherwise run on ONE core off the 1-split sandbox scan (no-op at
+    real scale; trades one narrow exchange of raw text for a 32-way
+    projection stage)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return text.gopher_rules(docs)
 
 
@@ -2888,8 +2926,10 @@ def c15_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which Gopher rule is doing the filtering: per-rule evaluated/
     failed counts and fail rate — the accounting read before loosening
     any threshold. One corpus scan; the per-rule rows explode from a
-    single aggregate row."""
-    docs = load_table(spark, sf_dir, "documents")
+    single aggregate row. spread(): the per-doc rule evaluation
+    (token/char folds per rule) otherwise runs on ONE core off the
+    1-split sandbox scan (no-op at real scale)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return text.gopher_rule_attribution(docs)
 
 

@@ -85,7 +85,12 @@ def cmd_time(names: list[str], n: int = 2) -> None:
             t0 = time.perf_counter()
             run(name)
             best = min(best, time.perf_counter() - t0)
-        print(f"{name}: warm={warm:.3f} steady={best:.3f}")
+        # trailing canary: the sandbox throttles after sustained CPU
+        # use, so each measurement carries its own machine-state stamp
+        t0 = time.perf_counter()
+        run("q10_rank_top1")
+        post = time.perf_counter() - t0
+        print(f"{name}: warm={warm:.3f} steady={best:.3f} (canary_after={post:.3f})")
         spark.sparkContext.setJobDescription(None)
 
 
