@@ -74,6 +74,78 @@ DRIVER_WINDOW_SIZE = 50
 # window; all rotated-out queries stay under local parity at sf0.001
 # every run (tests/test_oracle_parity.py).
 DRIVER_WINDOW: list[str] = [
+    # ---- Round-15 rotation (VERDICT r14 #2). The r14 verify OOM'd
+    # from entry 11 on, so only the first 10 r14-window rows earned
+    # fresh evidence; everything else keeps its prior-round green row +
+    # local parity. Slots go FIRST to every query the staleness tracker
+    # flags after the r15 optimization work (35: the six r14-changed
+    # queries VERDICT ordered in — d11/d19/d24/q34/q70/q81 — plus the
+    # r14-changed e/a/m rows whose r14 slots OOM'd before re-earning,
+    # plus every query whose own function or a directly-called operator
+    # changed in r15; artifact-builder layout changes are excused by
+    # the fingerprint-pinned r15 attestation in scripts/
+    # driver_evidence.py, with the full parity-suite sweep as the
+    # verification). The remaining 15 slots are the standing refresh
+    # queue, oldest evidence first: q32 (r07 rows-only), then r08-era
+    # rows — preferring those whose r14 re-verification was lost to the
+    # OOM cascade (e03/q55/q98/q99/q100/q103/q104/t12) and the four
+    # rows the r14 rotation itself displaced (e01/e14/m03 + t02/t03/
+    # t10). t11 and the remaining r08/r09 rows (t27, t29-t39, a01...)
+    # keep green evidence + local parity and head the r16 queue.
+    # -- r15 stale: changed query/operator code re-earning evidence (35)
+    "a10_semantic_dedup",
+    "a12_ivf_recall_audit",
+    "a13_pq_recall_audit",
+    "a21_ivf_recall_curve",
+    "c01_curate_corpus",
+    "c02_training_manifest",
+    "c08_decontamination_agreement",
+    "c15_rule_attribution",
+    "d02_ngram_jaccard",
+    "d04_simhash",
+    "d06_neardup_resolve",
+    "d07_decontaminate",
+    "d08_jaccard_stopshingle",
+    "d09_minhash_estimate_audit",
+    "d11_chunk_neardup",
+    "d12_fuzzy_decontaminate",
+    "d16_containment_pairs",
+    "d19_lsh_tuning_curve",
+    "d24_dedup_tier_attribution",
+    "e08_interarrival_stats",
+    "e18_rolling_zscore",
+    "e28_concurrency_peak",
+    "e30_rfm_segments",
+    "e33_burst_detection",
+    "m02_multimodal_features",
+    "m07_phash_neardup",
+    "q12_pricing_summary",
+    "q34_partitioned_write_readback",
+    "q59_data_profile",
+    "q61_union_by_name",
+    "q70_fuzzy_name_match",
+    "q73_market_basket_lift",
+    "q81_cumulative_distinct",
+    "t21_doc_lm_score",
+    "t37_gopher_rules",
+    # -- refresh queue, oldest evidence first (15)
+    "q32_approx_aggs",
+    "e01_tumbling_hourly",
+    "e14_interarrival_native",
+    "m03_frame_sample",
+    "e03_session_window",
+    "q55_string_agg",
+    "q98_line_priority",
+    "q99_profit_by_nation",
+    "q100_heavy_small_part_suppliers",
+    "q103_partition_completeness",
+    "q104_promo_revenue",
+    "t12_source_cap",
+    "t02_language_id",
+    "t03_quality_score",
+    "t10_pii_redact",
+]
+_R14_WINDOW_HISTORY: list[str] = [
     # ---- Round-14 rotation (VERDICT r13 #1). Every r13-window query
     # is green in CORRECTNESS_r13 (50/50 hash), so slots go to the
     # standing refresh queue, oldest evidence first: ALL 37 r08-era
